@@ -1,0 +1,165 @@
+"""The central correctness property: the device's analytic winding coverage
+must match brute-force supersampled fill-rule coverage on arbitrary
+(self-intersecting, multi-contour) polygons — this is the behavior contract
+that replaces libtess2 (SURVEY.md §2 #7)."""
+
+import numpy as np
+import pytest
+
+from vgtpu.oracle import coverage_oracle
+from vgtpu.raster.binning import RasterOp, bin_frame, make_solid_paint, K_CLIP_ADD, K_CLIP_COMMIT, K_CLIP_RESET
+from vgtpu.raster.frame import execute_plan
+
+
+def _poly_edges(pts):
+    pts = np.asarray(pts, np.float64)
+    nxt = np.roll(pts, -1, axis=0)
+    return np.concatenate([pts, nxt], axis=1).astype(np.float32)
+
+
+def render_coverage(edges, w, h, rule=0, aa=True):
+    """Render white-on-transparent; the alpha channel IS the coverage."""
+    op = RasterOp(
+        edges=edges,
+        fill_rule=rule,
+        aa=aa,
+        paint=make_solid_paint(np.array([1, 1, 1, 1], np.float32)),
+    )
+    plan = bin_frame([op], w, h)
+    img = execute_plan(plan, background=(0, 0, 0, 0))
+    return np.asarray(img)[..., 3]
+
+
+def test_triangle_matches_oracle():
+    pts = [(3.2, 2.1), (28.7, 5.4), (10.1, 25.6)]
+    e = _poly_edges(pts)
+    got = render_coverage(e, 32, 32)
+    want = coverage_oracle(e, 32, 32, samples=16)
+    assert np.abs(got - want).max() < 0.05
+
+
+@pytest.mark.parametrize("rule", [0, 1])
+def test_self_intersecting_star(rule):
+    # 5-point star drawn as a single self-intersecting loop.
+    # At pixels crossed by two contour edges at once the analytic rasterizer
+    # conflates (rule applied to the averaged winding) — same artifact as
+    # Skia/FreeType/stb; allow a handful of such pixels, nothing more.
+    ang = -np.pi / 2 + np.arange(5) * (4 * np.pi / 5)
+    pts = np.stack([32 + 28 * np.cos(ang), 32 + 28 * np.sin(ang)], axis=1)
+    e = _poly_edges(pts)
+    got = render_coverage(e, 64, 64, rule=rule)
+    want = coverage_oracle(e, 64, 64, fill_rule=rule, samples=16)
+    d = np.abs(got - want)
+    assert d.mean() < 2e-3
+    assert (d > 0.1).sum() <= 8
+    # EvenOdd must hollow the pentagon core
+    if rule == 1:
+        assert got[32, 32] < 0.01
+    else:
+        assert got[32, 32] > 0.99
+
+
+def test_multi_contour_hole():
+    # outer CCW square, inner CW square -> NonZero hole
+    outer = _poly_edges([(4, 4), (60, 4), (60, 60), (4, 60)])
+    inner = _poly_edges([(20, 20), (20, 44), (44, 44), (44, 20)])  # reversed winding
+    e = np.concatenate([outer, inner])
+    got = render_coverage(e, 64, 64)
+    want = coverage_oracle(e, 64, 64, samples=16)
+    assert np.abs(got - want).max() < 0.05
+    assert got[32, 32] < 0.01
+    assert got[10, 10] > 0.99
+
+
+def test_wide_shape_backdrop_across_tiles():
+    # spans multiple 128-wide tiles: interior tiles are pure backdrop
+    pts = [(5.3, 3.7), (311.9, 8.2), (300.4, 27.5), (9.1, 22.8)]
+    e = _poly_edges(pts)
+    got = render_coverage(e, 320, 32)
+    want = coverage_oracle(e, 320, 32, samples=16)
+    assert np.abs(got - want).max() < 0.05
+    # middle of the quad, inside second tile
+    assert got[15, 160] > 0.99
+
+
+def test_tall_shape_across_tile_rows():
+    pts = [(10.5, 2.3), (100.2, 40.1), (60.7, 120.9), (5.9, 90.2)]
+    e = _poly_edges(pts)
+    got = render_coverage(e, 128, 128)
+    want = coverage_oracle(e, 128, 128, samples=16)
+    assert np.abs(got - want).max() < 0.05
+
+
+def test_random_polygons_both_rules():
+    # random polygons are usually self-intersecting: allow the conflation
+    # pixels at edge crossings, bound their count and the mean error
+    rng = np.random.default_rng(7)
+    for rule in (0, 1):
+        for _ in range(6):
+            pts = rng.uniform(2, 62, (rng.integers(3, 12), 2))
+            e = _poly_edges(pts)
+            got = render_coverage(e, 64, 64, rule=rule)
+            want = coverage_oracle(e, 64, 64, fill_rule=rule, samples=16)
+            d = np.abs(got - want)
+            assert d.mean() < 4e-3
+            assert (d > 0.1).sum() <= 30
+
+
+def test_non_aa_binarizes():
+    pts = [(3.2, 2.1), (28.7, 5.4), (10.1, 25.6)]
+    e = _poly_edges(pts)
+    got = render_coverage(e, 32, 32, aa=False)
+    assert set(np.unique(got)).issubset({0.0, 1.0})
+
+
+def test_scissor_rect():
+    e = _poly_edges([(0, 0), (64, 0), (64, 64), (0, 64)])
+    op = RasterOp(edges=e, paint=make_solid_paint(np.array([1, 1, 1, 1], np.float32)),
+                  scissor=(10, 12, 40, 50))
+    plan = bin_frame([op], 64, 64)
+    img = np.asarray(execute_plan(plan, background=(0, 0, 0, 0)))[..., 3]
+    assert img[30, 30] == 1.0
+    assert img[30, 5] == 0.0   # left of scissor
+    assert img[5, 30] == 0.0   # above scissor
+    assert img[30, 45] == 0.0  # right of scissor x1=40
+
+
+def test_clip_in_out():
+    big = _poly_edges([(0, 0), (64, 0), (64, 64), (0, 64)])
+    clip_shape = _poly_edges([(16, 16), (48, 16), (48, 48), (16, 48)])
+    white = make_solid_paint(np.array([1, 1, 1, 1], np.float32))
+
+    def run(rule_in):
+        ops = [
+            RasterOp(kind=K_CLIP_ADD, edges=clip_shape, paint=white, aa=False),
+            RasterOp(kind=K_CLIP_COMMIT, fill_rule=0 if rule_in else 1),
+            RasterOp(edges=big, paint=white),
+        ]
+        plan = bin_frame(ops, 64, 64)
+        return np.asarray(execute_plan(plan, background=(0, 0, 0, 0)))[..., 3]
+
+    img_in = run(True)
+    assert img_in[32, 32] == 1.0 and img_in[5, 5] == 0.0
+    img_out = run(False)
+    assert img_out[32, 32] == 0.0 and img_out[5, 5] == 1.0
+
+    # resetClip restores full drawing
+    ops = [
+        RasterOp(kind=K_CLIP_ADD, edges=clip_shape, paint=white, aa=False),
+        RasterOp(kind=K_CLIP_COMMIT, fill_rule=0),
+        RasterOp(kind=K_CLIP_RESET),
+        RasterOp(edges=big, paint=white),
+    ]
+    plan = bin_frame(ops, 64, 64)
+    img = np.asarray(execute_plan(plan, background=(0, 0, 0, 0)))[..., 3]
+    assert img[5, 5] == 1.0
+
+
+def test_painter_order_blend():
+    red = make_solid_paint(np.array([1, 0, 0, 1], np.float32))
+    blue_half = make_solid_paint(np.array([0, 0, 1, 0.5], np.float32))
+    sq = _poly_edges([(0, 0), (32, 0), (32, 32), (0, 32)])
+    ops = [RasterOp(edges=sq, paint=red), RasterOp(edges=sq, paint=blue_half)]
+    plan = bin_frame(ops, 32, 32)
+    img = np.asarray(execute_plan(plan, background=(0, 0, 0, 0)))
+    np.testing.assert_allclose(img[16, 16], [0.5, 0.0, 0.5, 1.0], atol=1e-5)

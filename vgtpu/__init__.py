@@ -1,0 +1,47 @@
+"""tpu-vg: a TPU-native 2D vector-graphics engine.
+
+Capability-parity rebuild of jdryg/vg-renderer (see /root/repo/SURVEY.md) as an
+idiomatic JAX/Pallas pipeline: analytic winding-number coverage rasterization on
+8x128-pixel tiles instead of CPU tessellation + GPU triangles.
+
+Public API mirrors the reference's vg:: namespace (include/vg/vg.h) as free
+functions over a Context, so reference users can map calls 1:1.
+"""
+
+from vgtpu.core import (  # noqa: F401
+    Color,
+    Colors,
+    LineCap,
+    LineJoin,
+    PathType,
+    FillRule,
+    Winding,
+    ClipRule,
+    TransformOrder,
+    StrokeFlags,
+    FillFlags,
+    ImageFlags,
+    TextAlign,
+    TextBoxFlags,
+    CommandListFlags,
+    FontFlags,
+    color4f,
+    color4ub,
+    colorHSB,
+    colorHSL,
+    colorSetAlpha,
+    colorGetRed,
+    colorGetGreen,
+    colorGetBlue,
+    colorGetAlpha,
+    stroke_flags,
+    fill_flags,
+)
+from vgtpu.api.config import ContextConfig  # noqa: F401
+
+try:  # context layer (imports jax); keep core importable standalone
+    from vgtpu.api.context import *  # noqa: F401,F403
+except ImportError:  # pragma: no cover - during early bootstrap only
+    pass
+
+__version__ = "0.1.0"

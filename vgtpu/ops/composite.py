@@ -1,0 +1,179 @@
+"""Painter's-order shading + compositing over screen tiles (device).
+
+Replaces the reference's end() render loop (vg.cpp:1076-1288): the per-tile
+entry table plays the role of the draw-command list, the clip-mask carry plays
+the role of the stencil buffer (REPLACE/EQUAL semantics of vg.cpp:1193-1215),
+and the four bgfx shader programs (src/shaders/*.sc) become masked lanes of one
+shading expression:
+
+  - solid color  (fs_textured with white-pixel UV)
+  - gradient     (fs_color_gradient's sdroundrect mix — exact same math)
+  - image pattern / texture quads: pre-sampled premultiplied color tiles
+
+Blending is premultiplied src-over, equivalent to the reference's
+BLEND(SRC_ALPHA, INV_SRC_ALPHA) on straight-alpha vertex colors.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vgtpu.raster.binning import (
+    K_CLIP_ADD,
+    K_CLIP_COMMIT,
+    K_CLIP_RESET,
+    K_DRAW,
+    P_GRADIENT,
+    P_TEXTURE,
+)
+
+
+def _sdroundrect(ux, uy, ex, ey, rad):
+    """fs_color_gradient.sc:12-18."""
+    ex2 = ex - rad
+    ey2 = ey - rad
+    dx = jnp.abs(ux) - ex2
+    dy = jnp.abs(uy) - ey2
+    mx = jnp.maximum(dx, 0.0)
+    my = jnp.maximum(dy, 0.0)
+    return jnp.minimum(jnp.maximum(dx, dy), 0.0) + jnp.sqrt(mx * mx + my * my) - rad
+
+
+def _apply_rule(w, rule, aa, is_texture):
+    """winding -> coverage: NonZero = min(|w|,1); EvenOdd = triangle fold."""
+    cov_nz = jnp.minimum(jnp.abs(w), 1.0)
+    cov_eo = 1.0 - jnp.abs(jnp.mod(w, 2.0) - 1.0)
+    cov = jnp.where(rule == 0, cov_nz, cov_eo)
+    cov = jnp.where(aa != 0, cov, (cov >= 0.5).astype(jnp.float32))
+    return jnp.where(is_texture, 1.0, cov)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntx", "tile_h", "tile_w", "max_ops", "num_tiles"),
+)
+def composite_tiles(
+    entry_w: jax.Array,        # (NE, TH, TW) winding incl. backdrop
+    tile_entries: jax.Array,   # (T, MAX_OPS) i32, -1 padded
+    entry_kind: jax.Array,     # (NE,)
+    entry_rule: jax.Array,
+    entry_aa: jax.Array,
+    entry_paint_kind: jax.Array,
+    entry_paint: jax.Array,    # (NE, 18)
+    entry_scissor: jax.Array,  # (NE, 4)
+    entry_color_tile: jax.Array,  # (NE,)
+    color_tiles: jax.Array,    # (NCT, TH, TW, 4) premultiplied
+    background: jax.Array,     # (4,) premultiplied RGBA
+    *,
+    ntx: int,
+    tile_h: int,
+    tile_w: int,
+    max_ops: int,
+    num_tiles: int,
+) -> jax.Array:
+    """Returns (T, TH, TW, 4) premultiplied RGBA tiles."""
+    T = num_tiles
+    tid = jnp.arange(T, dtype=jnp.int32)
+    ox = ((tid % ntx) * tile_w).astype(jnp.float32)
+    oy = ((tid // ntx) * tile_h).astype(jnp.float32)
+    ix = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
+    iy = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
+    # pixel centers, screen space: (T, TH, TW)
+    pxc = ox[:, None, None] + ix + 0.5
+    pyc = oy[:, None, None] + iy + 0.5
+
+    fb0 = jnp.broadcast_to(background, (T, tile_h, tile_w, 4)).astype(jnp.float32)
+    mask0 = jnp.ones((T, tile_h, tile_w), jnp.float32)
+    accum0 = jnp.zeros((T, tile_h, tile_w), jnp.float32)
+
+    def slot_step(carry, s):
+        fb, mask, accum = carry
+        eid = tile_entries[:, s]                       # (T,)
+        valid = eid >= 0
+        e = jnp.maximum(eid, 0)
+
+        w = entry_w[e]                                 # (T, TH, TW)
+        kind = entry_kind[e][:, None, None]
+        rule = entry_rule[e][:, None, None]
+        aa = entry_aa[e][:, None, None]
+        pk = entry_paint_kind[e][:, None, None]
+        paint = entry_paint[e]                         # (T, 18)
+        sc = entry_scissor[e]                          # (T, 4)
+
+        is_texture = pk == P_TEXTURE
+        cov = _apply_rule(w, rule, aa, is_texture)
+
+        # scissor (pixel-center test, like the GPU scissor rect)
+        inside = (
+            (pxc >= sc[:, 0][:, None, None])
+            & (pyc >= sc[:, 1][:, None, None])
+            & (pxc < sc[:, 2][:, None, None])
+            & (pyc < sc[:, 3][:, None, None])
+        )
+        cov = cov * inside.astype(jnp.float32)
+
+        # ---- shading ----
+        # gradient uv via inverse paint matrix (vg.cpp:3712-3880)
+        m = paint[:, 0:6]
+        uxg = m[:, 0][:, None, None] * pxc + m[:, 2][:, None, None] * pyc + m[:, 4][:, None, None]
+        uyg = m[:, 1][:, None, None] * pxc + m[:, 3][:, None, None] * pyc + m[:, 5][:, None, None]
+        ex = paint[:, 6][:, None, None]
+        ey = paint[:, 7][:, None, None]
+        rad = paint[:, 8][:, None, None]
+        feather = jnp.maximum(paint[:, 9][:, None, None], 1e-6)
+        d = jnp.clip((_sdroundrect(uxg, uyg, ex, ey, rad) + feather * 0.5) / feather, 0.0, 1.0)
+        inner = paint[:, 10:14]
+        outer = paint[:, 14:18]
+        grad = (
+            inner[:, None, None, :] * (1.0 - d[..., None])
+            + outer[:, None, None, :] * d[..., None]
+        )
+        solid = jnp.broadcast_to(inner[:, None, None, :], grad.shape)
+        col = jnp.where((pk == P_GRADIENT)[..., None], grad, solid)  # straight alpha
+
+        # textured entries: pre-sampled premultiplied tiles
+        ct = color_tiles[jnp.maximum(entry_color_tile[e], 0)]        # (T,TH,TW,4)
+        src_a_vec = jnp.where(is_texture, ct[..., 3], col[..., 3])
+        src_rgb_pre = jnp.where(
+            is_texture[..., None], ct[..., 0:3], col[..., 0:3] * col[..., 3:4]
+        )
+
+        # ---- op-kind state machine ----
+        is_draw = valid[:, None, None] & (kind == K_DRAW)
+        is_cadd = valid[:, None, None] & (kind == K_CLIP_ADD)
+        is_ccommit = valid[:, None, None] & (kind == K_CLIP_COMMIT)
+        is_creset = valid[:, None, None] & (kind == K_CLIP_RESET)
+
+        c = jnp.where(is_draw, cov * mask, 0.0)
+        a = src_a_vec * c
+        fb = jnp.concatenate(
+            [
+                src_rgb_pre * c[..., None] + fb[..., 0:3] * (1.0 - a)[..., None],
+                (a + fb[..., 3] * (1.0 - a))[..., None],
+            ],
+            axis=-1,
+        )
+
+        accum = jnp.where(is_cadd, accum + cov, accum)
+        committed = jnp.where(rule == 0, (accum > 0.5), ~(accum > 0.5)).astype(jnp.float32)
+        mask = jnp.where(is_ccommit, committed, mask)
+        accum = jnp.where(is_ccommit, 0.0, accum)
+        mask = jnp.where(is_creset, 1.0, mask)
+
+        return (fb, mask, accum), None
+
+    (fb, _, _), _ = jax.lax.scan(
+        slot_step, (fb0, mask0, accum0), jnp.arange(max_ops, dtype=jnp.int32)
+    )
+    return fb
+
+
+@functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_h", "tile_w", "width", "height"))
+def tiles_to_image(fb_tiles, *, ntx, nty, tile_h, tile_w, width, height):
+    """(T, TH, TW, 4) -> (H, W, 4) cropped framebuffer."""
+    img = fb_tiles.reshape(nty, ntx, tile_h, tile_w, 4)
+    img = jnp.transpose(img, (0, 2, 1, 3, 4)).reshape(nty * tile_h, ntx * tile_w, 4)
+    return img[:height, :width]

@@ -1,0 +1,388 @@
+"""Coarse rasterization: draw ops -> per-tile edge chunks + backdrops + op tables.
+
+This replaces the reference's draw-command batching (allocDrawCommand,
+vg.cpp:5359-5407) *and* libtess2's topology pass: instead of tessellating
+polygons into triangles, edges are binned to 8x128-pixel screen tiles and the
+device computes analytic winding coverage per tile (see ARCHITECTURE.md).
+
+Key invariants consumed by the device kernels:
+  - an edge is binned to every tile whose y-rows it overlaps and whose x-range
+    it does not lie entirely left of; edges entirely left of a tile fold into
+    the tile's per-row 'backdrop' vector (winding is column-independent there
+    because the coverage kernel's K() saturates at 1);
+  - tiles right of the op's rightmost edge are skipped entirely — closed
+    contours wind to zero there;
+  - zero-height edges contribute exactly zero coverage, so chunk padding is
+    all-zeros with no masks;
+  - per-tile entry lists are in draw order (painter's algorithm).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# op kinds in the linearized per-tile command stream
+K_DRAW = 0
+K_CLIP_ADD = 1      # rasterize a clip shape into the clip accumulator
+K_CLIP_COMMIT = 2   # accumulated shapes -> binary mask (rule = In/Out)
+K_CLIP_RESET = 3    # mask := 1 everywhere
+
+# paint kinds
+P_SOLID = 0
+P_GRADIENT = 1
+P_IMAGE = 2
+P_TEXTURE = 3       # pre-sampled color tile (text / image quads)
+
+PAINT_NF = 18       # mat(6) + params(4) + inner(4) + outer(4)
+
+
+@dataclass
+class RasterOp:
+    """One linearized frame command (the currency between the API layer and
+    the rasterizer — the analogue of the reference's DrawCommand,
+    vg.cpp:216-247)."""
+
+    kind: int = K_DRAW
+    edges: np.ndarray | None = None          # (E,4) f32 screen-space segments
+    fill_rule: int = 0                       # FillRule.NonZero / EvenOdd
+    aa: bool = True
+    paint_kind: int = P_SOLID
+    paint: np.ndarray | None = None          # (PAINT_NF,) f32; solid color in inner slot
+    scissor: tuple | None = None             # (x0,y0,x1,y1) or None = viewport
+    image_id: int = -1                       # for P_IMAGE / P_TEXTURE
+    color_tile_base: int = -1                # first aux color tile (P_TEXTURE)
+
+
+def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
+    p = np.zeros(PAINT_NF, np.float32)
+    p[10:14] = rgba
+    return p
+
+
+def make_gradient_paint(mat6, params4, inner4, outer4) -> np.ndarray:
+    p = np.zeros(PAINT_NF, np.float32)
+    p[0:6] = mat6
+    p[6:10] = params4
+    p[10:14] = inner4
+    p[14:18] = outer4
+    return p
+
+
+@dataclass
+class FramePlan:
+    """Padded, device-ready frame description."""
+
+    width: int
+    height: int
+    ntx: int
+    nty: int
+    tile_h: int
+    tile_w: int
+    # chunks
+    chunk_edges: np.ndarray      # (NC, CHUNK, 4) f32, tile-origin-relative
+    chunk_entry: np.ndarray      # (NC,) i32 -> entry id
+    # entries (one per (tile, op) pair, draw-ordered within each tile)
+    entry_tile: np.ndarray       # (NE,) i32
+    entry_backdrop: np.ndarray   # (NE, tile_h) f32
+    entry_kind: np.ndarray       # (NE,) i32  K_*
+    entry_rule: np.ndarray       # (NE,) i32
+    entry_aa: np.ndarray         # (NE,) i32
+    entry_paint_kind: np.ndarray # (NE,) i32
+    entry_paint: np.ndarray      # (NE, PAINT_NF) f32
+    entry_scissor: np.ndarray    # (NE, 4) f32
+    entry_color_tile: np.ndarray # (NE,) i32 -> aux color tile index or -1
+    # per-tile op table
+    tile_entries: np.ndarray     # (T, MAX_OPS) i32 entry ids, -1 padded
+    # aux color tiles for textured entries (text/images), premultiplied RGBA
+    color_tiles: np.ndarray      # (NCT, tile_h, tile_w, 4) f32
+    n_real_entries: int = 0
+    n_real_chunks: int = 0
+    stats: dict = field(default_factory=dict)
+
+
+def _bucket(n: int, minimum: int = 16) -> int:
+    """Round up to a power of two to bound the number of compiled programs."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def bin_frame(
+    ops: list[RasterOp],
+    width: int,
+    height: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    chunk: int = 32,
+    color_tiles: np.ndarray | None = None,
+) -> FramePlan:
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    T = ntx * nty
+
+    # accumulators across ops (entry-major)
+    ent_tile: list[np.ndarray] = []
+    ent_backdrop: list[np.ndarray] = []
+    ent_kind: list[np.ndarray] = []
+    ent_rule: list[np.ndarray] = []
+    ent_aa: list[np.ndarray] = []
+    ent_pk: list[np.ndarray] = []
+    ent_paint: list[np.ndarray] = []
+    ent_scissor: list[np.ndarray] = []
+    ent_ctile: list[np.ndarray] = []
+    chunk_blocks: list[np.ndarray] = []
+    chunk_entry: list[np.ndarray] = []
+    n_entries = 0
+    n_chunks = 0
+
+    def _append_entries(tiles_flat, backdrops, op: RasterOp, ctile=None):
+        nonlocal n_entries
+        k = len(tiles_flat)
+        if k == 0:
+            return np.zeros(0, np.int64)
+        ids = np.arange(n_entries, n_entries + k, dtype=np.int64)
+        n_entries += k
+        ent_tile.append(tiles_flat.astype(np.int32))
+        ent_backdrop.append(backdrops.astype(np.float32))
+        ent_kind.append(np.full(k, op.kind, np.int32))
+        ent_rule.append(np.full(k, op.fill_rule, np.int32))
+        ent_aa.append(np.full(k, 1 if op.aa else 0, np.int32))
+        ent_pk.append(np.full(k, op.paint_kind, np.int32))
+        paint = op.paint if op.paint is not None else np.zeros(PAINT_NF, np.float32)
+        ent_paint.append(np.broadcast_to(paint, (k, PAINT_NF)).copy())
+        sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
+        ent_scissor.append(np.broadcast_to(np.asarray(sc, np.float32), (k, 4)).copy())
+        if ctile is None:
+            ent_ctile.append(np.full(k, -1, np.int32))
+        else:
+            ent_ctile.append(ctile.astype(np.int32))
+        return ids
+
+    for op in ops:
+        if op.kind in (K_CLIP_COMMIT, K_CLIP_RESET):
+            # global control ops: present in every tile
+            tiles = np.arange(T, dtype=np.int64)
+            _append_entries(tiles, np.zeros((T, tile_h), np.float32), op)
+            continue
+
+        if op.paint_kind == P_TEXTURE:
+            # pre-sampled color tiles: one entry per listed tile, no edges
+            tiles = op.edges  # (K,) tile ids smuggled in edges field
+            ctile = op.color_tile_base + np.arange(len(tiles))
+            _append_entries(np.asarray(tiles, np.int64),
+                            np.zeros((len(tiles), tile_h), np.float32), op,
+                            ctile=ctile)
+            continue
+
+        e = op.edges
+        if e is None or len(e) == 0:
+            continue
+        e = np.asarray(e, np.float64)
+        finite = np.isfinite(e).all(axis=1)
+        live = finite & (np.abs(e[:, 3] - e[:, 1]) > 1e-9)
+        e = e[live]
+        if len(e) == 0:
+            continue
+
+        ex0, ey0, ex1, ey1 = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+        exmin = np.minimum(ex0, ex1)
+        exmax = np.maximum(ex0, ex1)
+        eymin = np.minimum(ey0, ey1)
+        eymax = np.maximum(ey0, ey1)
+
+        sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
+        rx0 = max(0.0, sc[0])
+        ry0 = max(0.0, sc[1])
+        rx1 = min(float(width), sc[2], float(np.ceil(exmax.max())))
+        ry1 = min(float(height), sc[3], float(np.ceil(eymax.max())))
+        ry0 = max(ry0, float(np.floor(eymin.min())))
+        if rx1 <= rx0 or ry1 <= ry0:
+            continue
+        tx0 = int(rx0 // tile_w)
+        tx1 = int(np.ceil(rx1 / tile_w)) - 1
+        ty0 = int(ry0 // tile_h)
+        ty1 = int(np.ceil(ry1 / tile_h)) - 1
+        ntx_op = tx1 - tx0 + 1
+        nty_op = ty1 - ty0 + 1
+
+        # per-edge tile ranges
+        ety_lo = np.maximum(np.floor(eymin / tile_h).astype(np.int64), ty0)
+        ety_hi = np.minimum(((np.ceil(eymax) - 1) // tile_h).astype(np.int64), ty1)
+        etx_lo = np.maximum(np.floor((exmin - 1.0) / tile_w).astype(np.int64), tx0)
+        etx_hi_e = np.minimum(((np.ceil(exmax) - 1) // tile_w).astype(np.int64), tx1)
+        ok = (ety_lo <= ety_hi) & (etx_lo <= tx1)
+        idx = np.nonzero(ok)[0]
+        if len(idx) == 0:
+            continue
+
+        sgn = np.sign(ey1 - ey0)
+
+        # ---- expand (edge, ty) pairs ----
+        nty_e = (ety_hi[idx] - ety_lo[idx] + 1)
+        pe = np.repeat(idx, nty_e)                       # edge index per pair
+        base = np.concatenate([[0], np.cumsum(nty_e)[:-1]])
+        loc = np.arange(nty_e.sum(), dtype=np.int64) - np.repeat(base, nty_e)
+        pty = ety_lo[idx].repeat(nty_e) + loc            # tile row per pair
+
+        # per-(edge,ty) row overlaps (8-vector) for backdrop use
+        rowy = (pty * tile_h)[:, None] + np.arange(tile_h)[None, :]
+        ov = np.clip(
+            np.minimum(eymax[pe][:, None], rowy + 1.0)
+            - np.maximum(eymin[pe][:, None], rowy),
+            0.0,
+            1.0,
+        ) * sgn[pe][:, None]
+
+        # split pairs into edge-class x-span and backdrop-class x-span
+        p_etx_lo = etx_lo[pe]
+        p_etx_hi = etx_hi_e[pe]                          # may be < p_etx_lo (edge fully left)
+        has_edge_span = p_etx_hi >= p_etx_lo
+        b_lo = np.maximum(p_etx_hi + 1, tx0)             # backdrop span: (edge-hi, tx1]
+
+        # ---- edge-class (edge, ty, tx) triples ----
+        e_cnt = np.where(has_edge_span, p_etx_hi - p_etx_lo + 1, 0)
+        te = np.repeat(np.arange(len(pe)), e_cnt)        # pair index per triple
+        base2 = np.concatenate([[0], np.cumsum(e_cnt)[:-1]])
+        loc2 = np.arange(e_cnt.sum(), dtype=np.int64) - np.repeat(base2, e_cnt)
+        ttx = p_etx_lo[te] + loc2
+        tty = pty[te]
+        tedge = pe[te]
+
+        # ---- backdrop accumulation on the op's dense tile grid ----
+        # difference-array along tx then cumsum: ov added to [b_lo, tx1]
+        bgrid = np.zeros((nty_op, ntx_op + 1, tile_h), np.float64)
+        bsel = b_lo <= tx1
+        np.add.at(bgrid, (pty[bsel] - ty0, b_lo[bsel] - tx0), ov[bsel])
+        bgrid = np.cumsum(bgrid, axis=1)[:, :-1, :]
+
+        # ---- entries: tiles with edges or nonzero backdrop ----
+        egrid = np.zeros((nty_op, ntx_op), np.int64)
+        np.add.at(egrid, (tty - ty0, ttx - tx0), 1)
+        tile_live = (egrid > 0) | (np.abs(bgrid).max(axis=2) > 1e-9)
+        lty, ltx = np.nonzero(tile_live)
+        if len(lty) == 0:
+            continue
+        tiles_flat = (lty + ty0) * ntx + (ltx + tx0)
+        # entry index per live tile on the op grid
+        entry_of_tile = np.full((nty_op, ntx_op), -1, np.int64)
+        ids = _append_entries(tiles_flat, bgrid[lty, ltx], op)
+        entry_of_tile[lty, ltx] = ids
+
+        # ---- chunks: group edge-class triples by tile, split by CHUNK ----
+        if len(te):
+            order = np.lexsort((np.arange(len(te)), tty * ntx + ttx))
+            s_tty = tty[order] - ty0
+            s_ttx = ttx[order] - tx0
+            s_edge = tedge[order]
+            tkey = s_tty * ntx_op + s_ttx
+            # position within tile group
+            grp_start = np.concatenate([[True], tkey[1:] != tkey[:-1]])
+            grp_id = np.cumsum(grp_start) - 1
+            first_of_grp = np.nonzero(grp_start)[0]
+            pos_in_grp = np.arange(len(tkey)) - first_of_grp[grp_id]
+            cidx_in_grp = pos_in_grp // chunk
+            # global chunk ids: number chunks per group
+            chunks_per_grp = (np.bincount(grp_id) + chunk - 1) // chunk
+            chunk_base = np.concatenate([[0], np.cumsum(chunks_per_grp)[:-1]])
+            gchunk = chunk_base[grp_id] + cidx_in_grp
+            n_op_chunks = int(chunks_per_grp.sum())
+            pos_in_chunk = pos_in_grp % chunk
+
+            ce = np.zeros((n_op_chunks, chunk, 4), np.float32)
+            # tile-origin-relative coordinates
+            tile_ox = (s_ttx + tx0) * tile_w
+            tile_oy = (s_tty + ty0) * tile_h
+            rel = e[s_edge].copy()
+            rel[:, 0] -= tile_ox
+            rel[:, 2] -= tile_ox
+            rel[:, 1] -= tile_oy
+            rel[:, 3] -= tile_oy
+            ce[gchunk, pos_in_chunk] = rel.astype(np.float32)
+
+            centry = np.zeros(n_op_chunks, np.int64)
+            centry[gchunk] = entry_of_tile[s_tty, s_ttx]
+            chunk_blocks.append(ce)
+            chunk_entry.append(centry)
+            n_chunks += n_op_chunks
+
+    # ---- assemble + pad ----
+    NE = _bucket(max(n_entries, 1))
+    NC = _bucket(max(n_chunks, 1))
+
+    def cat(parts, shape_tail, dtype, fill=0):
+        out = np.full((NE,) + shape_tail, fill, dtype)
+        if parts:
+            data = np.concatenate(parts, axis=0)
+            out[: len(data)] = data
+        return out
+
+    entry_tile = cat(ent_tile, (), np.int32, fill=0)
+    entry_backdrop = cat(ent_backdrop, (tile_h,), np.float32)
+    entry_kind = cat(ent_kind, (), np.int32, fill=K_DRAW)
+    entry_rule = cat(ent_rule, (), np.int32)
+    entry_aa = cat(ent_aa, (), np.int32)
+    entry_paint_kind = cat(ent_pk, (), np.int32)
+    entry_paint = cat(ent_paint, (PAINT_NF,), np.float32)
+    entry_scissor = cat(ent_scissor, (4,), np.float32)
+    entry_ctile = cat(ent_ctile, (), np.int32, fill=-1)
+    # padding entries: draw with zero paint alpha and empty scissor -> no-ops
+    entry_scissor[n_entries:] = 0.0
+
+    chunk_edges = np.zeros((NC, chunk, 4), np.float32)
+    chunk_entry_arr = np.full((NC,), NE - 1, np.int32)  # pad chunks -> last pad entry
+    if chunk_blocks:
+        cb = np.concatenate(chunk_blocks, axis=0)
+        centry = np.concatenate(chunk_entry, axis=0)
+        chunk_edges[: len(cb)] = cb
+        chunk_entry_arr[: len(centry)] = centry.astype(np.int32)
+
+    # per-tile draw-ordered entry table
+    et = entry_tile[:n_entries].astype(np.int64)
+    counts = np.bincount(et, minlength=T)
+    max_ops = int(counts.max()) if n_entries else 0
+    MAX_OPS = _bucket(max(max_ops, 1), minimum=4)
+    tile_entries = np.full((T, MAX_OPS), -1, np.int32)
+    if n_entries:
+        order = np.lexsort((np.arange(n_entries), et))
+        sorted_tiles = et[order]
+        first = np.concatenate([[True], sorted_tiles[1:] != sorted_tiles[:-1]])
+        firsts_idx = np.nonzero(first)[0]
+        grp = np.cumsum(first) - 1
+        pos = np.arange(n_entries) - firsts_idx[grp]
+        tile_entries[sorted_tiles, pos] = order.astype(np.int32)
+
+    if color_tiles is None or len(color_tiles) == 0:
+        color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
+
+    return FramePlan(
+        width=width,
+        height=height,
+        ntx=ntx,
+        nty=nty,
+        tile_h=tile_h,
+        tile_w=tile_w,
+        chunk_edges=chunk_edges,
+        chunk_entry=chunk_entry_arr,
+        entry_tile=entry_tile,
+        entry_backdrop=entry_backdrop,
+        entry_kind=entry_kind,
+        entry_rule=entry_rule,
+        entry_aa=entry_aa,
+        entry_paint_kind=entry_paint_kind,
+        entry_paint=entry_paint,
+        entry_scissor=entry_scissor,
+        entry_color_tile=entry_ctile,
+        tile_entries=tile_entries,
+        color_tiles=color_tiles.astype(np.float32),
+        n_real_entries=n_entries,
+        n_real_chunks=n_chunks,
+        stats={
+            "entries": n_entries,
+            "chunks": n_chunks,
+            "max_ops_per_tile": max_ops,
+            "tiles": T,
+        },
+    )

@@ -1,0 +1,77 @@
+"""Frame executor: FramePlan -> framebuffer (the device side of end(),
+vg.cpp:1076-1288, minus bgfx: upload arrays once, run the jitted pipeline)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vgtpu.ops.composite import composite_tiles, tiles_to_image
+from vgtpu.ops.coverage import accumulate_entries, coverage_chunks
+from vgtpu.raster.binning import FramePlan
+
+
+def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
+    """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
+    d = device_arrays if device_arrays is not None else plan_to_device(plan)
+
+    chunk_cov = coverage_chunks(d["chunk_edges"], plan.tile_h, plan.tile_w)
+    entry_cov = accumulate_entries(chunk_cov, d["chunk_entry"], num_entries=d["chunk_entry_num"])
+    entry_w = entry_cov + d["entry_backdrop"][:, :, None]
+
+    fb_tiles = composite_tiles(
+        entry_w,
+        d["tile_entries"],
+        d["entry_kind"],
+        d["entry_rule"],
+        d["entry_aa"],
+        d["entry_paint_kind"],
+        d["entry_paint"],
+        d["entry_scissor"],
+        d["entry_color_tile"],
+        d["color_tiles"],
+        jnp.asarray(np.asarray(background, np.float32)),
+        ntx=plan.ntx,
+        tile_h=plan.tile_h,
+        tile_w=plan.tile_w,
+        max_ops=plan.tile_entries.shape[1],
+        num_tiles=plan.tile_entries.shape[0],
+    )
+    return tiles_to_image(
+        fb_tiles,
+        ntx=plan.ntx,
+        nty=plan.nty,
+        tile_h=plan.tile_h,
+        tile_w=plan.tile_w,
+        width=plan.width,
+        height=plan.height,
+    )
+
+
+def plan_to_device(plan: FramePlan) -> dict:
+    """Upload the plan's arrays once (command lists / caches stay resident)."""
+    return {
+        "chunk_edges": jnp.asarray(plan.chunk_edges),
+        "chunk_entry": jnp.asarray(plan.chunk_entry),
+        "chunk_entry_num": plan.entry_backdrop.shape[0],
+        "entry_backdrop": jnp.asarray(plan.entry_backdrop),
+        "entry_kind": jnp.asarray(plan.entry_kind),
+        "entry_rule": jnp.asarray(plan.entry_rule),
+        "entry_aa": jnp.asarray(plan.entry_aa),
+        "entry_paint_kind": jnp.asarray(plan.entry_paint_kind),
+        "entry_paint": jnp.asarray(plan.entry_paint),
+        "entry_scissor": jnp.asarray(plan.entry_scissor),
+        "entry_color_tile": jnp.asarray(plan.entry_color_tile),
+        "color_tiles": jnp.asarray(plan.color_tiles),
+        "tile_entries": jnp.asarray(plan.tile_entries),
+    }
+
+
+def image_to_u8(img) -> np.ndarray:
+    """Premultiplied f32 -> straight u8 RGBA."""
+    img = np.asarray(img)
+    a = np.maximum(img[..., 3:4], 1e-6)
+    rgb = np.clip(img[..., 0:3] / a, 0.0, 1.0)
+    out = np.concatenate([rgb, np.clip(img[..., 3:4], 0.0, 1.0)], axis=-1)
+    return (out * 255.0 + 0.5).astype(np.uint8)
