@@ -1,0 +1,149 @@
+"""Context API behavior: state stack, scissor, transforms, handle limits,
+thin strokes, global alpha (reference semantics cited per test)."""
+
+import numpy as np
+import pytest
+
+import vgtpu as vg
+
+
+def make_ctx(w=128, h=64):
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, w, h, 1.0)
+    return ctx
+
+
+def render(ctx):
+    vg.end(ctx, background=(0, 0, 0, 0))
+    return np.asarray(ctx.frame_image)
+
+
+def test_push_pop_state_restores_transform_and_scissor():
+    ctx = make_ctx()
+    vg.transformTranslate(ctx, 10, 20)
+    vg.setScissor(ctx, 5, 5, 50, 30)
+    vg.pushState(ctx)
+    vg.transformScale(ctx, 3, 3)
+    vg.setScissor(ctx, 0, 0, 10, 10)
+    vg.popState(ctx)
+    m = vg.getTransform(ctx)
+    np.testing.assert_allclose(m, [1, 0, 0, 1, 10, 20])
+    s = vg.getScissor(ctx)
+    np.testing.assert_allclose(s, [15, 25, 50, 30])  # scissor transformed at set time
+
+
+def test_scissor_transformed_and_clamped():
+    ctx = make_ctx(128, 64)
+    vg.transformTranslate(ctx, 100, 0)
+    vg.setScissor(ctx, 0, 0, 100, 100)
+    s = vg.getScissor(ctx)
+    # clamped to canvas (ctxSetScissor, vg.cpp clamp)
+    np.testing.assert_allclose(s, [100, 0, 28, 64])
+
+
+def test_intersect_scissor_returns_emptiness():
+    ctx = make_ctx()
+    vg.setScissor(ctx, 0, 0, 20, 20)
+    assert vg.intersectScissor(ctx, 10, 10, 30, 30)
+    np.testing.assert_allclose(vg.getScissor(ctx), [10, 10, 10, 10])
+    assert not vg.intersectScissor(ctx, 50, 50, 5, 5)
+
+
+def test_global_alpha_modulates_fill():
+    ctx = make_ctx()
+    vg.setGlobalAlpha(ctx, 0.5)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 64)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    img = render(ctx)
+    assert abs(img[10, 10, 3] - 0.5) < 0.01
+
+
+def test_zero_alpha_fill_is_skipped():
+    ctx = make_ctx()
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 64)
+    vg.fillPath(ctx, vg.color4ub(255, 0, 0, 0), vg.FillFlags.ConvexAA)
+    assert len(ctx.ops) == 0  # early-out (ctxFillPathColor, vg.cpp:3070-3075)
+
+
+def test_gradient_handle_limit():
+    ctx = make_ctx()
+    ctx.cfg.max_gradients = 2
+    g1 = vg.createLinearGradient(ctx, 0, 0, 1, 1, 0, 0)
+    g2 = vg.createLinearGradient(ctx, 0, 0, 1, 1, 0, 0)
+    g3 = vg.createLinearGradient(ctx, 0, 0, 1, 1, 0, 0)
+    assert vg.isValid(g1) and vg.isValid(g2)
+    assert not vg.isValid(g3)
+
+
+def test_thin_stroke_alpha_law():
+    """scaledWidth <= fringe: geometry at fringe width, alpha *= width^2
+    (vg.cpp:3416-3420)."""
+    ctx = make_ctx()
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 10, 32)
+    vg.lineTo(ctx, 100, 32)
+    vg.strokePath(ctx, vg.Colors.White, 0.5, vg.StrokeFlags.ButtMiterAA)
+    img = render(ctx)
+    total = img[:, 50, 3].sum()  # integrated coverage across the stroke
+    # geometry width = fringe = 1px, alpha = 0.25 -> integral ~0.25
+    assert abs(total - 0.25) < 0.05
+
+
+def test_fixed_width_stroke_ignores_scale():
+    ctx = make_ctx()
+    vg.transformScale(ctx, 10, 10)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 1, 3.2)
+    vg.lineTo(ctx, 10, 3.2)
+    vg.strokePath(ctx, vg.Colors.White, 4.0,
+                  vg.StrokeFlags.ButtMiterAA | vg.StrokeFlags.FixedWidth)
+    img = render(ctx)
+    col = img[:, 50, 3]
+    assert abs(col.sum() - 4.0) < 0.2  # 4px wide despite 10x scale
+
+
+def test_transform_affects_fill():
+    ctx = make_ctx()
+    vg.transformTranslate(ctx, 30, 0)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 10, 20, 20)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.Convex)
+    img = render(ctx)
+    assert img[20, 40, 3] == 1.0
+    assert img[20, 10, 3] == 0.0
+
+
+def test_image_lifecycle():
+    ctx = make_ctx()
+    data = np.zeros((8, 8, 4), np.uint8)
+    h = vg.createImage(ctx, 8, 8, 0, data)
+    assert vg.isImageValid(ctx, h)
+    assert vg.getImageSize(ctx, h) == (8, 8)
+    assert vg.updateImage(ctx, h, 2, 2, 2, 2, np.full((2, 2, 4), 255, np.uint8))
+    assert vg.destroyImage(ctx, h)
+    assert not vg.isImageValid(ctx, h)
+
+
+def test_indexed_tri_list_colors():
+    ctx = make_ctx()
+    pos = np.array([[10, 10], [60, 10], [10, 60]], np.float32)
+    cols = np.array([vg.Colors.Red, vg.Colors.Green, vg.Colors.Blue], np.uint32)
+    vg.indexedTriList(ctx, pos, None, 3, cols, 3, np.array([0, 1, 2], np.uint16), 3, None)
+    img = render(ctx)
+    # corners approach pure colors
+    assert img[12, 12, 0] > 0.85   # red at (10,10)
+    assert img[12, 55, 1] > 0.75   # green toward (60,10)
+    assert img[55, 12, 2] > 0.75   # blue toward (10,60)
+
+
+def test_even_odd_flag_plumbs_through():
+    ctx = make_ctx()
+    vg.beginPath(ctx)
+    vg.rect(ctx, 8, 8, 48, 48)
+    vg.rect(ctx, 24, 24, 16, 16)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConcaveEvenOddAA)
+    img = render(ctx)
+    assert img[32, 32, 3] == 0.0   # inner rect hollow
+    assert img[12, 12, 3] == 1.0

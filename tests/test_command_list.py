@@ -1,0 +1,145 @@
+"""Command lists: record/replay, local handles, nesting, caching semantics
+(reference: vg.cpp:2323-2966, :4273-4637, :5674-6211)."""
+
+import numpy as np
+
+import vgtpu as vg
+
+
+def make_ctx(w=128, h=64):
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, w, h, 1.0)
+    return ctx
+
+
+def record_square(ctx, flags=0):
+    cl = vg.createCommandList(ctx, flags)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 10, 10, 30, 30)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+    return cl
+
+
+def test_record_and_submit():
+    ctx = make_ctx()
+    cl = record_square(ctx)
+    assert len(ctx.ops) == 0          # nothing drawn during recording
+    vg.submitCommandList(ctx, cl)
+    assert len(ctx.ops) == 1
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 20, 3] == 1.0
+
+
+def test_submit_respects_current_transform():
+    ctx = make_ctx()
+    cl = record_square(ctx)
+    vg.transformTranslate(ctx, 50, 0)
+    vg.submitCommandList(ctx, cl)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 70, 3] == 1.0
+    assert img[20, 20, 3] == 0.0
+
+
+def test_local_gradient_handles():
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, 0)
+    vg.beginCommandList(ctx, cl)
+    g = vg.createLinearGradient(ctx, 0, 0, 64, 0, vg.Colors.Red, vg.Colors.Blue)
+    assert g.flags == 1               # local handle (vg.cpp:2732-2734)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 10, 64, 30)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+    vg.submitCommandList(ctx, cl)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 4, 0] > 0.85       # red end
+    assert img[20, 60, 2] > 0.85      # blue end
+
+
+def test_nested_submit():
+    ctx = make_ctx()
+    inner = record_square(ctx)
+    outer = vg.createCommandList(ctx, 0)
+    vg.beginCommandList(ctx, outer)
+    vg.transformTranslate(ctx, 60, 0)
+    vg.submitCommandList(ctx, inner)
+    vg.endCommandList(ctx)
+    vg.submitCommandList(ctx, outer)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 80, 3] == 1.0
+
+
+def test_cacheable_reuses_geometry_and_invalidates_on_scale():
+    ctx = make_ctx()
+    cl = record_square(ctx, flags=vg.CommandListFlags.Cacheable)
+    clobj = ctx.command_lists[cl.idx]
+
+    vg.submitCommandList(ctx, cl)
+    assert clobj.cache_valid
+    first_slots = dict(clobj.cache_slots)
+
+    # translation: cache reused (vg.cpp:4287-4300 — only avgScale invalidates)
+    vg.transformTranslate(ctx, 50, 0)
+    vg.submitCommandList(ctx, cl)
+    assert clobj.cache_slots is not None and clobj.cache_valid
+    assert set(clobj.cache_slots.keys()) == set(first_slots.keys())
+
+    # scale change: rebuilt
+    vg.transformScale(ctx, 2, 2)
+    vg.submitCommandList(ctx, cl)
+    assert clobj.cache_valid
+    assert clobj.cache_avg_scale != 1.0
+
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 20, 3] == 1.0      # first submit
+    assert img[20, 70, 3] == 1.0      # translated cached submit
+
+
+def test_cached_submit_pixel_identical_to_direct():
+    ctx1 = make_ctx()
+    cl = record_square(ctx1, flags=vg.CommandListFlags.Cacheable)
+    vg.submitCommandList(ctx1, cl)          # builds cache
+    vg.end(ctx1, background=(0, 0, 0, 0))
+    direct = np.asarray(ctx1.frame_image).copy()
+
+    vg.begin(ctx1, 0, 128, 64, 1.0)
+    vg.submitCommandList(ctx1, cl)          # cached replay
+    vg.end(ctx1, background=(0, 0, 0, 0))
+    cached = np.asarray(ctx1.frame_image)
+    np.testing.assert_allclose(direct, cached, atol=1e-5)
+
+
+def test_command_culling():
+    ctx = make_ctx()
+    cl = record_square(ctx, flags=vg.CommandListFlags.AllowCommandCulling)
+    vg.setScissor(ctx, 0, 0, 0, 0)    # empty scissor
+    vg.submitCommandList(ctx, cl)
+    assert len(ctx.ops) == 0          # draw commands culled
+
+
+def test_reset_command_list():
+    ctx = make_ctx()
+    cl = record_square(ctx)
+    vg.resetCommandList(ctx, cl)
+    vg.submitCommandList(ctx, cl)
+    assert len(ctx.ops) == 0
+
+
+def test_depth_limit():
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, 0)
+    vg.beginCommandList(ctx, cl)
+    vg.submitCommandList(ctx, cl)     # self-recursive
+    vg.beginPath(ctx)
+    vg.rect(ctx, 10, 10, 30, 30)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+    vg.submitCommandList(ctx, cl)     # must terminate (depth cap 16)
+    assert len(ctx.ops) == 16

@@ -39,9 +39,18 @@ from vgtpu.core import (  # noqa: F401
 )
 from vgtpu.api.config import ContextConfig  # noqa: F401
 
-try:  # context layer (imports jax); keep core importable standalone
-    from vgtpu.api.context import *  # noqa: F401,F403
-except ImportError:  # pragma: no cover - during early bootstrap only
-    pass
+from vgtpu.api.context import *  # noqa: F401,F403
+from vgtpu.api.context import (  # noqa: F401 (explicit for IDEs)
+    Context,
+    GradientHandle,
+    ImagePatternHandle,
+    ImageHandle,
+    FontHandle,
+    CommandListHandle,
+    TextConfig,
+    TextRow,
+    GlyphPosition,
+    isValid,
+)
 
 __version__ = "0.1.0"

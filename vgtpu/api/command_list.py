@@ -1,0 +1,290 @@
+"""Command lists: retained, replayable scenes + geometry caching.
+
+Reference: vg.cpp:2323-2966 (byte-buffer recording), :4273-4637 (interpreter),
+:5674-6211 (tessellation cache).  Differences by design:
+
+  - recording is a python op list, not a 16-byte-aligned byte stream — the
+    device-facing retained format is the cached geometry itself;
+  - the Cacheable cache stores stroked/flattened EDGES in submit-base-local
+    space, keyed by the base transform's avgScale (the reference caches
+    stroker meshes the same way and with the same invalidation rule,
+    vg.cpp:4287-4300): translation/rotation re-submits re-transform the cached
+    edges, scale changes re-tessellate;
+  - gradient/pattern handles created inside a list are local and re-created at
+    each submit (the reference rebases local handles, vg.cpp:2732-2734,:4423).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vgtpu import core
+from vgtpu.core import CommandListFlags
+
+
+# commands that create/advance path geometry (skippable on cached replay)
+_PATH_CMDS = frozenset(
+    "beginPath moveTo lineTo cubicTo quadraticTo arcTo arc rect roundedRect "
+    "roundedRectVarying circle ellipse polyline closePath".split()
+)
+_DRAW_CMDS = frozenset("fillPath strokePath".split())
+_GRADIENT_CMDS = frozenset(
+    "createLinearGradient createBoxGradient createRadialGradient createImagePattern".split()
+)
+
+
+@dataclass
+class CommandList:
+    handle_idx: int
+    flags: int
+    commands: list = field(default_factory=list)
+    n_local_gradients: int = 0
+    n_local_patterns: int = 0
+    # geometry cache (Cacheable)
+    cache_valid: bool = False
+    cache_avg_scale: float = -1.0
+    cache_inv_base: np.ndarray | None = None
+    cache_slots: dict[int, list] = field(default_factory=dict)  # cmd idx -> [(edges_local, closed_meta)]
+
+    def _rec(self, name, *args, **kwargs):
+        self.commands.append((name, args, kwargs))
+        self.cache_valid = False
+
+    # -- recording surface (mirrors Context's mutator API) ------------------
+    def __getattr__(self, name):
+        # only called for missing attributes: record-through for mutators
+        if name.startswith("_"):
+            raise AttributeError(name)
+
+        def rec(*args, **kwargs):
+            self._rec(name, *args, **kwargs)
+
+        return rec
+
+    def createLinearGradient(self, *args):
+        from vgtpu.api.context import GradientHandle
+
+        self._rec("createLinearGradient", *args)
+        self.n_local_gradients += 1
+        return GradientHandle(idx=self.n_local_gradients - 1, flags=1)  # local
+
+    def createBoxGradient(self, *args):
+        from vgtpu.api.context import GradientHandle
+
+        self._rec("createBoxGradient", *args)
+        self.n_local_gradients += 1
+        return GradientHandle(idx=self.n_local_gradients - 1, flags=1)
+
+    def createRadialGradient(self, *args):
+        from vgtpu.api.context import GradientHandle
+
+        self._rec("createRadialGradient", *args)
+        self.n_local_gradients += 1
+        return GradientHandle(idx=self.n_local_gradients - 1, flags=1)
+
+    def createImagePattern(self, *args):
+        from vgtpu.api.context import ImagePatternHandle
+
+        self._rec("createImagePattern", *args)
+        self.n_local_patterns += 1
+        return ImagePatternHandle(idx=self.n_local_patterns - 1, flags=1)
+
+    def reset(self):
+        self.commands.clear()
+        self.n_local_gradients = 0
+        self.n_local_patterns = 0
+        self.cache_valid = False
+        self.cache_slots.clear()
+
+
+# ---------------------------------------------------------------------------
+# free functions used by vgtpu.api.context
+# ---------------------------------------------------------------------------
+
+def cl_create(ctx, flags: int):
+    from vgtpu.api.context import CommandListHandle
+
+    if len(ctx.command_lists) >= ctx.cfg.max_command_lists:
+        return CommandListHandle()
+    idx = ctx._next_cl_idx
+    ctx._next_cl_idx += 1
+    ctx.command_lists[idx] = CommandList(idx, flags)
+    return CommandListHandle(idx=idx)
+
+
+def cl_destroy(ctx, handle):
+    ctx.command_lists.pop(handle.idx, None)
+
+
+def cl_reset(ctx, handle):
+    cl = ctx.command_lists.get(handle.idx)
+    if cl is not None:
+        cl.reset()
+
+
+def cl_begin_recording(ctx, handle):
+    cl = ctx.command_lists.get(handle.idx)
+    if cl is None:
+        raise ValueError("invalid command list")
+    ctx._active_cl = cl
+
+
+def cl_end_recording(ctx):
+    ctx._active_cl = None
+
+
+def cl_submit(ctx, handle):
+    """ctxSubmitCommandList (vg.cpp:4273-4637) + clCacheRender (vg.cpp:5845)."""
+    from vgtpu.api.context import GradientHandle, ImagePatternHandle
+
+    cl = ctx.command_lists.get(handle.idx)
+    if cl is None:
+        return
+    if ctx._submit_depth >= ctx.cfg.max_command_list_depth:
+        return
+    ctx._submit_depth += 1
+    try:
+        cacheable = ctx.cfg.enable_shape_caching and (cl.flags & CommandListFlags.Cacheable)
+        culling = bool(cl.flags & CommandListFlags.AllowCommandCulling)
+        preserve = ctx.cfg.command_list_preserve_state
+        if preserve:
+            ctx.pushState()
+
+        base_transform = ctx.state.transform.copy()
+        base_avg_scale = ctx.state.avg_scale
+
+        use_cache = (
+            cacheable
+            and cl.cache_valid
+            and abs(cl.cache_avg_scale - base_avg_scale) < 1e-6
+        )
+        build_cache = cacheable and not use_cache
+        if build_cache:
+            cl.cache_slots.clear()
+
+        # rebase matrix for cached replay: new_base . old_base^-1 is folded by
+        # storing edges in base-local space and applying the current base.
+        local_gradients: list[GradientHandle] = []
+        local_patterns: list[ImagePatternHandle] = []
+
+        def xlat(h):
+            if isinstance(h, GradientHandle) and h.flags == 1:
+                return local_gradients[h.idx]
+            if isinstance(h, ImagePatternHandle) and h.flags == 1:
+                return local_patterns[h.idx]
+            return h
+
+        inv_base = core.xform_invert(base_transform)
+
+        for ci, (name, args, kwargs) in enumerate(cl.commands):
+            if name in _GRADIENT_CMDS:
+                h = getattr(ctx, name)(*args, **kwargs)
+                if name == "createImagePattern":
+                    local_patterns.append(h)
+                else:
+                    local_gradients.append(h)
+                continue
+
+            if use_cache and name in _PATH_CMDS:
+                continue  # geometry comes from the cache
+
+            if name in _DRAW_CMDS:
+                s = ctx.state.scissor
+                if culling and (s[2] < 1.0 or s[3] < 1.0):
+                    continue
+                args = tuple(xlat(a) for a in args)
+                if use_cache:
+                    _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform)
+                    continue
+                n_ops_before = len(ctx.ops)
+                getattr(ctx, name)(*args, **kwargs)
+                if build_cache:
+                    slot = []
+                    for op in ctx.ops[n_ops_before:]:
+                        if op.edges is not None and len(op.edges):
+                            pts0 = core.xform_points(inv_base, np.ascontiguousarray(op.edges[:, 0:2]))
+                            pts1 = core.xform_points(inv_base, np.ascontiguousarray(op.edges[:, 2:4]))
+                            slot.append((np.concatenate([pts0, pts1], axis=1), op.kind))
+                        else:
+                            slot.append(None)
+                    cl.cache_slots[ci] = slot
+                continue
+
+            if name == "submitCommandList":
+                cl_submit(ctx, args[0])
+                continue
+
+            # state / path / clip / text commands replay directly
+            args = tuple(xlat(a) for a in args)
+            getattr(ctx, name)(*args, **kwargs)
+
+        if build_cache:
+            cl.cache_valid = True
+            cl.cache_avg_scale = base_avg_scale
+        if preserve:
+            ctx.popState()
+            ctx.resetClip()
+    finally:
+        ctx._submit_depth -= 1
+
+
+def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
+    """Re-emit cached geometry under the current base transform, resolving the
+    paint with current state (submitCachedMesh, vg.cpp:6137-6211)."""
+    from vgtpu.raster.binning import RasterOp
+
+    slot = cl.cache_slots.get(ci)
+    if slot is None:
+        # never built (e.g. draw was culled during caching) — fall back
+        getattr(ctx, name)(*args, **kwargs)
+        return
+
+    # resolve paint exactly like the non-cached path would
+    n_before = len(ctx.ops)
+    # re-run with empty geometry? Instead reuse the op-building logic by
+    # emitting with cached edges: build paint via the public helpers.
+    if name == "fillPath":
+        paint_or_color, flags = args[0], args[1]
+        resolved = ctx._resolve_paint(paint_or_color, kwargs.get("color_modulate"))
+        if resolved is None:
+            return
+        pk, paint, img = resolved
+        from vgtpu.core import fill_flags_aa, fill_flags_rule
+
+        aa = (not ctx.cfg.force_aa_off) and fill_flags_aa(flags)
+        rule = fill_flags_rule(flags)
+    else:
+        paint_or_color, width, flags = args[0], args[1], args[2]
+        resolved = ctx._resolve_paint(paint_or_color, kwargs.get("color_modulate"))
+        if resolved is None:
+            return
+        pk, paint, img = resolved
+        from vgtpu.core import FillRule, stroke_flags_aa
+
+        aa = (not ctx.cfg.force_aa_off) and stroke_flags_aa(flags)
+        rule = FillRule.NonZero
+
+    sciss = ctx._scissor_rect()
+    for item in slot:
+        if item is None:
+            continue
+        edges_local, op_kind = item
+        if not len(edges_local):
+            continue
+        p0 = core.xform_points(base_transform, np.ascontiguousarray(edges_local[:, 0:2]))
+        p1 = core.xform_points(base_transform, np.ascontiguousarray(edges_local[:, 2:4]))
+        ctx._emit(
+            RasterOp(
+                kind=op_kind,
+                edges=np.concatenate([p0, p1], axis=1).astype(np.float32),
+                fill_rule=rule,
+                aa=aa,
+                paint_kind=pk,
+                paint=paint,
+                scissor=sciss,
+                image_id=(img.idx if img is not None else -1),
+            )
+        )
+    del n_before

@@ -1,0 +1,1084 @@
+"""Context + public API: the vg:: namespace of the reference
+(include/vg/vg.h:399-607) as free functions over a Context.
+
+The reference dispatches through a function-pointer vtable that command-list
+recording swaps out (vg.cpp:292-338, 599-645); here the same seam is a
+`_sink` attribute: direct mode appends RasterOps to the frame, recording mode
+appends serialized commands to the active CommandList (vgtpu/api/command_list.py).
+
+Frame model (reference: begin/end/frame, vg.cpp:1034-1328): begin() resets the
+frame op list; draw calls append ops; end() runs coarse binning + the jitted
+device pipeline and stores the framebuffer.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from vgtpu import core
+from vgtpu.api.config import ContextConfig
+from vgtpu.core import (
+    ClipRule,
+    Colors,
+    FillRule,
+    LineCap,
+    LineJoin,
+    PathType,
+    TransformOrder,
+    Winding,
+    color_to_rgba_f32,
+    colorGetAlpha,
+    colorSetAlpha,
+    fill_flags_aa,
+    fill_flags_path_type,
+    fill_flags_rule,
+    stroke_flags_aa,
+    stroke_flags_line_cap,
+    stroke_flags_line_join,
+)
+from vgtpu.geometry.path import PathBuilder
+from vgtpu.geometry.stroker import contours_to_edges, polyline_to_fill_edges, stroke_outline
+from vgtpu.raster.binning import (
+    K_CLIP_ADD,
+    K_CLIP_COMMIT,
+    K_CLIP_RESET,
+    P_GRADIENT,
+    P_IMAGE,
+    P_SOLID,
+    P_TRI,
+    RasterOp,
+    bin_frame,
+    make_gradient_paint,
+    make_solid_paint,
+)
+from vgtpu.raster.frame import execute_plan, image_to_u8, plan_to_device
+
+
+# ---------------------------------------------------------------------------
+# handles (16-bit idx semantics of VG_HANDLE, vg.h:75-78)
+# ---------------------------------------------------------------------------
+
+INVALID_IDX = 0xFFFF
+
+
+@dataclass(frozen=True)
+class GradientHandle:
+    idx: int = INVALID_IDX
+    flags: int = 0
+
+
+@dataclass(frozen=True)
+class ImagePatternHandle:
+    idx: int = INVALID_IDX
+    flags: int = 0
+
+
+@dataclass(frozen=True)
+class ImageHandle:
+    idx: int = INVALID_IDX
+
+
+@dataclass(frozen=True)
+class FontHandle:
+    idx: int = INVALID_IDX
+
+
+@dataclass(frozen=True)
+class CommandListHandle:
+    idx: int = INVALID_IDX
+
+
+def isValid(handle) -> bool:
+    return handle is not None and handle.idx != INVALID_IDX
+
+
+@dataclass
+class TextConfig:
+    font: FontHandle
+    font_size: float
+    alignment: int
+    color: int
+
+
+@dataclass
+class TextRow:
+    start: int = 0      # byte offsets into the input string (reference uses char*)
+    end: int = 0
+    next: int = 0
+    width: float = 0.0
+    minx: float = 0.0
+    maxx: float = 0.0
+
+
+@dataclass
+class GlyphPosition:
+    index: int = 0      # char offset of the glyph in the input string
+    x: float = 0.0
+    minx: float = 0.0
+    maxx: float = 0.0
+
+
+@dataclass
+class Stats:
+    cmd_list_memory_total: int = 0
+    cmd_list_memory_used: int = 0
+
+
+# ---------------------------------------------------------------------------
+# internal state (reference State struct, vg.cpp:62-69)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _State:
+    transform: np.ndarray = field(default_factory=core.xform_identity)
+    scissor: np.ndarray = field(default_factory=lambda: np.zeros(4))  # x,y,w,h
+    global_alpha: float = 1.0
+    avg_scale: float = 1.0
+    font_scale: float = 1.0
+
+    def copy(self) -> "_State":
+        return _State(
+            self.transform.copy(), self.scissor.copy(), self.global_alpha,
+            self.avg_scale, self.font_scale,
+        )
+
+    def update(self) -> None:
+        """updateState (vg.cpp:4926-4944): avgScale + quantized font scale."""
+        m = self.transform
+        sx = math.sqrt(float(m[0]) ** 2 + float(m[2]) ** 2)
+        sy = math.sqrt(float(m[1]) ** 2 + float(m[3]) ** 2)
+        self.avg_scale = (sx + sy) * 0.5
+        quant = 0.1
+        self.font_scale = math.floor((self.avg_scale / quant) + 0.5) * quant
+
+
+@dataclass
+class _Image:
+    data: np.ndarray            # (h,w,4) uint8
+    flags: int
+    generation: int = 0
+
+
+class Context:
+    def __init__(self, cfg: ContextConfig | None = None) -> None:
+        self.cfg = cfg or ContextConfig()
+        self.view_id = 0
+        self.canvas_width = 0
+        self.canvas_height = 0
+        self.dpr = 1.0
+        self.tess_tol = self.cfg.tess_tol
+        self.fringe = self.cfg.fringe
+
+        self.state_stack: list[_State] = [_State()]
+        self.path = PathBuilder()
+        self._path_transformed: np.ndarray | None = None
+
+        self.gradients: list[np.ndarray] = []
+        self.image_patterns: list[tuple[np.ndarray, ImageHandle]] = []
+        self.images: dict[int, _Image] = {}
+        self._next_image_idx = 0
+
+        self.ops: list[RasterOp] = []
+        self._recording_clip = False
+        self._clip_shapes_recorded = 0
+        self._clip_rule = ClipRule.In
+
+        self.frame_image = None      # premultiplied (H,W,4) device array after end()
+        self.last_plan = None
+        self.last_device_arrays = None
+        self.background = (1.0, 1.0, 1.0, 1.0)
+
+        # command lists
+        self.command_lists: dict[int, object] = {}
+        self._next_cl_idx = 0
+        self._active_cl = None       # beginCommandList/endCommandList redirection
+        self._submit_depth = 0
+
+        # text
+        self.fonts: list[object] = []
+        self._font_by_name: dict[str, int] = {}
+        self.font_system = None      # lazily created FontSystem
+        self._frame_color_tiles: list[np.ndarray] = []
+
+        self.stats = Stats()
+
+    # -- state helpers ------------------------------------------------------
+    @property
+    def state(self) -> _State:
+        return self.state_stack[-1]
+
+    def _sink(self):
+        """Direct-or-recording dispatch (the reference's vtable swap)."""
+        return self._active_cl
+
+    # -- frame lifecycle ----------------------------------------------------
+    def begin(self, view_id: int, w: int, h: int, dpr: float = 1.0) -> None:
+        self.view_id = view_id
+        self.canvas_width = int(w)
+        self.canvas_height = int(h)
+        self.dpr = dpr
+        self.tess_tol = self.cfg.tess_tol / dpr
+        self.fringe = self.cfg.fringe / dpr
+        self.state_stack = [_State()]
+        self.resetScissor()
+        self.transformIdentity()
+        self.ops = []
+        self.gradients = []
+        self.image_patterns = []
+        self._recording_clip = False
+        self._submit_depth = 0
+        self._active_cl = None
+        self._frame_color_tiles = []
+
+    def end(self, background=None):
+        """Bin + execute the frame on device; returns premultiplied (H,W,4)."""
+        if background is not None:
+            self.background = tuple(background)
+        plan = bin_frame(
+            self.ops,
+            self.canvas_width,
+            self.canvas_height,
+            tile_h=self.cfg.tile_h,
+            tile_w=self.cfg.tile_w,
+            chunk=self.cfg.edges_per_chunk,
+        )
+        self._fill_textures(plan)
+        self.last_plan = plan
+        self.last_device_arrays = plan_to_device(plan)
+        self.frame_image = execute_plan(
+            plan, background=self.background, device_arrays=self.last_device_arrays
+        )
+        return self.frame_image
+
+    def _fill_textures(self, plan) -> None:
+        from vgtpu.raster.sampling import fill_color_tiles
+
+        image_map = {idx: (img.data, img.flags) for idx, img in self.images.items()}
+        if self.font_system is not None:
+            image_map.update(self.font_system.atlas_image_map())
+        fill_color_tiles(plan, self.ops, image_map)
+
+    def frame(self) -> None:
+        """Per-app-frame housekeeping (reference: font-atlas GC, vg.cpp:1290)."""
+        if self.font_system is not None:
+            self.font_system.end_frame()
+
+    def readback_u8(self) -> np.ndarray:
+        return image_to_u8(self.frame_image)
+
+    # -- path building ------------------------------------------------------
+    def beginPath(self) -> None:
+        self.path.reset(self.state.avg_scale, self.tess_tol)
+        self._path_transformed = None
+
+    def moveTo(self, x, y):
+        self.path.move_to(x, y)
+        self._path_transformed = None
+
+    def lineTo(self, x, y):
+        self.path.line_to(x, y)
+        self._path_transformed = None
+
+    def cubicTo(self, c1x, c1y, c2x, c2y, x, y):
+        self.path.cubic_to(c1x, c1y, c2x, c2y, x, y)
+        self._path_transformed = None
+
+    def quadraticTo(self, cx, cy, x, y):
+        self.path.quadratic_to(cx, cy, x, y)
+        self._path_transformed = None
+
+    def arcTo(self, x1, y1, x2, y2, r):
+        self.path.arc_to(x1, y1, x2, y2, r)
+        self._path_transformed = None
+
+    def arc(self, cx, cy, r, a0, a1, direction):
+        self.path.arc(cx, cy, r, a0, a1, direction)
+        self._path_transformed = None
+
+    def rect(self, x, y, w, h):
+        self.path.rect(x, y, w, h)
+        self._path_transformed = None
+
+    def roundedRect(self, x, y, w, h, r):
+        self.path.rounded_rect(x, y, w, h, r)
+        self._path_transformed = None
+
+    def roundedRectVarying(self, x, y, w, h, rtl, rtr, rbr, rbl):
+        self.path.rounded_rect_varying(x, y, w, h, rtl, rtr, rbr, rbl)
+        self._path_transformed = None
+
+    def circle(self, cx, cy, r):
+        self.path.circle(cx, cy, r)
+        self._path_transformed = None
+
+    def ellipse(self, cx, cy, rx, ry):
+        self.path.ellipse(cx, cy, rx, ry)
+        self._path_transformed = None
+
+    def polyline(self, coords):
+        self.path.polyline(coords)
+        self._path_transformed = None
+
+    def closePath(self):
+        self.path.close()
+        self._path_transformed = None
+
+    def _transformed_path(self):
+        """transformPath (vg.cpp:4957-4975): lazy, cached per path edit."""
+        if self._path_transformed is None:
+            verts, subs = self.path.bake()
+            self._path_transformed = (core.xform_points(self.state.transform, verts), subs)
+        return self._path_transformed
+
+    # -- paints -------------------------------------------------------------
+    def _resolve_paint(self, paint_or_color, color_modulate=None):
+        """Returns (paint_kind, paint_array, image_handle, alpha_of_solid)."""
+        ga = self.state.global_alpha
+        if isinstance(paint_or_color, GradientHandle):
+            if not isValid(paint_or_color):
+                return None
+            p = self.gradients[paint_or_color.idx].copy()
+            # global alpha modulates the gradient (vertex alpha in the shader)
+            p[13] *= ga
+            p[17] *= ga
+            return (P_GRADIENT, p, None)
+        if isinstance(paint_or_color, ImagePatternHandle):
+            if not isValid(paint_or_color):
+                return None
+            mat, img = self.image_patterns[paint_or_color.idx]
+            rgba = color_to_rgba_f32(color_modulate if color_modulate is not None else Colors.White)
+            rgba[3] *= ga
+            p = np.zeros(18, np.float32)
+            p[0:6] = mat
+            p[10:14] = rgba
+            return (P_IMAGE, p, img)
+        # plain color
+        col = int(paint_or_color)
+        a = int(ga * colorGetAlpha(col))
+        col = colorSetAlpha(col, a)
+        if colorGetAlpha(col) == 0:
+            return None
+        return (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
+
+    def _scissor_rect(self):
+        s = self.state.scissor
+        if s[2] <= 0 or s[3] <= 0:
+            return (0.0, 0.0, 0.0, 0.0)
+        return (float(s[0]), float(s[1]), float(s[0] + s[2]), float(s[1] + s[3]))
+
+    def _emit(self, op: RasterOp) -> None:
+        self.ops.append(op)
+
+    # -- fills / strokes ----------------------------------------------------
+    def fillPath(self, paint_or_color, flags: int, color_modulate=None) -> None:
+        if self._recording_clip:
+            resolved = (P_SOLID, make_solid_paint(np.array([0, 0, 0, 1], np.float32)), None)
+        else:
+            resolved = self._resolve_paint(paint_or_color, color_modulate)
+        if resolved is None:
+            return
+        pk, paint, img = resolved
+        aa = (not self.cfg.force_aa_off) and (not self._recording_clip) and fill_flags_aa(flags)
+        rule = fill_flags_rule(flags)
+        path_type = fill_flags_path_type(flags)
+
+        verts, subs = self._transformed_path()
+        if len(subs) == 0:
+            return
+        sciss = self._scissor_rect()
+        kind = K_CLIP_ADD if self._recording_clip else 0
+
+        def mk(edges):
+            return RasterOp(
+                kind=kind, edges=edges, fill_rule=rule, aa=aa,
+                paint_kind=pk, paint=paint, scissor=sciss,
+                image_id=(img.idx if img is not None else -1),
+            )
+
+        if path_type == PathType.Convex:
+            # per-subpath independent fills (vg.cpp:3092-3131)
+            for first, count, _closed in subs:
+                if count < 3:
+                    continue
+                self._emit(mk(polyline_to_fill_edges(verts[first : first + count])))
+                if self._recording_clip:
+                    self._clip_shapes_recorded += 1
+        else:
+            # all subpaths as one winding body (libtess2 path, holes included)
+            parts = [
+                polyline_to_fill_edges(verts[f : f + c]) for f, c, _cl in subs if c >= 3
+            ]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return
+            self._emit(mk(np.concatenate(parts, axis=0)))
+            if self._recording_clip:
+                self._clip_shapes_recorded += 1
+
+    def strokePath(self, paint_or_color, width: float, flags: int, color_modulate=None) -> None:
+        st = self.state
+        scaled_width = (
+            width
+            if (flags & core.StrokeFlags.FixedWidth)
+            else float(np.clip(width * st.avg_scale, 0.0, 200.0))
+        )
+        is_thin = scaled_width <= self.fringe
+        # thin-stroke alpha law (vg.cpp:3416-3420)
+        alpha_scale = 1.0 if not is_thin else float(np.clip(scaled_width, 0.0, self.fringe)) ** 2
+        stroke_width = self.fringe if is_thin else scaled_width
+
+        if self._recording_clip:
+            resolved = (P_SOLID, make_solid_paint(np.array([0, 0, 0, 1], np.float32)), None)
+        else:
+            if isinstance(paint_or_color, (GradientHandle, ImagePatternHandle)):
+                resolved = self._resolve_paint(paint_or_color, color_modulate)
+                if resolved is not None and alpha_scale < 1.0:
+                    pk_, p_, img_ = resolved
+                    p_ = p_.copy()
+                    p_[13] *= alpha_scale
+                    p_[17] *= alpha_scale
+                    resolved = (pk_, p_, img_)
+            else:
+                col = int(paint_or_color)
+                a = int(alpha_scale * self.state.global_alpha * colorGetAlpha(col))
+                col = colorSetAlpha(col, a)
+                if colorGetAlpha(col) == 0:
+                    return
+                resolved = (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
+        if resolved is None:
+            return
+        pk, paint, img = resolved
+
+        aa = (not self.cfg.force_aa_off) and (not self._recording_clip) and stroke_flags_aa(flags)
+        cap = stroke_flags_line_cap(flags)
+        join = stroke_flags_line_join(flags)
+
+        verts, subs = self._transformed_path()
+        sciss = self._scissor_rect()
+        kind = K_CLIP_ADD if self._recording_clip else 0
+        for first, count, closed in subs:
+            if count < 2:
+                continue
+            contours = stroke_outline(
+                verts[first : first + count], bool(closed), stroke_width, cap, join,
+                scale=st.avg_scale, tol=self.tess_tol,
+            )
+            edges = contours_to_edges(contours)
+            if not len(edges):
+                continue
+            self._emit(
+                RasterOp(
+                    kind=kind, edges=edges, fill_rule=FillRule.NonZero, aa=aa,
+                    paint_kind=pk, paint=paint, scissor=sciss,
+                    image_id=(img.idx if img is not None else -1),
+                )
+            )
+            if self._recording_clip:
+                self._clip_shapes_recorded += 1
+
+    # -- clip ---------------------------------------------------------------
+    def beginClip(self, rule: int) -> None:
+        self._recording_clip = True
+        self._clip_rule = rule
+        self._clip_shapes_recorded = 0
+
+    def endClip(self) -> None:
+        self._recording_clip = False
+        if self._clip_shapes_recorded == 0:
+            self._emit(RasterOp(kind=K_CLIP_RESET))
+        else:
+            # ClipRule.In -> NonZero-style commit; Out -> inverted
+            self._emit(
+                RasterOp(
+                    kind=K_CLIP_COMMIT,
+                    fill_rule=0 if self._clip_rule == ClipRule.In else 1,
+                )
+            )
+
+    def resetClip(self) -> None:
+        self._emit(RasterOp(kind=K_CLIP_RESET))
+
+    # -- gradients / patterns (math from vg.cpp:3712-3931) ------------------
+    def createLinearGradient(self, sx, sy, ex, ey, icol, ocol) -> GradientHandle:
+        if len(self.gradients) >= self.cfg.max_gradients:
+            return GradientHandle()
+        large = 1e5
+        dx, dy = ex - sx, ey - sy
+        d = math.sqrt(dx * dx + dy * dy)
+        if d > 1e-4:
+            dx /= d
+            dy /= d
+        else:
+            dx, dy = 0.0, 1.0
+        gm = np.array([dy, -dx, dx, dy, sx - dx * large, sy - dy * large])
+        params = np.array([large, large + d * 0.5, 0.0, max(1.0, d)], np.float32)
+        return self._store_gradient(gm, params, icol, ocol)
+
+    def createBoxGradient(self, x, y, w, h, r, f, icol, ocol) -> GradientHandle:
+        if len(self.gradients) >= self.cfg.max_gradients:
+            return GradientHandle()
+        gm = np.array([1.0, 0.0, 0.0, 1.0, x + w * 0.5, y + h * 0.5])
+        params = np.array([w * 0.5, h * 0.5, r, max(1.0, f)], np.float32)
+        return self._store_gradient(gm, params, icol, ocol)
+
+    def createRadialGradient(self, cx, cy, inr, outr, icol, ocol) -> GradientHandle:
+        if len(self.gradients) >= self.cfg.max_gradients:
+            return GradientHandle()
+        gm = np.array([1.0, 0.0, 0.0, 1.0, cx, cy])
+        r = (inr + outr) * 0.5
+        f = outr - inr
+        params = np.array([r, r, r, max(1.0, f)], np.float32)
+        return self._store_gradient(gm, params, icol, ocol)
+
+    def _store_gradient(self, grad_mtx, params, icol, ocol) -> GradientHandle:
+        patt = core.xform_multiply(self.state.transform, grad_mtx)
+        inv = core.xform_invert(patt)
+        paint = make_gradient_paint(
+            inv.astype(np.float32), params,
+            color_to_rgba_f32(icol), color_to_rgba_f32(ocol),
+        )
+        self.gradients.append(paint)
+        return GradientHandle(idx=len(self.gradients) - 1)
+
+    def createImagePattern(self, cx, cy, w, h, angle, image: ImageHandle) -> ImagePatternHandle:
+        if not isValid(image) or len(self.image_patterns) >= self.cfg.max_image_patterns:
+            return ImagePatternHandle()
+        cs, sn = math.cos(angle), math.sin(angle)
+        mtx = np.array([cs, sn, -sn, cs, cx, cy])
+        patt = core.xform_multiply(self.state.transform, mtx)
+        inv = core.xform_invert(patt)
+        # normalize UVs by pattern size (vg.cpp:3921-3926)
+        inv = inv / np.array([w, h, w, h, w, h], np.float64)
+        self.image_patterns.append((inv.astype(np.float32), image))
+        return ImagePatternHandle(idx=len(self.image_patterns) - 1)
+
+    # -- state --------------------------------------------------------------
+    def setGlobalAlpha(self, alpha: float) -> None:
+        self.state.global_alpha = float(alpha)
+
+    def pushState(self) -> None:
+        if len(self.state_stack) >= self.cfg.max_state_stack_size:
+            raise RuntimeError("state stack overflow")
+        self.state_stack.append(self.state.copy())
+
+    def popState(self) -> None:
+        if len(self.state_stack) <= 1:
+            raise RuntimeError("state stack underflow")
+        self.state_stack.pop()
+
+    def resetScissor(self) -> None:
+        self.state.scissor[:] = (0.0, 0.0, float(self.canvas_width), float(self.canvas_height))
+
+    def setScissor(self, x, y, w, h) -> None:
+        """ctxSetScissor (transform pos + vec, clamp to canvas)."""
+        m = self.state.transform
+        px, py = core.xform_point(m, x, y)
+        sx = m[0] * w + m[2] * h
+        sy = m[1] * w + m[3] * h
+        cw, chh = float(self.canvas_width), float(self.canvas_height)
+        minx = float(np.clip(px, 0.0, cw))
+        miny = float(np.clip(py, 0.0, chh))
+        maxx = float(np.clip(px + sx, 0.0, cw))
+        maxy = float(np.clip(py + sy, 0.0, chh))
+        self.state.scissor[:] = (minx, miny, maxx - minx, maxy - miny)
+
+    def intersectScissor(self, x, y, w, h) -> bool:
+        m = self.state.transform
+        px, py = core.xform_point(m, x, y)
+        sx = m[0] * w + m[2] * h
+        sy = m[1] * w + m[3] * h
+        s = self.state.scissor
+        minx = max(px, s[0])
+        miny = max(py, s[1])
+        maxx = min(px + sx, s[0] + s[2])
+        maxy = min(py + sy, s[1] + s[3])
+        nw = max(0.0, maxx - minx)
+        nh = max(0.0, maxy - miny)
+        self.state.scissor[:] = (minx, miny, nw, nh)
+        return nw >= 1.0 and nh >= 1.0
+
+    def transformIdentity(self) -> None:
+        self.state.transform = core.xform_identity()
+        self.state.update()
+
+    def transformScale(self, x, y) -> None:
+        self.state.transform = core.xform_multiply(self.state.transform, core.xform_scale(x, y))
+        self.state.update()
+
+    def transformTranslate(self, x, y) -> None:
+        self.state.transform = core.xform_multiply(self.state.transform, core.xform_translate(x, y))
+        self.state.update()
+
+    def transformRotate(self, ang) -> None:
+        self.state.transform = core.xform_multiply(self.state.transform, core.xform_rotate(ang))
+        self.state.update()
+
+    def transformMult(self, mtx, order: int) -> None:
+        mtx = np.asarray(mtx, np.float64)
+        if order == TransformOrder.Pre:
+            self.state.transform = core.xform_multiply(self.state.transform, mtx)
+        else:
+            self.state.transform = core.xform_multiply(mtx, self.state.transform)
+        self.state.update()
+
+    def setViewBox(self, x, y, w, h) -> None:
+        """ctxSetViewBox: scale canvas/viewbox then translate by -x,-y."""
+        m = self.state.transform
+        sx = self.canvas_width / w
+        sy = self.canvas_height / h
+        m[0] *= sx
+        m[1] *= sx
+        m[2] *= sy
+        m[3] *= sy
+        m[4] -= m[0] * x + m[2] * y
+        m[5] -= m[1] * x + m[3] * y
+        self.state.update()
+
+    def getTransform(self):
+        return self.state.transform.copy()
+
+    def getScissor(self):
+        return self.state.scissor.copy()
+
+    # -- images -------------------------------------------------------------
+    def createImage(self, w: int, h: int, flags: int, data) -> ImageHandle:
+        if len(self.images) >= self.cfg.max_images:
+            return ImageHandle()
+        idx = self._next_image_idx
+        self._next_image_idx += 1
+        arr = np.zeros((h, w, 4), np.uint8)
+        if data is not None:
+            arr[:] = np.asarray(data, np.uint8).reshape(h, w, 4)
+        self.images[idx] = _Image(arr, flags)
+        return ImageHandle(idx=idx)
+
+    def updateImage(self, handle: ImageHandle, x, y, w, h, data) -> bool:
+        if not self.isImageValid(handle):
+            return False
+        img = self.images[handle.idx]
+        img.data[y : y + h, x : x + w] = np.asarray(data, np.uint8).reshape(h, w, 4)
+        img.generation += 1
+        return True
+
+    def destroyImage(self, handle: ImageHandle) -> bool:
+        if not self.isImageValid(handle):
+            return False
+        del self.images[handle.idx]
+        return True
+
+    def isImageValid(self, handle: ImageHandle) -> bool:
+        return isValid(handle) and handle.idx in self.images
+
+    def getImageSize(self, handle: ImageHandle):
+        if not self.isImageValid(handle):
+            return None
+        d = self.images[handle.idx].data
+        return d.shape[1], d.shape[0]
+
+    # -- user triangle lists (ctxIndexedTriList, vg.cpp:4129-4175) ----------
+    def indexedTriList(self, pos, uv, colors, indices, img: ImageHandle | None) -> None:
+        """pos: (N,2) f32; uv: (N,2) normalized or None; colors: scalar Color,
+        (1,) or (N,) of Colors; indices: (K,) triangle list.
+
+        Per-vertex colors become P_TRI entries (linear barycentric
+        interpolation as linear-in-(x,y) coefficients); textured tri-lists
+        become P_IMAGE entries whose paint matrix is the triangle's exact
+        screen->uv affine map.  Solid single-color lists collapse to one
+        winding op.
+        """
+        pos = np.asarray(pos, np.float32).reshape(-1, 2)
+        spos = core.xform_points(self.state.transform, pos)
+        idx = np.asarray(indices, np.int64).reshape(-1, 3)
+        ga = self.state.global_alpha
+        sciss = self._scissor_rect()
+
+        colors = np.atleast_1d(np.asarray(colors, np.uint32))
+        col_f = np.stack([color_to_rgba_f32(int(c)) for c in colors])
+        col_f[:, 3] *= ga
+
+        tri = spos[idx]                                   # (K,3,2)
+        ones = np.ones((len(idx), 3, 1), np.float64)
+        A = np.concatenate([tri.astype(np.float64), ones], axis=2)  # (K,3,3)
+        det = np.linalg.det(A)
+        good = np.abs(det) > 1e-9
+
+        if uv is None and len(col_f) == 1:
+            # one solid op; union coverage over all triangles
+            edges = np.concatenate(
+                [np.concatenate([tri, np.roll(tri, -1, axis=1)], axis=2).reshape(-1, 4)]
+            ).astype(np.float32)
+            self._emit(
+                RasterOp(
+                    edges=edges, fill_rule=FillRule.NonZero, aa=False,
+                    paint_kind=P_SOLID, paint=make_solid_paint(col_f[0]),
+                    scissor=sciss,
+                )
+            )
+            return
+
+        for k in range(len(idx)):
+            if not good[k]:
+                continue
+            t = tri[k]
+            edges = np.concatenate([t, np.roll(t, -1, axis=0)], axis=1).astype(np.float32)
+            if uv is not None:
+                uvk = np.asarray(uv, np.float32).reshape(-1, 2)[idx[k]]   # (3,2)
+                coef = np.linalg.solve(A[k], uvk.astype(np.float64))      # (3,2): u=ax+by+c
+                p = np.zeros(18, np.float32)
+                p[0] = coef[0, 0]
+                p[1] = coef[0, 1]
+                p[2] = coef[1, 0]
+                p[3] = coef[1, 1]
+                p[4] = coef[2, 0]
+                p[5] = coef[2, 1]
+                mod = col_f[0] if len(col_f) == 1 else col_f[idx[k][0]]
+                p[10:14] = mod
+                self._emit(
+                    RasterOp(
+                        edges=edges, fill_rule=FillRule.NonZero, aa=False,
+                        paint_kind=P_IMAGE, paint=p, scissor=sciss,
+                        image_id=(img.idx if img is not None and isValid(img) else -1),
+                    )
+                )
+            else:
+                ck = col_f[idx[k]] if len(col_f) > 1 else np.repeat(col_f, 3, axis=0)
+                coef = np.linalg.solve(A[k], ck.astype(np.float64))       # (3,4)
+                p = np.zeros(18, np.float32)
+                p[0:4] = coef[0]
+                p[4:8] = coef[1]
+                p[8:12] = coef[2]
+                self._emit(
+                    RasterOp(
+                        edges=edges, fill_rule=FillRule.NonZero, aa=False,
+                        paint_kind=P_TRI, paint=p, scissor=sciss,
+                    )
+                )
+
+    # -- misc ---------------------------------------------------------------
+    def getStats(self) -> Stats:
+        return self.stats
+
+
+# ---------------------------------------------------------------------------
+# free-function API (vg.h parity)
+# ---------------------------------------------------------------------------
+
+def createContext(allocator=None, cfg: ContextConfig | None = None) -> Context:
+    return Context(cfg)
+
+
+def destroyContext(ctx: Context) -> None:
+    pass
+
+
+def begin(ctx, view_id, w, h, dpr=1.0):
+    ctx.begin(view_id, w, h, dpr)
+
+
+def end(ctx, background=None):
+    return ctx.end(background)
+
+
+def frame(ctx):
+    ctx.frame()
+
+
+def getStats(ctx):
+    return ctx.getStats()
+
+
+def beginPath(ctx):
+    (ctx._sink() or ctx).beginPath()
+
+
+def moveTo(ctx, x, y):
+    (ctx._sink() or ctx).moveTo(x, y)
+
+
+def lineTo(ctx, x, y):
+    (ctx._sink() or ctx).lineTo(x, y)
+
+
+def cubicTo(ctx, c1x, c1y, c2x, c2y, x, y):
+    (ctx._sink() or ctx).cubicTo(c1x, c1y, c2x, c2y, x, y)
+
+
+def quadraticTo(ctx, cx, cy, x, y):
+    (ctx._sink() or ctx).quadraticTo(cx, cy, x, y)
+
+
+def arcTo(ctx, x1, y1, x2, y2, r):
+    (ctx._sink() or ctx).arcTo(x1, y1, x2, y2, r)
+
+
+def arc(ctx, cx, cy, r, a0, a1, direction):
+    (ctx._sink() or ctx).arc(cx, cy, r, a0, a1, direction)
+
+
+def rect(ctx, x, y, w, h):
+    (ctx._sink() or ctx).rect(x, y, w, h)
+
+
+def roundedRect(ctx, x, y, w, h, r):
+    (ctx._sink() or ctx).roundedRect(x, y, w, h, r)
+
+
+def roundedRectVarying(ctx, x, y, w, h, rtl, rtr, rbr, rbl):
+    (ctx._sink() or ctx).roundedRectVarying(x, y, w, h, rtl, rtr, rbr, rbl)
+
+
+def circle(ctx, cx, cy, r):
+    (ctx._sink() or ctx).circle(cx, cy, r)
+
+
+def ellipse(ctx, cx, cy, rx, ry):
+    (ctx._sink() or ctx).ellipse(cx, cy, rx, ry)
+
+
+def polyline(ctx, coords, num_points=None):
+    (ctx._sink() or ctx).polyline(coords)
+
+
+def closePath(ctx):
+    (ctx._sink() or ctx).closePath()
+
+
+def fillPath(ctx, paint_or_color, *args):
+    """fillPath(ctx, color, flags) / (ctx, gradient, flags) /
+    (ctx, pattern, color, flags) — the three reference overloads."""
+    if isinstance(paint_or_color, ImagePatternHandle):
+        color_mod, flags = args
+        (ctx._sink() or ctx).fillPath(paint_or_color, flags, color_modulate=color_mod)
+    else:
+        (flags,) = args
+        (ctx._sink() or ctx).fillPath(paint_or_color, flags)
+
+
+def strokePath(ctx, paint_or_color, *args):
+    if isinstance(paint_or_color, ImagePatternHandle):
+        color_mod, width, flags = args
+        (ctx._sink() or ctx).strokePath(paint_or_color, width, flags, color_modulate=color_mod)
+    else:
+        width, flags = args
+        (ctx._sink() or ctx).strokePath(paint_or_color, width, flags)
+
+
+def beginClip(ctx, rule):
+    (ctx._sink() or ctx).beginClip(rule)
+
+
+def endClip(ctx):
+    (ctx._sink() or ctx).endClip()
+
+
+def resetClip(ctx):
+    (ctx._sink() or ctx).resetClip()
+
+
+def createLinearGradient(ctx, sx, sy, ex, ey, icol, ocol):
+    return (ctx._sink() or ctx).createLinearGradient(sx, sy, ex, ey, icol, ocol)
+
+
+def createBoxGradient(ctx, x, y, w, h, r, f, icol, ocol):
+    return (ctx._sink() or ctx).createBoxGradient(x, y, w, h, r, f, icol, ocol)
+
+
+def createRadialGradient(ctx, cx, cy, inr, outr, icol, ocol):
+    return (ctx._sink() or ctx).createRadialGradient(cx, cy, inr, outr, icol, ocol)
+
+
+def createImagePattern(ctx, cx, cy, w, h, angle, image):
+    return (ctx._sink() or ctx).createImagePattern(cx, cy, w, h, angle, image)
+
+
+def setGlobalAlpha(ctx, alpha):
+    (ctx._sink() or ctx).setGlobalAlpha(alpha)
+
+
+def pushState(ctx):
+    (ctx._sink() or ctx).pushState()
+
+
+def popState(ctx):
+    (ctx._sink() or ctx).popState()
+
+
+def resetScissor(ctx):
+    (ctx._sink() or ctx).resetScissor()
+
+
+def setScissor(ctx, x, y, w, h):
+    (ctx._sink() or ctx).setScissor(x, y, w, h)
+
+
+def intersectScissor(ctx, x, y, w, h):
+    return (ctx._sink() or ctx).intersectScissor(x, y, w, h)
+
+
+def transformIdentity(ctx):
+    (ctx._sink() or ctx).transformIdentity()
+
+
+def transformScale(ctx, x, y):
+    (ctx._sink() or ctx).transformScale(x, y)
+
+
+def transformTranslate(ctx, x, y):
+    (ctx._sink() or ctx).transformTranslate(x, y)
+
+
+def transformRotate(ctx, ang):
+    (ctx._sink() or ctx).transformRotate(ang)
+
+
+def transformMult(ctx, mtx, order):
+    (ctx._sink() or ctx).transformMult(mtx, order)
+
+
+def setViewBox(ctx, x, y, w, h):
+    (ctx._sink() or ctx).setViewBox(x, y, w, h)
+
+
+def getTransform(ctx):
+    return ctx.getTransform()
+
+
+def getScissor(ctx):
+    return ctx.getScissor()
+
+
+def indexedTriList(ctx, pos, uv, num_vertices, colors, num_colors, indices, num_indices, img):
+    (ctx._sink() or ctx).indexedTriList(pos, uv, colors, indices, img)
+
+
+def getImageSize(ctx, handle):
+    return ctx.getImageSize(handle)
+
+
+def createImage(ctx, w, h, flags, data):
+    return ctx.createImage(w, h, flags, data)
+
+
+def updateImage(ctx, handle, x, y, w, h, data):
+    return ctx.updateImage(handle, x, y, w, h, data)
+
+
+def destroyImage(ctx, handle):
+    return ctx.destroyImage(handle)
+
+
+def isImageValid(ctx, handle):
+    return ctx.isImageValid(handle)
+
+
+# -- text (implemented in vgtpu/text; wired here) ---------------------------
+
+def createFont(ctx, name, data, size=None, flags=0):
+    from vgtpu.text.system import ctx_create_font
+
+    return ctx_create_font(ctx, name, data, flags)
+
+
+def getFontByName(ctx, name):
+    idx = ctx._font_by_name.get(name)
+    return FontHandle(idx=idx) if idx is not None else FontHandle()
+
+
+def setFallbackFont(ctx, base, fallback):
+    from vgtpu.text.system import ctx_set_fallback_font
+
+    return ctx_set_fallback_font(ctx, base, fallback)
+
+
+def makeTextConfig(ctx, font, font_size, alignment, color):
+    if isinstance(font, str):
+        font = getFontByName(ctx, font)
+    return TextConfig(font, font_size, alignment, color)
+
+
+def text(ctx, cfg, x, y, s, end=None):
+    from vgtpu.text.system import ctx_text
+
+    ctx_text(ctx._sink() or ctx, cfg, x, y, s if end is None else s[:end])
+
+
+def textBox(ctx, cfg, x, y, break_width, s, end=None, flags=0):
+    from vgtpu.text.system import ctx_text_box
+
+    ctx_text_box(ctx._sink() or ctx, cfg, x, y, break_width, s if end is None else s[:end], flags)
+
+
+def measureText(ctx, cfg, x, y, s, end=None):
+    from vgtpu.text.system import ctx_measure_text
+
+    return ctx_measure_text(ctx, cfg, x, y, s if end is None else s[:end])
+
+
+def measureTextBox(ctx, cfg, x, y, break_width, s, end=None, flags=0):
+    from vgtpu.text.system import ctx_measure_text_box
+
+    return ctx_measure_text_box(ctx, cfg, x, y, break_width, s if end is None else s[:end], flags)
+
+
+def getTextLineHeight(ctx, cfg):
+    from vgtpu.text.system import ctx_text_line_height
+
+    return ctx_text_line_height(ctx, cfg)
+
+
+def textBreakLines(ctx, cfg, s, end, break_width, max_rows, flags=0):
+    from vgtpu.text.system import ctx_text_break_lines
+
+    return ctx_text_break_lines(ctx, cfg, s if end is None else s[:end], break_width, max_rows, flags)
+
+
+def textGlyphPositions(ctx, cfg, x, y, s, end=None, max_positions=None):
+    from vgtpu.text.system import ctx_text_glyph_positions
+
+    return ctx_text_glyph_positions(ctx, cfg, x, y, s if end is None else s[:end], max_positions)
+
+
+# -- command lists (vgtpu/api/command_list.py) ------------------------------
+
+def createCommandList(ctx, flags):
+    from vgtpu.api.command_list import cl_create
+
+    return cl_create(ctx, flags)
+
+
+def destroyCommandList(ctx, handle):
+    from vgtpu.api.command_list import cl_destroy
+
+    cl_destroy(ctx, handle)
+
+
+def resetCommandList(ctx, handle):
+    from vgtpu.api.command_list import cl_reset
+
+    cl_reset(ctx, handle)
+
+
+def submitCommandList(ctx, handle):
+    from vgtpu.api.command_list import cl_submit
+
+    sink = ctx._sink()
+    if sink is not None:
+        sink.submitCommandList(handle)   # record nested submit (vg.cpp:1704)
+    else:
+        cl_submit(ctx, handle)
+
+
+def beginCommandList(ctx, handle):
+    from vgtpu.api.command_list import cl_begin_recording
+
+    cl_begin_recording(ctx, handle)
+
+
+def endCommandList(ctx):
+    from vgtpu.api.command_list import cl_end_recording
+
+    cl_end_recording(ctx)

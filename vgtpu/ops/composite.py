@@ -27,7 +27,9 @@ from vgtpu.raster.binning import (
     K_CLIP_RESET,
     K_DRAW,
     P_GRADIENT,
+    P_IMAGE,
     P_TEXTURE,
+    P_TRI,
 )
 
 
@@ -103,8 +105,10 @@ def composite_tiles(
         paint = entry_paint[e]                         # (T, 18)
         sc = entry_scissor[e]                          # (T, 4)
 
-        is_texture = pk == P_TEXTURE
-        cov = _apply_rule(w, rule, aa, is_texture)
+        is_quad_tex = pk == P_TEXTURE          # coverage lives in the color tile
+        has_ctile = (entry_color_tile[e] >= 0)[:, None, None]
+        use_ctile = has_ctile & (is_quad_tex | (pk == P_IMAGE))
+        cov = _apply_rule(w, rule, aa, is_quad_tex)
 
         # scissor (pixel-center test, like the GPU scissor rect)
         inside = (
@@ -132,13 +136,20 @@ def composite_tiles(
             + outer[:, None, None, :] * d[..., None]
         )
         solid = jnp.broadcast_to(inner[:, None, None, :], grad.shape)
+        # per-vertex-color triangles: rgba(x,y) = A*x + B*y + C, coeffs in paint
+        tri = (
+            paint[:, 0:4][:, None, None, :] * pxc[..., None]
+            + paint[:, 4:8][:, None, None, :] * pyc[..., None]
+            + paint[:, 8:12][:, None, None, :]
+        )
         col = jnp.where((pk == P_GRADIENT)[..., None], grad, solid)  # straight alpha
+        col = jnp.where((pk == P_TRI)[..., None], tri, col)
 
-        # textured entries: pre-sampled premultiplied tiles
+        # textured entries: pre-sampled premultiplied tiles (text / patterns)
         ct = color_tiles[jnp.maximum(entry_color_tile[e], 0)]        # (T,TH,TW,4)
-        src_a_vec = jnp.where(is_texture, ct[..., 3], col[..., 3])
+        src_a_vec = jnp.where(use_ctile, ct[..., 3], col[..., 3])
         src_rgb_pre = jnp.where(
-            is_texture[..., None], ct[..., 0:3], col[..., 0:3] * col[..., 3:4]
+            use_ctile[..., None], ct[..., 0:3], col[..., 0:3] * col[..., 3:4]
         )
 
         # ---- op-kind state machine ----

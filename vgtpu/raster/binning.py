@@ -32,8 +32,9 @@ K_CLIP_RESET = 3    # mask := 1 everywhere
 # paint kinds
 P_SOLID = 0
 P_GRADIENT = 1
-P_IMAGE = 2
-P_TEXTURE = 3       # pre-sampled color tile (text / image quads)
+P_IMAGE = 2         # image-pattern fill: rule coverage x pre-sampled color tile
+P_TEXTURE = 3       # textured quads (text/user quads): color tile carries alpha
+P_TRI = 4           # per-vertex-color triangle: linearly interpolated RGBA
 
 PAINT_NF = 18       # mat(6) + params(4) + inner(4) + outer(4)
 
@@ -52,7 +53,7 @@ class RasterOp:
     paint: np.ndarray | None = None          # (PAINT_NF,) f32; solid color in inner slot
     scissor: tuple | None = None             # (x0,y0,x1,y1) or None = viewport
     image_id: int = -1                       # for P_IMAGE / P_TEXTURE
-    color_tile_base: int = -1                # first aux color tile (P_TEXTURE)
+    tex_quads: np.ndarray | None = None      # (Q,8) f32 [x0,y0,x1,y1,u0,v0,u1,v1]
 
 
 def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
@@ -92,6 +93,8 @@ class FramePlan:
     entry_paint_kind: np.ndarray # (NE,) i32
     entry_paint: np.ndarray      # (NE, PAINT_NF) f32
     entry_scissor: np.ndarray    # (NE, 4) f32
+    entry_image: np.ndarray      # (NE,) i32 image id or -1
+    entry_op: np.ndarray         # (NE,) i32 index into the source op list
     entry_color_tile: np.ndarray # (NE,) i32 -> aux color tile index or -1
     # per-tile op table
     tile_entries: np.ndarray     # (T, MAX_OPS) i32 entry ids, -1 padded
@@ -132,13 +135,15 @@ def bin_frame(
     ent_pk: list[np.ndarray] = []
     ent_paint: list[np.ndarray] = []
     ent_scissor: list[np.ndarray] = []
+    ent_image: list[np.ndarray] = []
+    ent_op: list[np.ndarray] = []
     ent_ctile: list[np.ndarray] = []
     chunk_blocks: list[np.ndarray] = []
     chunk_entry: list[np.ndarray] = []
     n_entries = 0
     n_chunks = 0
 
-    def _append_entries(tiles_flat, backdrops, op: RasterOp, ctile=None):
+    def _append_entries(tiles_flat, backdrops, op: RasterOp, op_index: int, ctile=None):
         nonlocal n_entries
         k = len(tiles_flat)
         if k == 0:
@@ -155,26 +160,46 @@ def bin_frame(
         ent_paint.append(np.broadcast_to(paint, (k, PAINT_NF)).copy())
         sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
         ent_scissor.append(np.broadcast_to(np.asarray(sc, np.float32), (k, 4)).copy())
+        ent_image.append(np.full(k, op.image_id, np.int32))
+        ent_op.append(np.full(k, op_index, np.int32))
         if ctile is None:
             ent_ctile.append(np.full(k, -1, np.int32))
         else:
             ent_ctile.append(ctile.astype(np.int32))
         return ids
 
-    for op in ops:
+    for op_index, op in enumerate(ops):
         if op.kind in (K_CLIP_COMMIT, K_CLIP_RESET):
             # global control ops: present in every tile
             tiles = np.arange(T, dtype=np.int64)
-            _append_entries(tiles, np.zeros((T, tile_h), np.float32), op)
+            _append_entries(tiles, np.zeros((T, tile_h), np.float32), op, op_index)
             continue
 
         if op.paint_kind == P_TEXTURE:
-            # pre-sampled color tiles: one entry per listed tile, no edges
-            tiles = op.edges  # (K,) tile ids smuggled in edges field
-            ctile = op.color_tile_base + np.arange(len(tiles))
-            _append_entries(np.asarray(tiles, np.int64),
-                            np.zeros((len(tiles), tile_h), np.float32), op,
-                            ctile=ctile)
+            # textured quads: entries for every tile a quad bbox overlaps;
+            # color tiles are filled by the sampling pass (raster/sampling.py)
+            q = np.asarray(op.tex_quads, np.float64)
+            if len(q) == 0:
+                continue
+            sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
+            qx0 = np.maximum(np.minimum(q[:, 0], q[:, 2]), max(0.0, sc[0]))
+            qy0 = np.maximum(np.minimum(q[:, 1], q[:, 3]), max(0.0, sc[1]))
+            qx1 = np.minimum(np.maximum(q[:, 0], q[:, 2]), min(float(width), sc[2]))
+            qy1 = np.minimum(np.maximum(q[:, 1], q[:, 3]), min(float(height), sc[3]))
+            live = (qx1 > qx0) & (qy1 > qy0)
+            grid = np.zeros((nty, ntx), bool)
+            qtx0 = (qx0[live] // tile_w).astype(np.int64)
+            qtx1 = (np.ceil(qx1[live] / tile_w)).astype(np.int64) - 1
+            qty0 = (qy0[live] // tile_h).astype(np.int64)
+            qty1 = (np.ceil(qy1[live] / tile_h)).astype(np.int64) - 1
+            for a, b, c2, d2 in zip(qty0, qty1, qtx0, qtx1):
+                grid[a : b + 1, c2 : d2 + 1] = True
+            lty, ltx = np.nonzero(grid)
+            if len(lty) == 0:
+                continue
+            tiles = lty * ntx + ltx
+            _append_entries(tiles.astype(np.int64),
+                            np.zeros((len(tiles), tile_h), np.float32), op, op_index)
             continue
 
         e = op.edges
@@ -268,7 +293,7 @@ def bin_frame(
         tiles_flat = (lty + ty0) * ntx + (ltx + tx0)
         # entry index per live tile on the op grid
         entry_of_tile = np.full((nty_op, ntx_op), -1, np.int64)
-        ids = _append_entries(tiles_flat, bgrid[lty, ltx], op)
+        ids = _append_entries(tiles_flat, bgrid[lty, ltx], op, op_index)
         entry_of_tile[lty, ltx] = ids
 
         # ---- chunks: group edge-class triples by tile, split by CHUNK ----
@@ -327,6 +352,8 @@ def bin_frame(
     entry_paint_kind = cat(ent_pk, (), np.int32)
     entry_paint = cat(ent_paint, (PAINT_NF,), np.float32)
     entry_scissor = cat(ent_scissor, (4,), np.float32)
+    entry_image = cat(ent_image, (), np.int32, fill=-1)
+    entry_op = cat(ent_op, (), np.int32, fill=-1)
     entry_ctile = cat(ent_ctile, (), np.int32, fill=-1)
     # padding entries: draw with zero paint alpha and empty scissor -> no-ops
     entry_scissor[n_entries:] = 0.0
@@ -374,6 +401,8 @@ def bin_frame(
         entry_paint_kind=entry_paint_kind,
         entry_paint=entry_paint,
         entry_scissor=entry_scissor,
+        entry_image=entry_image,
+        entry_op=entry_op,
         entry_color_tile=entry_ctile,
         tile_entries=tile_entries,
         color_tiles=color_tiles.astype(np.float32),

@@ -1,0 +1,131 @@
+"""Texture sampling pass: fills per-entry color tiles for image-pattern fills
+and textured quads (text), between binning and the device composite.
+
+Replaces the reference's fs_image_pattern shader (UV from inverse paint matrix,
+vg.cpp:104-111 rationale) and the textured text quads (renderTextQuads,
+vg.cpp:5541-5621).  Host-side numpy for now — the per-frame cost is bounded by
+actually-textured pixels; cacheable command lists amortize it.  A device gather
+version is the planned follow-up.
+
+All produced tiles are PREMULTIPLIED RGBA f32.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vgtpu.raster.binning import FramePlan, P_IMAGE, P_TEXTURE
+from vgtpu.core import ImageFlags
+
+
+def _bilinear(img: np.ndarray, u: np.ndarray, v: np.ndarray, flags: int) -> np.ndarray:
+    """Sample (h,w,C) image at texel coordinates (u,v) in pixels (continuous,
+    texel centers at +0.5).  Wrap = repeat unless Clamp_U/V flags."""
+    h, w = img.shape[:2]
+    x = u - 0.5
+    y = v - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wrapx(i):
+        return np.clip(i, 0, w - 1) if (flags & ImageFlags.Clamp_U) else np.mod(i, w)
+
+    def wrapy(i):
+        return np.clip(i, 0, h - 1) if (flags & ImageFlags.Clamp_V) else np.mod(i, h)
+
+    nearest = not (flags & ImageFlags.Filter_LinearUV) and (flags & ImageFlags.Filter_NearestUV)
+    if nearest:
+        return img[wrapy(np.round(y).astype(np.int64)), wrapx(np.round(x).astype(np.int64))]
+
+    p00 = img[wrapy(y0), wrapx(x0)]
+    p10 = img[wrapy(y0), wrapx(x0 + 1)]
+    p01 = img[wrapy(y0 + 1), wrapx(x0)]
+    p11 = img[wrapy(y0 + 1), wrapx(x0 + 1)]
+    return (
+        p00 * (1 - fx) * (1 - fy)
+        + p10 * fx * (1 - fy)
+        + p01 * (1 - fx) * fy
+        + p11 * fx * fy
+    )
+
+
+def fill_color_tiles(plan: FramePlan, ops, images) -> None:
+    """Mutates plan: computes color_tiles + entry_color_tile for textured
+    entries.  `images` maps image id -> (data u8 (h,w,4) or (h,w), flags)."""
+    th, tw = plan.tile_h, plan.tile_w
+    n = plan.n_real_entries
+    pk = plan.entry_paint_kind[:n]
+    need = np.nonzero((pk == P_IMAGE) | (pk == P_TEXTURE))[0]
+    if len(need) == 0:
+        return
+
+    ix = np.arange(tw)[None, :] + 0.5
+    iy = np.arange(th)[:, None] + 0.5
+
+    tiles: list[np.ndarray] = []
+    for ei in need:
+        tile_id = int(plan.entry_tile[ei])
+        ox = (tile_id % plan.ntx) * tw
+        oy = (tile_id // plan.ntx) * th
+        pxc = ox + np.broadcast_to(ix, (th, tw))
+        pyc = oy + np.broadcast_to(iy, (th, tw))
+        paint = plan.entry_paint[ei]
+        kind = int(pk[ei])
+        op = ops[int(plan.entry_op[ei])]
+
+        if kind == P_IMAGE:
+            data, flags = images[int(plan.entry_image[ei])]
+            ih, iw = data.shape[:2]
+            m = paint[0:6]
+            u = (m[0] * pxc + m[2] * pyc + m[4]) * iw   # normalized -> texels
+            v = (m[1] * pxc + m[3] * pyc + m[5]) * ih
+            texel = _bilinear(data.astype(np.float32) / 255.0, u, v, flags)
+            if texel.shape[-1] == 1:
+                texel = np.concatenate([np.ones_like(texel)] * 3 + [texel], axis=-1)
+            mod = paint[10:14]
+            rgba = texel * mod
+            tile = np.concatenate(
+                [rgba[..., 0:3] * rgba[..., 3:4], rgba[..., 3:4]], axis=-1
+            )
+        else:  # P_TEXTURE: sum of textured quads
+            data, flags = images[int(plan.entry_image[ei])]
+            a8 = data.ndim == 2
+            tex = data.astype(np.float32) / 255.0
+            col = paint[10:14]
+            tile = np.zeros((th, tw, 4), np.float32)
+            q = np.asarray(op.tex_quads, np.float64)
+            # only quads overlapping this tile
+            qsel = (
+                (np.minimum(q[:, 0], q[:, 2]) < ox + tw)
+                & (np.maximum(q[:, 0], q[:, 2]) > ox)
+                & (np.minimum(q[:, 1], q[:, 3]) < oy + th)
+                & (np.maximum(q[:, 1], q[:, 3]) > oy)
+            )
+            for x0, y0, x1, y1, u0, v0, u1, v1 in q[qsel]:
+                # fractional rect coverage (AA at quad borders)
+                covx = np.clip(np.minimum(x1, pxc + 0.5) - np.maximum(x0, pxc - 0.5), 0, 1)
+                covy = np.clip(np.minimum(y1, pyc + 0.5) - np.maximum(y0, pyc - 0.5), 0, 1)
+                qcov = covx * covy
+                tu = u0 + (pxc - x0) / max(x1 - x0, 1e-6) * (u1 - u0)
+                tv = v0 + (pyc - y0) / max(y1 - y0, 1e-6) * (v1 - v0)
+                if a8:
+                    alpha = _bilinear(tex[..., None], tu, tv, flags)[..., 0]
+                    rgba = np.empty((th, tw, 4), np.float32)
+                    rgba[..., 0:3] = col[0:3]
+                    rgba[..., 3] = alpha * col[3]
+                else:
+                    rgba = _bilinear(tex, tu, tv, flags) * col
+                add = np.concatenate(
+                    [rgba[..., 0:3] * (rgba[..., 3:4] * qcov[..., None]),
+                     rgba[..., 3:4] * qcov[..., None]],
+                    axis=-1,
+                )
+                tile = tile + add
+            tile = np.clip(tile, 0.0, 1.0)
+
+        plan.entry_color_tile[ei] = len(tiles)
+        tiles.append(tile.astype(np.float32))
+
+    plan.color_tiles = np.stack(tiles) if tiles else plan.color_tiles
