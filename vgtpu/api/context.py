@@ -758,6 +758,17 @@ class Context:
                     )
                 )
 
+    # -- text (methods so command lists can record them) --------------------
+    def text(self, cfg, x, y, s) -> None:
+        from vgtpu.fonts.system import ctx_text
+
+        ctx_text(self, cfg, x, y, s)
+
+    def textBox(self, cfg, x, y, break_width, s, flags=0) -> None:
+        from vgtpu.fonts.system import ctx_text_box
+
+        ctx_text_box(self, cfg, x, y, break_width, s, flags)
+
     # -- misc ---------------------------------------------------------------
     def getStats(self) -> Stats:
         return self.stats
@@ -978,7 +989,7 @@ def isImageValid(ctx, handle):
 # -- text (implemented in vgtpu/text; wired here) ---------------------------
 
 def createFont(ctx, name, data, size=None, flags=0):
-    from vgtpu.text.system import ctx_create_font
+    from vgtpu.fonts.system import ctx_create_font
 
     return ctx_create_font(ctx, name, data, flags)
 
@@ -989,7 +1000,7 @@ def getFontByName(ctx, name):
 
 
 def setFallbackFont(ctx, base, fallback):
-    from vgtpu.text.system import ctx_set_fallback_font
+    from vgtpu.fonts.system import ctx_set_fallback_font
 
     return ctx_set_fallback_font(ctx, base, fallback)
 
@@ -1001,43 +1012,39 @@ def makeTextConfig(ctx, font, font_size, alignment, color):
 
 
 def text(ctx, cfg, x, y, s, end=None):
-    from vgtpu.text.system import ctx_text
-
-    ctx_text(ctx._sink() or ctx, cfg, x, y, s if end is None else s[:end])
+    (ctx._sink() or ctx).text(cfg, x, y, s if end is None else s[:end])
 
 
 def textBox(ctx, cfg, x, y, break_width, s, end=None, flags=0):
-    from vgtpu.text.system import ctx_text_box
-
-    ctx_text_box(ctx._sink() or ctx, cfg, x, y, break_width, s if end is None else s[:end], flags)
+    (ctx._sink() or ctx).textBox(cfg, x, y, break_width, s if end is None else s[:end], flags)
 
 
 def measureText(ctx, cfg, x, y, s, end=None):
-    from vgtpu.text.system import ctx_measure_text
+    from vgtpu.fonts.system import ctx_measure_text
 
     return ctx_measure_text(ctx, cfg, x, y, s if end is None else s[:end])
 
 
 def measureTextBox(ctx, cfg, x, y, break_width, s, end=None, flags=0):
-    from vgtpu.text.system import ctx_measure_text_box
+    from vgtpu.fonts.system import ctx_measure_text_box
 
     return ctx_measure_text_box(ctx, cfg, x, y, break_width, s if end is None else s[:end], flags)
 
 
 def getTextLineHeight(ctx, cfg):
-    from vgtpu.text.system import ctx_text_line_height
+    from vgtpu.fonts.system import ctx_text_line_height
 
     return ctx_text_line_height(ctx, cfg)
 
 
 def textBreakLines(ctx, cfg, s, end, break_width, max_rows, flags=0):
-    from vgtpu.text.system import ctx_text_break_lines
+    from vgtpu.fonts.system import ctx_text_break_lines
 
     return ctx_text_break_lines(ctx, cfg, s if end is None else s[:end], break_width, max_rows, flags)
 
 
 def textGlyphPositions(ctx, cfg, x, y, s, end=None, max_positions=None):
-    from vgtpu.text.system import ctx_text_glyph_positions
+    from vgtpu.fonts.system import ctx_text_glyph_positions
 
     return ctx_text_glyph_positions(ctx, cfg, x, y, s if end is None else s[:end], max_positions)
 

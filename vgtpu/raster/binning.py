@@ -176,16 +176,19 @@ def bin_frame(
             continue
 
         if op.paint_kind == P_TEXTURE:
-            # textured quads: entries for every tile a quad bbox overlaps;
-            # color tiles are filled by the sampling pass (raster/sampling.py)
+            # textured quads (parallelograms p0 + a*ex + b*ey): entries for
+            # every tile a quad bbox overlaps; color tiles are filled by the
+            # sampling pass (raster/sampling.py)
             q = np.asarray(op.tex_quads, np.float64)
             if len(q) == 0:
                 continue
+            cx = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4], q[:, 0] + q[:, 2] + q[:, 4]])
+            cy = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5], q[:, 1] + q[:, 3] + q[:, 5]])
             sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
-            qx0 = np.maximum(np.minimum(q[:, 0], q[:, 2]), max(0.0, sc[0]))
-            qy0 = np.maximum(np.minimum(q[:, 1], q[:, 3]), max(0.0, sc[1]))
-            qx1 = np.minimum(np.maximum(q[:, 0], q[:, 2]), min(float(width), sc[2]))
-            qy1 = np.minimum(np.maximum(q[:, 1], q[:, 3]), min(float(height), sc[3]))
+            qx0 = np.maximum(cx.min(axis=0) - 1.0, max(0.0, sc[0]))
+            qy0 = np.maximum(cy.min(axis=0) - 1.0, max(0.0, sc[1]))
+            qx1 = np.minimum(cx.max(axis=0) + 1.0, min(float(width), sc[2]))
+            qy1 = np.minimum(cy.max(axis=0) + 1.0, min(float(height), sc[3]))
             live = (qx1 > qx0) & (qy1 > qy0)
             grid = np.zeros((nty, ntx), bool)
             qtx0 = (qx0[live] // tile_w).astype(np.int64)

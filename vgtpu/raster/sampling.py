@@ -89,27 +89,38 @@ def fill_color_tiles(plan: FramePlan, ops, images) -> None:
             tile = np.concatenate(
                 [rgba[..., 0:3] * rgba[..., 3:4], rgba[..., 3:4]], axis=-1
             )
-        else:  # P_TEXTURE: sum of textured quads
+        else:  # P_TEXTURE: sum of textured parallelogram quads
             data, flags = images[int(plan.entry_image[ei])]
             a8 = data.ndim == 2
             tex = data.astype(np.float32) / 255.0
+            ih, iw = data.shape[:2]
             col = paint[10:14]
             tile = np.zeros((th, tw, 4), np.float32)
             q = np.asarray(op.tex_quads, np.float64)
-            # only quads overlapping this tile
+            # quad bbox vs tile
+            cxs = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4], q[:, 0] + q[:, 2] + q[:, 4]])
+            cys = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5], q[:, 1] + q[:, 3] + q[:, 5]])
             qsel = (
-                (np.minimum(q[:, 0], q[:, 2]) < ox + tw)
-                & (np.maximum(q[:, 0], q[:, 2]) > ox)
-                & (np.minimum(q[:, 1], q[:, 3]) < oy + th)
-                & (np.maximum(q[:, 1], q[:, 3]) > oy)
+                (cxs.min(axis=0) < ox + tw + 1) & (cxs.max(axis=0) > ox - 1)
+                & (cys.min(axis=0) < oy + th + 1) & (cys.max(axis=0) > oy - 1)
             )
-            for x0, y0, x1, y1, u0, v0, u1, v1 in q[qsel]:
-                # fractional rect coverage (AA at quad borders)
-                covx = np.clip(np.minimum(x1, pxc + 0.5) - np.maximum(x0, pxc - 0.5), 0, 1)
-                covy = np.clip(np.minimum(y1, pyc + 0.5) - np.maximum(y0, pyc - 0.5), 0, 1)
-                qcov = covx * covy
-                tu = u0 + (pxc - x0) / max(x1 - x0, 1e-6) * (u1 - u0)
-                tv = v0 + (pyc - y0) / max(y1 - y0, 1e-6) * (v1 - v0)
+            for p0x, p0y, exx, exy, eyx, eyy, u0, v0, u1, v1, _r0, _r1 in q[qsel]:
+                det = exx * eyy - exy * eyx
+                if abs(det) < 1e-12:
+                    continue
+                inv = np.array([[eyy, -eyx], [-exy, exx]]) / det
+                rx = pxc - p0x
+                ry = pyc - p0y
+                a = inv[0, 0] * rx + inv[0, 1] * ry   # quad-space coords [0,1]
+                b = inv[1, 0] * rx + inv[1, 1] * ry
+                # fractional edge coverage via gradient footprint per axis
+                wa = max(np.hypot(inv[0, 0], inv[0, 1]), 1e-9)
+                wb = max(np.hypot(inv[1, 0], inv[1, 1]), 1e-9)
+                cov_a = np.clip((0.5 - np.abs(a - 0.5)) / wa + 0.5, 0.0, 1.0)
+                cov_b = np.clip((0.5 - np.abs(b - 0.5)) / wb + 0.5, 0.0, 1.0)
+                qcov = cov_a * cov_b
+                tu = (u0 + np.clip(a, 0, 1) * (u1 - u0)) * iw
+                tv = (v0 + np.clip(b, 0, 1) * (v1 - v0)) * ih
                 if a8:
                     alpha = _bilinear(tex[..., None], tu, tv, flags)[..., 0]
                     rgba = np.empty((th, tw, 4), np.float32)
