@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark: SVG tiger + demo UI @ 1080p (BASELINE.json north star).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ms_per_frame, "unit": "ms", "vs_baseline": x}
+
+value    = steady-state device ms/frame on the default JAX platform (TPU under
+           the driver): full on-device raster (coverage + shade + composite)
+           of the resident scene — the analogue of the reference's per-frame
+           GPU submit+draw with Cacheable command lists.
+baseline = the same steady-state frame on CPU (XLA host backend, subprocess) —
+           the reference is a CPU-geometry engine, so CPU wall-clock is the
+           comparison axis; the reference itself publishes no numbers
+           (BASELINE.md) and is not runnable here (needs bgfx+GPU).
+vs_baseline = baseline_ms / value  (>1 means faster than CPU baseline).
+
+Extra diagnostics (cold-frame breakdown) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def measure(reps: int = 30, warmup: int = 3) -> dict:
+    import numpy as np
+    import vgtpu as vg
+    from vgtpu.raster.frame import execute_plan
+    from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    ctx = vg.createContext()
+
+    t0 = time.perf_counter()
+    vg.begin(ctx, 0, 1920, 1080, 1.0)
+    draw_benchmark_frame(ctx, 0.0)
+    t1 = time.perf_counter()
+    img = vg.end(ctx, background=(0.12, 0.12, 0.13, 1.0))
+    img.block_until_ready()
+    t2 = time.perf_counter()
+
+    plan = ctx.last_plan
+    d = ctx.last_device_arrays
+    bg = (0.12, 0.12, 0.13, 1.0)
+
+    for _ in range(warmup):
+        execute_plan(plan, background=bg, device_arrays=d).block_until_ready()
+    t3 = time.perf_counter()
+    for _ in range(reps):
+        out = execute_plan(plan, background=bg, device_arrays=d)
+    out.block_until_ready()
+    t4 = time.perf_counter()
+
+    frame_ms = (t4 - t3) / reps * 1e3
+    return {
+        "record_ms": (t1 - t0) * 1e3,
+        "cold_bin_exec_ms": (t2 - t1) * 1e3,
+        "frame_ms": frame_ms,
+        "stats": plan.stats,
+        "platform": str(__import__("jax").devices()[0].platform),
+    }
+
+
+def main() -> None:
+    if "--cpu-baseline" in sys.argv:
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        r = measure(reps=5, warmup=2)
+        print(json.dumps(r))
+        return
+
+    r = measure()
+    print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
+          f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
+          f"stats={r['stats']}", file=sys.stderr)
+
+    vs = None
+    try:
+        env = dict(os.environ)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        cpu = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"[bench] cpu baseline frame={cpu['frame_ms']:.3f} ms", file=sys.stderr)
+        vs = cpu["frame_ms"] / r["frame_ms"]
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
+        "value": round(r["frame_ms"], 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,13 +53,10 @@ def _apply_rule(w, rule, aa, is_texture):
     return jnp.where(is_texture, 1.0, cov)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ntx", "tile_h", "tile_w", "max_ops", "num_tiles"),
-)
-def composite_tiles(
+def composite_tiles_body(
     entry_w: jax.Array,        # (NE, TH, TW) winding incl. backdrop
     tile_entries: jax.Array,   # (T, MAX_OPS) i32, -1 padded
+    tile_ids: jax.Array,       # (T,) i32 flat tile index (row*ntx+col)
     entry_kind: jax.Array,     # (NE,)
     entry_rule: jax.Array,
     entry_aa: jax.Array,
@@ -74,11 +71,11 @@ def composite_tiles(
     tile_h: int,
     tile_w: int,
     max_ops: int,
-    num_tiles: int,
 ) -> jax.Array:
-    """Returns (T, TH, TW, 4) premultiplied RGBA tiles."""
-    T = num_tiles
-    tid = jnp.arange(T, dtype=jnp.int32)
+    """Returns (T, TH, TW, 4) premultiplied RGBA tiles.  Unjitted body so the
+    sharded renderer (vgtpu/parallel) can call it inside shard_map."""
+    T = tile_entries.shape[0]
+    tid = tile_ids.astype(jnp.int32)
     ox = ((tid % ntx) * tile_w).astype(jnp.float32)
     oy = ((tid // ntx) * tile_h).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
@@ -180,6 +177,38 @@ def composite_tiles(
         slot_step, (fb0, mask0, accum0), jnp.arange(max_ops, dtype=jnp.int32)
     )
     return fb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ntx", "tile_h", "tile_w", "max_ops", "num_tiles"),
+)
+def composite_tiles(
+    entry_w,
+    tile_entries,
+    entry_kind,
+    entry_rule,
+    entry_aa,
+    entry_paint_kind,
+    entry_paint,
+    entry_scissor,
+    entry_color_tile,
+    color_tiles,
+    background,
+    *,
+    ntx: int,
+    tile_h: int,
+    tile_w: int,
+    max_ops: int,
+    num_tiles: int,
+):
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    return composite_tiles_body(
+        entry_w, tile_entries, tile_ids,
+        entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
+        entry_scissor, entry_color_tile, color_tiles, background,
+        ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=max_ops,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("ntx", "nty", "tile_h", "tile_w", "width", "height"))

@@ -58,9 +58,8 @@ def _edge_contribution(px, py, x0, y0, x1, y1):
     return s * h * k
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
-def coverage_chunks(chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128) -> jax.Array:
-    """(NC, CHUNK, 4) edges -> (NC, TH, TW) summed winding contributions."""
+def coverage_chunks_body(chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128) -> jax.Array:
+    """Unjitted body (reused inside shard_map by vgtpu/parallel)."""
     nc, ch, _ = chunk_edges.shape
     px = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
     py = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
@@ -78,6 +77,12 @@ def coverage_chunks(chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128) 
     edges_by_step = jnp.transpose(chunk_edges, (1, 0, 2))  # (CHUNK, NC, 4)
     acc, _ = jax.lax.scan(step, init, edges_by_step)
     return acc
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w"))
+def coverage_chunks(chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128) -> jax.Array:
+    """(NC, CHUNK, 4) edges -> (NC, TH, TW) summed winding contributions."""
+    return coverage_chunks_body(chunk_edges, tile_h, tile_w)
 
 
 @functools.partial(jax.jit, static_argnames=("num_entries",))

@@ -1,0 +1,315 @@
+"""Minimal SVG loader: enough of SVG 1.1 to render path-based artwork like the
+Ghostscript tiger (path d= data, fill/stroke/stroke-width/opacity attributes,
+groups with transforms).  This is the 'SVG tiger loader' of SURVEY.md §7.9.
+
+Renders through the public vg API so the full pipeline is exercised.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import vgtpu as vg
+
+_NUM = re.compile(r"[-+]?(?:\d*\.\d+|\d+\.?)(?:[eE][-+]?\d+)?")
+
+
+def _parse_floats(s: str) -> list[float]:
+    return [float(m) for m in _NUM.findall(s)]
+
+
+def _parse_color(s: str | None, default=None):
+    if s is None or s == "inherit":
+        return default
+    s = s.strip()
+    if s == "none":
+        return None
+    if s.startswith("#"):
+        h = s[1:]
+        if len(h) == 3:
+            h = "".join(c * 2 for c in h)
+        r, g, b = int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+        return vg.color4ub(r, g, b, 255)
+    m = re.match(r"rgb\(([^)]*)\)", s)
+    if m:
+        parts = [p.strip() for p in m.group(1).split(",")]
+        vals = []
+        for p in parts:
+            if p.endswith("%"):
+                vals.append(int(float(p[:-1]) * 2.55))
+            else:
+                vals.append(int(float(p)))
+        return vg.color4ub(*vals[:3], 255)
+    named = {
+        "black": vg.Colors.Black, "white": vg.Colors.White, "red": vg.Colors.Red,
+        "green": vg.color4ub(0, 128, 0, 255), "blue": vg.Colors.Blue,
+        "yellow": vg.color4ub(255, 255, 0, 255), "none": None,
+    }
+    return named.get(s.lower(), default)
+
+
+def _parse_transform(s: str) -> np.ndarray:
+    from vgtpu.core import (
+        xform_identity,
+        xform_multiply,
+        xform_rotate,
+        xform_scale,
+        xform_translate,
+    )
+
+    m = xform_identity()
+    for op, args in re.findall(r"(\w+)\s*\(([^)]*)\)", s or ""):
+        v = _parse_floats(args)
+        if op == "translate":
+            t = xform_translate(v[0], v[1] if len(v) > 1 else 0.0)
+        elif op == "scale":
+            t = xform_scale(v[0], v[1] if len(v) > 1 else v[0])
+        elif op == "rotate":
+            t = xform_rotate(math.radians(v[0]))
+            if len(v) == 3:
+                t = xform_multiply(
+                    xform_multiply(xform_translate(v[1], v[2]), t),
+                    xform_translate(-v[1], -v[2]),
+                )
+        elif op == "matrix" and len(v) == 6:
+            t = np.array(v, np.float64)
+        else:
+            continue
+        m = xform_multiply(m, t)
+    return m
+
+
+@dataclass
+class SvgPath:
+    d: str
+    fill: int | None
+    stroke: int | None
+    stroke_width: float
+    transform: np.ndarray
+    fill_rule: int = 0  # NonZero
+
+
+@dataclass
+class SvgDoc:
+    width: float
+    height: float
+    paths: list[SvgPath] = field(default_factory=list)
+
+
+def load_svg(source: str) -> SvgDoc:
+    """Parse an SVG string or file path."""
+    if source.lstrip().startswith("<"):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+
+    def strip(tag):
+        return tag.split("}")[-1]
+
+    w = _parse_floats(root.get("width", "0") or "0")
+    h = _parse_floats(root.get("height", "0") or "0")
+    vb = _parse_floats(root.get("viewBox", "") or "")
+    doc = SvgDoc(
+        width=w[0] if w else (vb[2] if len(vb) == 4 else 0),
+        height=h[0] if h else (vb[3] if len(vb) == 4 else 0),
+    )
+
+    from vgtpu.core import xform_identity, xform_multiply
+
+    def walk(el, xf, style):
+        style = dict(style)
+        for k in ("fill", "stroke", "stroke-width", "fill-rule", "opacity"):
+            if el.get(k) is not None:
+                style[k] = el.get(k)
+        st = el.get("style")
+        if st:
+            for part in st.split(";"):
+                if ":" in part:
+                    k, v = part.split(":", 1)
+                    style[k.strip()] = v.strip()
+        xf = xform_multiply(xf, _parse_transform(el.get("transform", "")))
+        tag = strip(el.tag)
+        if tag == "path" and el.get("d"):
+            fill = _parse_color(style.get("fill"), vg.Colors.Black)
+            stroke = _parse_color(style.get("stroke"), None)
+            sw = float(_parse_floats(style.get("stroke-width", "1") or "1")[0])
+            rule = 1 if style.get("fill-rule") == "evenodd" else 0
+            doc.paths.append(SvgPath(el.get("d"), fill, stroke, sw, xf.copy(), rule))
+        for child in el:
+            walk(child, xf, style)
+
+    walk(root, xform_identity(), {})
+    return doc
+
+
+def path_verbs(ctx, d: str) -> None:
+    """Feed SVG path data into the current vg path (the verbs map 1:1)."""
+    i = 0
+    toks = re.findall(r"[MmZzLlHhVvCcSsQqTtAa]|" + _NUM.pattern, d)
+    cx = cy = sx = sy = 0.0
+    pcx = pcy = None  # previous control point for S/T
+    cmd = None
+
+    def nf(n):
+        nonlocal i
+        v = [float(toks[i + k]) for k in range(n)]
+        i += n
+        return v
+
+    while i < len(toks):
+        t = toks[i]
+        if re.match(r"[A-Za-z]", t):
+            cmd = t
+            i += 1
+            if cmd in "Zz":
+                vg.closePath(ctx)
+                cx, cy = sx, sy
+                pcx = pcy = None
+                continue
+        rel = cmd.islower()
+        c = cmd.upper()
+        if c == "M":
+            x, y = nf(2)
+            if rel:
+                x += cx
+                y += cy
+            vg.moveTo(ctx, x, y)
+            cx, cy, sx, sy = x, y, x, y
+            cmd = "l" if rel else "L"
+            pcx = pcy = None
+        elif c == "L":
+            x, y = nf(2)
+            if rel:
+                x += cx
+                y += cy
+            vg.lineTo(ctx, x, y)
+            cx, cy = x, y
+            pcx = pcy = None
+        elif c == "H":
+            (x,) = nf(1)
+            if rel:
+                x += cx
+            vg.lineTo(ctx, x, cy)
+            cx = x
+            pcx = pcy = None
+        elif c == "V":
+            (y,) = nf(1)
+            if rel:
+                y += cy
+            vg.lineTo(ctx, cx, y)
+            cy = y
+            pcx = pcy = None
+        elif c == "C":
+            x1, y1, x2, y2, x, y = nf(6)
+            if rel:
+                x1 += cx; y1 += cy; x2 += cx; y2 += cy; x += cx; y += cy
+            vg.cubicTo(ctx, x1, y1, x2, y2, x, y)
+            pcx, pcy = x2, y2
+            cx, cy = x, y
+        elif c == "S":
+            x2, y2, x, y = nf(4)
+            if rel:
+                x2 += cx; y2 += cy; x += cx; y += cy
+            x1 = 2 * cx - pcx if pcx is not None else cx
+            y1 = 2 * cy - pcy if pcy is not None else cy
+            vg.cubicTo(ctx, x1, y1, x2, y2, x, y)
+            pcx, pcy = x2, y2
+            cx, cy = x, y
+        elif c == "Q":
+            x1, y1, x, y = nf(4)
+            if rel:
+                x1 += cx; y1 += cy; x += cx; y += cy
+            vg.quadraticTo(ctx, x1, y1, x, y)
+            pcx, pcy = x1, y1
+            cx, cy = x, y
+        elif c == "T":
+            x, y = nf(2)
+            if rel:
+                x += cx; y += cy
+            x1 = 2 * cx - pcx if pcx is not None else cx
+            y1 = 2 * cy - pcy if pcy is not None else cy
+            vg.quadraticTo(ctx, x1, y1, x, y)
+            pcx, pcy = x1, y1
+            cx, cy = x, y
+        elif c == "A":
+            # elliptical arc -> cubic-ish via vg.arc on circles; general case
+            # approximated with the endpoint parameterization
+            rx, ry, rot, laf, swf, x, y = nf(7)
+            if rel:
+                x += cx; y += cy
+            _svg_arc(ctx, cx, cy, rx, ry, rot, laf, swf, x, y)
+            cx, cy = x, y
+            pcx = pcy = None
+        else:
+            i += 1
+
+    return None
+
+
+def _svg_arc(ctx, x0, y0, rx, ry, rot_deg, laf, swf, x, y):
+    """SVG endpoint arc -> polyline via the standard center parameterization."""
+    if rx <= 0 or ry <= 0 or (x0 == x and y0 == y):
+        vg.lineTo(ctx, x, y)
+        return
+    phi = math.radians(rot_deg)
+    cphi, sphi = math.cos(phi), math.sin(phi)
+    dx2, dy2 = (x0 - x) / 2.0, (y0 - y) / 2.0
+    x1p = cphi * dx2 + sphi * dy2
+    y1p = -sphi * dx2 + cphi * dy2
+    l = x1p**2 / rx**2 + y1p**2 / ry**2
+    if l > 1:
+        s = math.sqrt(l)
+        rx *= s
+        ry *= s
+    num = rx**2 * ry**2 - rx**2 * y1p**2 - ry**2 * x1p**2
+    den = rx**2 * y1p**2 + ry**2 * x1p**2
+    co = math.sqrt(max(0.0, num / den)) * (1 if laf != swf else -1)
+    cxp = co * rx * y1p / ry
+    cyp = -co * ry * x1p / rx
+    cx_ = cphi * cxp - sphi * cyp + (x0 + x) / 2
+    cy_ = sphi * cxp + cphi * cyp + (y0 + y) / 2
+
+    def ang(ux, uy, vx, vy):
+        d = math.hypot(ux, uy) * math.hypot(vx, vy)
+        a = math.acos(max(-1, min(1, (ux * vx + uy * vy) / d)))
+        return a if ux * vy - uy * vx >= 0 else -a
+
+    th1 = ang(1, 0, (x1p - cxp) / rx, (y1p - cyp) / ry)
+    dth = ang((x1p - cxp) / rx, (y1p - cyp) / ry, (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if not swf and dth > 0:
+        dth -= 2 * math.pi
+    elif swf and dth < 0:
+        dth += 2 * math.pi
+    n = max(2, int(abs(dth) / 0.1))
+    ts = np.linspace(0, 1, n + 1)[1:]
+    for t in ts:
+        a = th1 + dth * t
+        ex = cx_ + rx * math.cos(a) * cphi - ry * math.sin(a) * sphi
+        ey = cy_ + rx * math.cos(a) * sphi + ry * math.sin(a) * cphi
+        vg.lineTo(ctx, ex, ey)
+
+
+def render_svg(ctx, doc: SvgDoc, aa: bool = True) -> None:
+    """Draw a parsed SVG through the vg API with the current transform."""
+    from vgtpu.core import TransformOrder
+
+    fill_flags_aa = vg.FillFlags.ConcaveNonZeroAA if aa else vg.FillFlags.ConcaveNonZero
+    fill_flags_eo = vg.FillFlags.ConcaveEvenOddAA if aa else vg.FillFlags.ConcaveEvenOdd
+    stroke_flags = (
+        vg.StrokeFlags.ButtRoundAA if aa else vg.StrokeFlags.ButtRound
+    )
+    for p in doc.paths:
+        vg.pushState(ctx)
+        vg.transformMult(ctx, p.transform, TransformOrder.Pre)
+        vg.beginPath(ctx)
+        path_verbs(ctx, p.d)
+        if p.fill is not None:
+            vg.fillPath(ctx, p.fill, fill_flags_eo if p.fill_rule else fill_flags_aa)
+        if p.stroke is not None:
+            vg.strokePath(ctx, p.stroke, p.stroke_width, stroke_flags)
+        vg.popState(ctx)
