@@ -1,0 +1,478 @@
+// vg_native: host-side geometry engine for tpu-vg.
+//
+// Native implementation of the coarse rasterizer (edge -> tile binning with
+// per-row backdrops and chunked edge buffers) plus stroke expansion and path
+// flattening.  Mirrors the semantics of vgtpu/raster/binning.py and
+// vgtpu/geometry/{path,stroker}.py exactly — the Python/numpy versions remain
+// as the test oracle.  This plays the role the CPU tessellation pipeline
+// (src/path.cpp, src/stroker.cpp, libtess2) plays in the reference, feeding
+// the TPU raster instead of a GPU.
+//
+// C ABI, consumed via ctypes (vgtpu/native/__init__.py).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct EntrySOA {
+    std::vector<int32_t> tile;
+    std::vector<float>   backdrop;   // n * tile_h
+    std::vector<int32_t> kind, rule, aa, paint_kind, image, op;
+    std::vector<float>   paint;      // n * 18
+    std::vector<float>   scissor;    // n * 4
+    size_t size() const { return tile.size(); }
+};
+
+struct ChunkSOA {
+    std::vector<float>   edges;      // n * chunk * 4
+    std::vector<int32_t> entry;
+    size_t size() const { return entry.size(); }
+};
+
+inline int ifloordiv(double a, double b) { return (int)std::floor(a / b); }
+
+} // namespace
+
+extern "C" {
+
+struct BinResult {
+    // chunks
+    float*   chunk_edges;    // n_chunks * chunk * 4
+    int32_t* chunk_entry;    // n_chunks
+    int64_t  n_chunks;
+    // entries
+    int32_t* entry_tile;
+    float*   entry_backdrop; // n_entries * tile_h
+    int32_t* entry_kind;
+    int32_t* entry_rule;
+    int32_t* entry_aa;
+    int32_t* entry_paint_kind;
+    float*   entry_paint;    // n_entries * 18
+    float*   entry_scissor;  // n_entries * 4
+    int32_t* entry_image;
+    int32_t* entry_op;
+    int64_t  n_entries;
+    // per-tile table
+    int32_t* tile_entries;   // T * max_ops (-1 padded)
+    int32_t  max_ops;
+};
+
+void vg_free_result(BinResult* r) {
+    std::free(r->chunk_edges); std::free(r->chunk_entry);
+    std::free(r->entry_tile); std::free(r->entry_backdrop);
+    std::free(r->entry_kind); std::free(r->entry_rule); std::free(r->entry_aa);
+    std::free(r->entry_paint_kind); std::free(r->entry_paint);
+    std::free(r->entry_scissor); std::free(r->entry_image); std::free(r->entry_op);
+    std::free(r->tile_entries);
+    std::memset(r, 0, sizeof(*r));
+}
+
+// kinds/paints mirrored from vgtpu/raster/binning.py
+enum { K_DRAW = 0, K_CLIP_ADD = 1, K_CLIP_COMMIT = 2, K_CLIP_RESET = 3 };
+enum { P_SOLID = 0, P_GRADIENT = 1, P_IMAGE = 2, P_TEXTURE = 3, P_TRI = 4 };
+static const int PAINT_NF = 18;
+
+int vg_bin_frame(
+    const float* edges,             // all ops' edges concatenated, (Etot,4)
+    const int64_t* op_edge_off,     // n_ops+1 offsets into edges
+    const float* quads,             // all ops' tex quads concatenated, (Qtot,12)
+    const int64_t* op_quad_off,     // n_ops+1
+    const int32_t* op_kind,
+    const int32_t* op_rule,
+    const int32_t* op_aa,
+    const int32_t* op_paint_kind,
+    const float* op_paint,          // n_ops*18
+    const float* op_scissor,        // n_ops*4 (x0,y0,x1,y1); caller resolves defaults
+    const int32_t* op_image,
+    int32_t n_ops,
+    int32_t width, int32_t height,
+    int32_t tile_h, int32_t tile_w, int32_t chunk,
+    BinResult* out)
+{
+    const int ntx = (width + tile_w - 1) / tile_w;
+    const int nty = (height + tile_h - 1) / tile_h;
+    const int T = ntx * nty;
+
+    EntrySOA E;
+    ChunkSOA C;
+
+    // scratch reused across ops
+    std::vector<int> tile_edge_count, tile_edge_start, tile_fill_pos;
+    std::vector<double> bgrid;            // nty_op*ntx_op*tile_h backdrop
+    std::vector<int64_t> pair_tile;       // CSR fill: edge ids per tile
+    std::vector<int64_t> entry_of_tile;
+
+    auto append_entry = [&](int tile, const double* bd, int op_i) -> int64_t {
+        int64_t id = (int64_t)E.size();
+        E.tile.push_back(tile);
+        for (int r = 0; r < tile_h; ++r)
+            E.backdrop.push_back(bd ? (float)bd[r] : 0.0f);
+        E.kind.push_back(op_kind[op_i]);
+        E.rule.push_back(op_rule[op_i]);
+        E.aa.push_back(op_aa[op_i]);
+        E.paint_kind.push_back(op_paint_kind[op_i]);
+        for (int k = 0; k < PAINT_NF; ++k) E.paint.push_back(op_paint[op_i*PAINT_NF + k]);
+        for (int k = 0; k < 4; ++k) E.scissor.push_back(op_scissor[op_i*4 + k]);
+        E.image.push_back(op_image[op_i]);
+        E.op.push_back(op_i);
+        return id;
+    };
+
+    for (int op_i = 0; op_i < n_ops; ++op_i) {
+        const int kind = op_kind[op_i];
+        const float* sc = &op_scissor[op_i*4];
+
+        if (kind == K_CLIP_COMMIT || kind == K_CLIP_RESET) {
+            for (int t = 0; t < T; ++t) append_entry(t, nullptr, op_i);
+            continue;
+        }
+
+        if (op_paint_kind[op_i] == P_TEXTURE) {
+            const int64_t q0 = op_quad_off[op_i], q1 = op_quad_off[op_i+1];
+            if (q1 <= q0) continue;
+            std::vector<uint8_t> grid((size_t)T, 0);
+            for (int64_t q = q0; q < q1; ++q) {
+                const float* Q = &quads[q*12];
+                double xs[4] = { Q[0], Q[0]+Q[2], Q[0]+Q[4], Q[0]+Q[2]+Q[4] };
+                double ys[4] = { Q[1], Q[1]+Q[3], Q[1]+Q[5], Q[1]+Q[3]+Q[5] };
+                double xmn = *std::min_element(xs, xs+4) - 1.0;
+                double xmx = *std::max_element(xs, xs+4) + 1.0;
+                double ymn = *std::min_element(ys, ys+4) - 1.0;
+                double ymx = *std::max_element(ys, ys+4) + 1.0;
+                double qx0 = std::max(xmn, std::max(0.0, (double)sc[0]));
+                double qy0 = std::max(ymn, std::max(0.0, (double)sc[1]));
+                double qx1 = std::min(xmx, std::min((double)width,  (double)sc[2]));
+                double qy1 = std::min(ymx, std::min((double)height, (double)sc[3]));
+                if (qx1 <= qx0 || qy1 <= qy0) continue;
+                int tx0 = (int)(qx0 / tile_w), tx1 = (int)std::ceil(qx1 / tile_w) - 1;
+                int ty0 = (int)(qy0 / tile_h), ty1 = (int)std::ceil(qy1 / tile_h) - 1;
+                for (int ty = ty0; ty <= ty1; ++ty)
+                    for (int tx = tx0; tx <= tx1; ++tx)
+                        grid[(size_t)ty*ntx + tx] = 1;
+            }
+            for (int t = 0; t < T; ++t)
+                if (grid[t]) append_entry(t, nullptr, op_i);
+            continue;
+        }
+
+        // --- edge ops -------------------------------------------------------
+        const int64_t e0 = op_edge_off[op_i], e1 = op_edge_off[op_i+1];
+        if (e1 <= e0) continue;
+
+        // live-edge filter + bbox
+        double gxmin = 1e30, gxmax = -1e30, gymin = 1e30, gymax = -1e30;
+        std::vector<int64_t> live;
+        live.reserve(e1 - e0);
+        for (int64_t e = e0; e < e1; ++e) {
+            const float* P = &edges[e*4];
+            if (!std::isfinite(P[0]) || !std::isfinite(P[1]) ||
+                !std::isfinite(P[2]) || !std::isfinite(P[3])) continue;
+            if (std::fabs((double)P[3] - (double)P[1]) <= 1e-9) continue;
+            live.push_back(e);
+            gxmin = std::min(gxmin, (double)std::min(P[0], P[2]));
+            gxmax = std::max(gxmax, (double)std::max(P[0], P[2]));
+            gymin = std::min(gymin, (double)std::min(P[1], P[3]));
+            gymax = std::max(gymax, (double)std::max(P[1], P[3]));
+        }
+        if (live.empty()) continue;
+
+        double rx0 = std::max(0.0, (double)sc[0]);
+        double ry0 = std::max(std::max(0.0, (double)sc[1]), std::floor(gymin));
+        double rx1 = std::min(std::min((double)width,  (double)sc[2]), std::ceil(gxmax));
+        double ry1 = std::min(std::min((double)height, (double)sc[3]), std::ceil(gymax));
+        if (rx1 <= rx0 || ry1 <= ry0) continue;
+        const int tx0 = (int)(rx0 / tile_w);
+        const int tx1 = (int)std::ceil(rx1 / tile_w) - 1;
+        const int ty0 = (int)(ry0 / tile_h);
+        const int ty1 = (int)std::ceil(ry1 / tile_h) - 1;
+        const int ntx_op = tx1 - tx0 + 1, nty_op = ty1 - ty0 + 1;
+        const size_t ngrid = (size_t)ntx_op * nty_op;
+
+        tile_edge_count.assign(ngrid, 0);
+        bgrid.assign(ngrid * tile_h, 0.0);
+
+        // pass 1: count edge-class pairs per tile + accumulate backdrops
+        for (int64_t li = 0; li < (int64_t)live.size(); ++li) {
+            const float* P = &edges[live[li]*4];
+            double exmin = std::min(P[0], P[2]), exmax = std::max(P[0], P[2]);
+            double eymin = std::min(P[1], P[3]), eymax = std::max(P[1], P[3]);
+            double sgn = (P[3] > P[1]) ? 1.0 : -1.0;
+            int ety_lo = std::max(ifloordiv(eymin, tile_h), ty0);
+            int ety_hi = std::min(ifloordiv(std::ceil(eymax) - 1.0, tile_h), ty1);
+            if (ety_lo > ety_hi) continue;
+            int etx_lo = std::max(ifloordiv(exmin - 1.0, tile_w), tx0);
+            if (etx_lo > tx1) continue;
+            int etx_hi = std::min(ifloordiv(std::ceil(exmax) - 1.0, tile_w), tx1);
+
+            for (int ty = ety_lo; ty <= ety_hi; ++ty) {
+                if (etx_hi >= etx_lo)
+                    for (int tx = etx_lo; tx <= etx_hi; ++tx)
+                        tile_edge_count[(size_t)(ty - ty0)*ntx_op + (tx - tx0)]++;
+                int b_lo = std::max(etx_hi + 1, tx0);
+                if (b_lo <= tx1) {
+                    // row overlaps, added to [b_lo, tx1] (flat accumulate)
+                    double ov[64];
+                    for (int r = 0; r < tile_h; ++r) {
+                        double rowy = (double)ty * tile_h + r;
+                        double o = std::min(eymax, rowy + 1.0) - std::max(eymin, rowy);
+                        ov[r] = sgn * std::max(0.0, std::min(o, 1.0));
+                    }
+                    for (int tx = b_lo; tx <= tx1; ++tx) {
+                        double* B = &bgrid[((size_t)(ty - ty0)*ntx_op + (tx - tx0))*tile_h];
+                        for (int r = 0; r < tile_h; ++r) B[r] += ov[r];
+                    }
+                }
+            }
+        }
+
+        // CSR over tiles (edge ids in edge order)
+        tile_edge_start.assign(ngrid + 1, 0);
+        for (size_t g = 0; g < ngrid; ++g)
+            tile_edge_start[g+1] = tile_edge_start[g] + tile_edge_count[g];
+        const int64_t total_pairs = tile_edge_start[ngrid];
+        pair_tile.assign(total_pairs, 0);
+        tile_fill_pos.assign(ngrid, 0);
+        for (int64_t li = 0; li < (int64_t)live.size(); ++li) {
+            const float* P = &edges[live[li]*4];
+            double exmin = std::min(P[0], P[2]), exmax = std::max(P[0], P[2]);
+            double eymin = std::min(P[1], P[3]), eymax = std::max(P[1], P[3]);
+            int ety_lo = std::max(ifloordiv(eymin, tile_h), ty0);
+            int ety_hi = std::min(ifloordiv(std::ceil(eymax) - 1.0, tile_h), ty1);
+            if (ety_lo > ety_hi) continue;
+            int etx_lo = std::max(ifloordiv(exmin - 1.0, tile_w), tx0);
+            if (etx_lo > tx1) continue;
+            int etx_hi = std::min(ifloordiv(std::ceil(exmax) - 1.0, tile_w), tx1);
+            if (etx_hi < etx_lo) continue;
+            for (int ty = ety_lo; ty <= ety_hi; ++ty)
+                for (int tx = etx_lo; tx <= etx_hi; ++tx) {
+                    size_t g = (size_t)(ty - ty0)*ntx_op + (tx - tx0);
+                    pair_tile[tile_edge_start[g] + tile_fill_pos[g]++] = live[li];
+                }
+        }
+
+        // entries + chunks, row-major over the op grid
+        entry_of_tile.assign(ngrid, -1);
+        for (size_t g = 0; g < ngrid; ++g) {
+            bool has_edges = tile_edge_count[g] > 0;
+            bool has_bd = false;
+            for (int r = 0; r < tile_h && !has_bd; ++r)
+                if (std::fabs(bgrid[g*tile_h + r]) > 1e-9) has_bd = true;
+            if (!has_edges && !has_bd) continue;
+            int ty = (int)(g / ntx_op) + ty0, tx = (int)(g % ntx_op) + tx0;
+            int64_t id = append_entry(ty*ntx + tx, &bgrid[g*tile_h], op_i);
+            entry_of_tile[g] = id;
+
+            if (has_edges) {
+                const double ox = (double)tx * tile_w, oy = (double)ty * tile_h;
+                int n_e = tile_edge_count[g];
+                int n_chunks_here = (n_e + chunk - 1) / chunk;
+                for (int c = 0; c < n_chunks_here; ++c) {
+                    size_t base = C.edges.size();
+                    C.edges.resize(base + (size_t)chunk*4, 0.0f);
+                    int lo = c*chunk, hi = std::min(n_e, lo + chunk);
+                    for (int k = lo; k < hi; ++k) {
+                        const float* P = &edges[pair_tile[tile_edge_start[g] + k]*4];
+                        float* D = &C.edges[base + (size_t)(k - lo)*4];
+                        D[0] = (float)((double)P[0] - ox);
+                        D[1] = (float)((double)P[1] - oy);
+                        D[2] = (float)((double)P[2] - ox);
+                        D[3] = (float)((double)P[3] - oy);
+                    }
+                    C.entry.push_back((int32_t)id);
+                }
+            }
+        }
+    }
+
+    // ---- per-tile draw-ordered table --------------------------------------
+    std::vector<int32_t> tcount((size_t)T, 0);
+    for (size_t i = 0; i < E.size(); ++i) tcount[E.tile[i]]++;
+    int32_t max_ops = 0;
+    for (int t = 0; t < T; ++t) max_ops = std::max(max_ops, tcount[t]);
+    int32_t MO = 4; while (MO < max_ops) MO *= 2;     // pow2 bucket (min 4)
+
+    int32_t* tile_entries = (int32_t*)std::malloc((size_t)T * MO * sizeof(int32_t));
+    for (int64_t i = 0; i < (int64_t)T * MO; ++i) tile_entries[i] = -1;
+    std::vector<int32_t> tpos((size_t)T, 0);
+    for (size_t i = 0; i < E.size(); ++i) {
+        int t = E.tile[i];
+        tile_entries[(size_t)t * MO + tpos[t]++] = (int32_t)i;
+    }
+
+    // ---- export -----------------------------------------------------------
+    auto dupf = [](const std::vector<float>& v) {
+        float* p = (float*)std::malloc(std::max<size_t>(v.size(), 1) * sizeof(float));
+        if (!v.empty()) std::memcpy(p, v.data(), v.size()*sizeof(float));
+        return p;
+    };
+    auto dupi = [](const std::vector<int32_t>& v) {
+        int32_t* p = (int32_t*)std::malloc(std::max<size_t>(v.size(), 1) * sizeof(int32_t));
+        if (!v.empty()) std::memcpy(p, v.data(), v.size()*sizeof(int32_t));
+        return p;
+    };
+
+    out->chunk_edges = dupf(C.edges);
+    out->chunk_entry = dupi(C.entry);
+    out->n_chunks = (int64_t)C.size();
+    out->entry_tile = dupi(E.tile);
+    out->entry_backdrop = dupf(E.backdrop);
+    out->entry_kind = dupi(E.kind);
+    out->entry_rule = dupi(E.rule);
+    out->entry_aa = dupi(E.aa);
+    out->entry_paint_kind = dupi(E.paint_kind);
+    out->entry_paint = dupf(E.paint);
+    out->entry_scissor = dupf(E.scissor);
+    out->entry_image = dupi(E.image);
+    out->entry_op = dupi(E.op);
+    out->n_entries = (int64_t)E.size();
+    out->tile_entries = tile_entries;
+    out->max_ops = MO;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Stroke expansion (mirrors vgtpu/geometry/stroker.py)
+// ---------------------------------------------------------------------------
+
+struct StrokeResult {
+    float* pts;        // concatenated contour points (n,2)
+    int64_t* contour_off; // n_contours+1
+    int64_t n_pts;
+    int32_t n_contours;
+};
+
+void vg_free_stroke(StrokeResult* r) {
+    std::free(r->pts); std::free(r->contour_off);
+    std::memset(r, 0, sizeof(*r));
+}
+
+namespace {
+
+struct V2 { double x, y; };
+inline V2 vsub(V2 a, V2 b) { return {a.x-b.x, a.y-b.y}; }
+inline V2 norm_guard(V2 d) {
+    double l2 = d.x*d.x + d.y*d.y;
+    if (l2 < 1e-5) return {0.0, 0.0};
+    double inv = 1.0 / std::sqrt(l2);
+    return {d.x*inv, d.y*inv};
+}
+inline V2 perp_ccw(V2 d) { return {-d.y, d.x}; }
+
+// one side's points for one joint (mirrors _joint_points lanes)
+void joint_points(std::vector<V2>& out, V2 p, V2 d01, V2 d12,
+                  double hsw, int join, double da, double side)
+{
+    double cross = d12.x*d01.y - d12.y*d01.x;
+    V2 p01 = perp_ccw(d01), p12 = perp_ccw(d12);
+    V2 v;
+    if (std::fabs(cross) > 0.01) v = { (d01.x-d12.x)/cross, (d01.y-d12.y)/cross };
+    else v = p01;
+    V2 extr = { p.x + side*v.x*hsw, p.y + side*v.y*hsw };
+    bool left_inner = (d12.x*v.x + d12.y*v.y) >= 0.0;
+    bool is_inner = side > 0 ? left_inner : !left_inner;
+
+    if (join == 0 /*miter*/ || is_inner) { out.push_back(extr); return; }
+
+    V2 l0 = { side*p01.x, side*p01.y }, l1 = { side*p12.x, side*p12.y };
+    double a0 = std::atan2(l0.y, l0.x), a1 = std::atan2(l1.y, l1.x);
+    double delta = std::fmod(a1 - a0 + M_PI, 2.0*M_PI);
+    if (delta < 0) delta += 2.0*M_PI;
+    delta -= M_PI;
+    int n_arc = (join == 2 /*bevel*/) ? 1
+        : std::min<int>(64, std::max<int>(2, (int)(std::fabs(delta)/da)));
+    for (int k = 0; k <= n_arc; ++k) {
+        double a = a0 + delta * ((double)k / n_arc);
+        out.push_back({ p.x + hsw*std::cos(a), p.y + hsw*std::sin(a) });
+    }
+}
+
+} // namespace
+
+int vg_stroke_outline(
+    const float* pts_in, int64_t n, int32_t closed,
+    float stroke_width, int32_t cap, int32_t join,
+    float scale, float tol,
+    StrokeResult* out)
+{
+    if (n < 2) { std::memset(out, 0, sizeof(*out)); return 0; }
+    const double hsw = stroke_width * 0.5;
+    double sr = (double)scale * std::max(hsw, 1e-6);
+    double da = 2.0 * std::acos(std::min(1.0, std::max(-1.0, sr / (sr + tol))));
+    int n_half = std::max(2, (int)std::ceil(M_PI / da));
+
+    std::vector<V2> P((size_t)n);
+    for (int64_t i = 0; i < n; ++i) P[i] = { pts_in[i*2], pts_in[i*2+1] };
+
+    std::vector<std::vector<V2>> contours;
+
+    if (closed) {
+        std::vector<V2> d((size_t)n);
+        for (int64_t i = 0; i < n; ++i) d[i] = norm_guard(vsub(P[(i+1)%n], P[i]));
+        std::vector<V2> a, b;
+        for (int64_t i = 0; i < n; ++i) {
+            V2 d01 = d[(i+n-1)%n], d12 = d[i];
+            joint_points(a, P[i], d01, d12, hsw, join, da, +1.0);
+            joint_points(b, P[i], d01, d12, hsw, join, da, -1.0);
+        }
+        std::reverse(b.begin(), b.end());
+        contours.push_back(std::move(a));
+        contours.push_back(std::move(b));
+    } else {
+        std::vector<V2> d((size_t)n-1);
+        for (int64_t i = 0; i+1 < n; ++i) d[i] = norm_guard(vsub(P[i+1], P[i]));
+        V2 la0 = perp_ccw(d[0]), la1 = perp_ccw(d[n-2]);
+        double sh0x = 0, sh0y = 0, sh1x = 0, sh1y = 0;
+        if (cap == 2 /*square*/) {
+            sh0x = -d[0].x*hsw;   sh0y = -d[0].y*hsw;
+            sh1x =  d[n-2].x*hsw; sh1y =  d[n-2].y*hsw;
+        }
+        std::vector<V2> fwd, bwd;
+        fwd.push_back({ P[0].x + la0.x*hsw + sh0x, P[0].y + la0.y*hsw + sh0y });
+        bwd.push_back({ P[0].x - la0.x*hsw + sh0x, P[0].y - la0.y*hsw + sh0y });
+        for (int64_t i = 1; i+1 < n; ++i) {
+            joint_points(fwd, P[i], d[i-1], d[i], hsw, join, da, +1.0);
+            joint_points(bwd, P[i], d[i-1], d[i], hsw, join, da, -1.0);
+        }
+        fwd.push_back({ P[n-1].x + la1.x*hsw + sh1x, P[n-1].y + la1.y*hsw + sh1y });
+        bwd.push_back({ P[n-1].x - la1.x*hsw + sh1x, P[n-1].y - la1.y*hsw + sh1y });
+
+        std::vector<V2> contour = fwd;
+        if (cap == 1 /*round*/) {   // end cap A->B, angle decreasing by pi
+            double a0 = std::atan2(la1.y, la1.x);
+            for (int k = 1; k < n_half-1; ++k) {
+                double a = a0 - (double)k * M_PI / (n_half-1);
+                contour.push_back({ P[n-1].x + hsw*std::cos(a), P[n-1].y + hsw*std::sin(a) });
+            }
+        }
+        for (int64_t i = (int64_t)bwd.size()-1; i >= 0; --i) contour.push_back(bwd[i]);
+        if (cap == 1) {             // start cap B->A
+            double a0 = std::atan2(la0.y, la0.x);
+            for (int k = n_half-2; k >= 1; --k) {
+                double a = a0 + (double)k * M_PI / (n_half-1);
+                contour.push_back({ P[0].x + hsw*std::cos(a), P[0].y + hsw*std::sin(a) });
+            }
+        }
+        contours.push_back(std::move(contour));
+    }
+
+    int64_t total = 0;
+    for (auto& c : contours) total += (int64_t)c.size();
+    out->pts = (float*)std::malloc(std::max<int64_t>(total,1)*2*sizeof(float));
+    out->contour_off = (int64_t*)std::malloc((contours.size()+1)*sizeof(int64_t));
+    out->n_pts = total;
+    out->n_contours = (int32_t)contours.size();
+    int64_t w = 0;
+    out->contour_off[0] = 0;
+    for (size_t c = 0; c < contours.size(); ++c) {
+        for (auto& p : contours[c]) { out->pts[w*2] = (float)p.x; out->pts[w*2+1] = (float)p.y; ++w; }
+        out->contour_off[c+1] = w;
+    }
+    return 0;
+}
+
+} // extern "C"

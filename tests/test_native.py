@@ -1,0 +1,94 @@
+"""Native C++ geometry engine vs the numpy reference implementation:
+plans must match array-for-array (the numpy binner is the oracle)."""
+
+import numpy as np
+import pytest
+
+from vgtpu import native
+from vgtpu.core import LineCap, LineJoin
+from vgtpu.geometry import stroker as py_stroker
+from vgtpu.raster.binning import (
+    K_CLIP_ADD,
+    K_CLIP_COMMIT,
+    K_CLIP_RESET,
+    RasterOp,
+    bin_frame,
+    bin_frame_numpy,
+    make_solid_paint,
+)
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+def _rand_ops(rng, n_ops=12, w=300, h=150):
+    ops = []
+    for i in range(n_ops):
+        k = rng.uniform()
+        if k < 0.08:
+            ops.append(RasterOp(kind=K_CLIP_RESET))
+            continue
+        npts = int(rng.integers(3, 14))
+        pts = rng.uniform(-20, max(w, h) + 20, (npts, 2))
+        nxt = np.roll(pts, -1, axis=0)
+        edges = np.concatenate([pts, nxt], axis=1).astype(np.float32)
+        sciss = None
+        if rng.uniform() < 0.3:
+            x0, y0 = rng.uniform(0, w / 2), rng.uniform(0, h / 2)
+            sciss = (x0, y0, x0 + rng.uniform(10, w), y0 + rng.uniform(10, h))
+        ops.append(
+            RasterOp(
+                kind=K_CLIP_ADD if k < 0.15 else 0,
+                edges=edges,
+                fill_rule=int(rng.integers(0, 2)),
+                aa=bool(rng.integers(0, 2)),
+                paint=make_solid_paint(rng.uniform(0, 1, 4).astype(np.float32)),
+                scissor=sciss,
+            )
+        )
+        if k < 0.15:
+            ops.append(RasterOp(kind=K_CLIP_COMMIT))
+    return ops
+
+
+def test_native_matches_numpy_on_random_scenes():
+    rng = np.random.default_rng(3)
+    for trial in range(8):
+        ops = _rand_ops(rng)
+        a = bin_frame(ops, 300, 150, backend="auto")
+        b = bin_frame_numpy(ops, 300, 150)
+        assert a.stats.get("backend") == "native"
+        assert a.stats["entries"] == b.stats["entries"], trial
+        assert a.stats["chunks"] == b.stats["chunks"], trial
+        assert a.stats["max_ops_per_tile"] == b.stats["max_ops_per_tile"]
+        np.testing.assert_array_equal(a.entry_tile, b.entry_tile)
+        np.testing.assert_array_equal(a.entry_kind, b.entry_kind)
+        np.testing.assert_array_equal(a.entry_rule, b.entry_rule)
+        np.testing.assert_array_equal(a.entry_aa, b.entry_aa)
+        np.testing.assert_array_equal(a.chunk_entry, b.chunk_entry)
+        np.testing.assert_array_equal(a.tile_entries, b.tile_entries)
+        np.testing.assert_allclose(a.entry_backdrop, b.entry_backdrop, atol=1e-5)
+        np.testing.assert_allclose(a.chunk_edges, b.chunk_edges, atol=1e-5)
+        np.testing.assert_allclose(a.entry_paint, b.entry_paint)
+        np.testing.assert_allclose(a.entry_scissor, b.entry_scissor)
+
+
+def test_native_stroker_matches_numpy():
+    """The numpy stroker pads joints to a uniform K (degenerate repeats);
+    the native one emits exact counts — geometry must rasterize identically."""
+    from vgtpu.fonts.truetype import _edge_coverage_np
+
+    rng = np.random.default_rng(5)
+    for closed in (False, True):
+        for cap in (LineCap.Butt, LineCap.Round, LineCap.Square):
+            for join in (LineJoin.Miter, LineJoin.Round, LineJoin.Bevel):
+                pts = rng.uniform(20, 180, (7, 2)).astype(np.float32)
+                a = native.stroke_outline_native(pts, closed, 9.0, cap, join, 1.0, 0.25)
+                b = py_stroker.stroke_outline(pts, closed, 9.0, cap, join, 1.0, 0.25)
+                assert a is not None
+                assert len(a) == len(b)
+                ea = py_stroker.contours_to_edges([c.astype(np.float32) for c in a])
+                eb = py_stroker.contours_to_edges(b)
+                cov_a = _edge_coverage_np(ea, 200, 200)
+                cov_b = _edge_coverage_np(eb, 200, 200)
+                np.testing.assert_allclose(cov_a, cov_b, atol=2e-3,
+                                           err_msg=str((closed, cap, join)))

@@ -58,13 +58,25 @@ def stroke_outline(
     line_join: int,
     scale: float = 1.0,
     tol: float = 0.25,
+    backend: str = "auto",
 ) -> list[np.ndarray]:
     """Expand a polyline into closed outline contour(s).
 
     pts: (N,2) float32 screen-space polyline (N>=2).
     Returns a list of (M,2) float32 closed polygons (open path -> 1 contour;
     closed path -> 2 nested contours, matching the reference's two strips).
+
+    backend='auto' uses the native C++ engine when built (coverage-identical,
+    validated in tests/test_native.py); this numpy body is the oracle.
     """
+    if backend == "auto" and len(pts) >= 2:
+        from vgtpu import native
+
+        res = native.stroke_outline_native(
+            pts, closed, stroke_width, line_cap, line_join, scale, tol
+        )
+        if res is not None:
+            return [c.astype(np.float32) for c in res]
     pts = np.asarray(pts, dtype=np.float64)
     n = len(pts)
     if n < 2:

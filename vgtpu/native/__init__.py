@@ -1,0 +1,236 @@
+"""ctypes loader for the native geometry engine (native/vg_native.cpp).
+
+Builds the shared library on demand with g++ (cached next to this file).
+Everything degrades gracefully to the numpy implementations when the
+toolchain is unavailable (VGTPU_NO_NATIVE=1 forces the numpy path).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "vg_native.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "libvgnative.so")
+
+_lib = None
+_tried = False
+
+
+class _BinResult(ctypes.Structure):
+    _fields_ = [
+        ("chunk_edges", ctypes.POINTER(ctypes.c_float)),
+        ("chunk_entry", ctypes.POINTER(ctypes.c_int32)),
+        ("n_chunks", ctypes.c_int64),
+        ("entry_tile", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_backdrop", ctypes.POINTER(ctypes.c_float)),
+        ("entry_kind", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_rule", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_aa", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_paint_kind", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_paint", ctypes.POINTER(ctypes.c_float)),
+        ("entry_scissor", ctypes.POINTER(ctypes.c_float)),
+        ("entry_image", ctypes.POINTER(ctypes.c_int32)),
+        ("entry_op", ctypes.POINTER(ctypes.c_int32)),
+        ("n_entries", ctypes.c_int64),
+        ("tile_entries", ctypes.POINTER(ctypes.c_int32)),
+        ("max_ops", ctypes.c_int32),
+    ]
+
+
+class _StrokeResult(ctypes.Structure):
+    _fields_ = [
+        ("pts", ctypes.POINTER(ctypes.c_float)),
+        ("contour_off", ctypes.POINTER(ctypes.c_int64)),
+        ("n_pts", ctypes.c_int64),
+        ("n_contours", ctypes.c_int32),
+    ]
+
+
+def _build() -> bool:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             src, "-o", _LIB],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"[vgtpu.native] build failed: {e}", file=sys.stderr)
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("VGTPU_NO_NATIVE"):
+        return None
+    src_mtime = os.path.getmtime(_SRC) if os.path.exists(_SRC) else 0
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < src_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError as e:
+        print(f"[vgtpu.native] load failed: {e}", file=sys.stderr)
+        return None
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vg_bin_frame.restype = ctypes.c_int
+    lib.vg_bin_frame.argtypes = [
+        c_f32p, c_i64p, c_f32p, c_i64p,
+        c_i32p, c_i32p, c_i32p, c_i32p,
+        c_f32p, c_f32p, c_i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(_BinResult),
+    ]
+    lib.vg_free_result.argtypes = [ctypes.POINTER(_BinResult)]
+    lib.vg_stroke_outline.restype = ctypes.c_int
+    lib.vg_stroke_outline.argtypes = [
+        c_f32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(_StrokeResult),
+    ]
+    lib.vg_free_stroke.argtypes = [ctypes.POINTER(_StrokeResult)]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _ip(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _lp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def bin_frame_native(ops, width, height, tile_h, tile_w, chunk):
+    """Run the native binner; returns raw (unpadded) result dict or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from vgtpu.raster.binning import PAINT_NF
+
+    n = len(ops)
+    edge_parts, quad_parts = [], []
+    edge_off = np.zeros(n + 1, np.int64)
+    quad_off = np.zeros(n + 1, np.int64)
+    kind = np.zeros(n, np.int32)
+    rule = np.zeros(n, np.int32)
+    aa = np.zeros(n, np.int32)
+    pk = np.zeros(n, np.int32)
+    paint = np.zeros((n, PAINT_NF), np.float32)
+    sciss = np.zeros((n, 4), np.float32)
+    image = np.full(n, -1, np.int32)
+    for i, op in enumerate(ops):
+        e = op.edges if (op.edges is not None and op.paint_kind != 3) else None
+        q = op.tex_quads if op.paint_kind == 3 else None
+        if e is not None and len(e):
+            edge_parts.append(np.ascontiguousarray(e, np.float32))
+        edge_off[i + 1] = edge_off[i] + (len(e) if e is not None else 0)
+        if q is not None and len(q):
+            quad_parts.append(np.ascontiguousarray(q, np.float32))
+        quad_off[i + 1] = quad_off[i] + (len(q) if q is not None else 0)
+        kind[i] = op.kind
+        rule[i] = op.fill_rule
+        aa[i] = 1 if op.aa else 0
+        pk[i] = op.paint_kind
+        if op.paint is not None:
+            paint[i] = op.paint
+        sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
+        sciss[i] = sc
+        image[i] = op.image_id
+
+    edges = (np.concatenate(edge_parts, axis=0) if edge_parts
+             else np.zeros((0, 4), np.float32))
+    tquads = (np.concatenate(quad_parts, axis=0) if quad_parts
+              else np.zeros((0, 12), np.float32))
+    edges = np.ascontiguousarray(edges, np.float32)
+    tquads = np.ascontiguousarray(tquads, np.float32)
+
+    res = _BinResult()
+    rc = lib.vg_bin_frame(
+        _fp(edges), _lp(edge_off), _fp(tquads), _lp(quad_off),
+        _ip(kind), _ip(rule), _ip(aa), _ip(pk),
+        _fp(paint), _fp(sciss), _ip(image),
+        n, width, height, tile_h, tile_w, chunk,
+        ctypes.byref(res),
+    )
+    if rc != 0:
+        return None
+
+    ne = int(res.n_entries)
+    nc = int(res.n_chunks)
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    T = ntx * nty
+    mo = int(res.max_ops)
+
+    def arr(ptr, shape, dtype):
+        if np.prod(shape) == 0:
+            return np.zeros(shape, dtype)
+        return np.ctypeslib.as_array(ptr, shape=(int(np.prod(shape)),)).astype(dtype, copy=True).reshape(shape)
+
+    out = {
+        "chunk_edges": arr(res.chunk_edges, (nc, chunk, 4), np.float32),
+        "chunk_entry": arr(res.chunk_entry, (nc,), np.int32),
+        "entry_tile": arr(res.entry_tile, (ne,), np.int32),
+        "entry_backdrop": arr(res.entry_backdrop, (ne, tile_h), np.float32),
+        "entry_kind": arr(res.entry_kind, (ne,), np.int32),
+        "entry_rule": arr(res.entry_rule, (ne,), np.int32),
+        "entry_aa": arr(res.entry_aa, (ne,), np.int32),
+        "entry_paint_kind": arr(res.entry_paint_kind, (ne,), np.int32),
+        "entry_paint": arr(res.entry_paint, (ne, PAINT_NF), np.float32),
+        "entry_scissor": arr(res.entry_scissor, (ne, 4), np.float32),
+        "entry_image": arr(res.entry_image, (ne,), np.int32),
+        "entry_op": arr(res.entry_op, (ne,), np.int32),
+        "tile_entries": arr(res.tile_entries, (T, mo), np.int32),
+        "n_entries": ne,
+        "n_chunks": nc,
+        "max_ops": mo,
+    }
+    lib.vg_free_result(ctypes.byref(res))
+    return out
+
+
+def stroke_outline_native(pts, closed, width, cap, join, scale, tol):
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, np.float32)
+    res = _StrokeResult()
+    rc = lib.vg_stroke_outline(
+        _fp(pts), len(pts), 1 if closed else 0,
+        ctypes.c_float(width), cap, join,
+        ctypes.c_float(scale), ctypes.c_float(tol),
+        ctypes.byref(res),
+    )
+    if rc != 0 or res.n_contours == 0:
+        if res.n_contours == 0:
+            return []
+        return None
+    off = np.ctypeslib.as_array(res.contour_off, shape=(res.n_contours + 1,)).copy()
+    flat = np.ctypeslib.as_array(res.pts, shape=(int(res.n_pts) * 2,)).copy().reshape(-1, 2)
+    contours = [flat[off[i] : off[i + 1]].copy() for i in range(res.n_contours)]
+    lib.vg_free_stroke(ctypes.byref(res))
+    return contours

@@ -121,6 +121,77 @@ def bin_frame(
     tile_w: int = 128,
     chunk: int = 32,
     color_tiles: np.ndarray | None = None,
+    backend: str = "auto",
+) -> FramePlan:
+    """Coarse-rasterize a frame.  backend: 'auto' uses the native C++ engine
+    when built (vgtpu/native), 'numpy' forces the reference implementation."""
+    if backend == "auto":
+        from vgtpu import native
+
+        raw = native.bin_frame_native(ops, width, height, tile_h, tile_w, chunk)
+        if raw is not None:
+            return _assemble_native(raw, width, height, tile_h, tile_w, chunk, color_tiles)
+    return bin_frame_numpy(ops, width, height, tile_h, tile_w, chunk, color_tiles)
+
+
+def _assemble_native(raw, width, height, tile_h, tile_w, chunk, color_tiles) -> FramePlan:
+    """Pad the native binner's raw arrays to device buckets (same padding as
+    the numpy assembly below)."""
+    ntx = -(-width // tile_w)
+    nty = -(-height // tile_h)
+    n_entries = raw["n_entries"]
+    n_chunks = raw["n_chunks"]
+    NE = _bucket(max(n_entries, 1))
+    NC = _bucket(max(n_chunks, 1))
+
+    def pad(a, n, fill=0):
+        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    chunk_entry = pad(raw["chunk_entry"], NC, fill=NE - 1)
+    if color_tiles is None or len(color_tiles) == 0:
+        color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
+
+    return FramePlan(
+        width=width, height=height, ntx=ntx, nty=nty,
+        tile_h=tile_h, tile_w=tile_w,
+        chunk_edges=pad(raw["chunk_edges"], NC),
+        chunk_entry=chunk_entry,
+        entry_tile=pad(raw["entry_tile"], NE),
+        entry_backdrop=pad(raw["entry_backdrop"], NE),
+        entry_kind=pad(raw["entry_kind"], NE, fill=K_DRAW),
+        entry_rule=pad(raw["entry_rule"], NE),
+        entry_aa=pad(raw["entry_aa"], NE),
+        entry_paint_kind=pad(raw["entry_paint_kind"], NE),
+        entry_paint=pad(raw["entry_paint"], NE),
+        entry_scissor=pad(raw["entry_scissor"], NE),
+        entry_image=pad(raw["entry_image"], NE, fill=-1),
+        entry_op=pad(raw["entry_op"], NE, fill=-1),
+        entry_color_tile=np.full(NE, -1, np.int32),
+        tile_entries=raw["tile_entries"],
+        color_tiles=color_tiles.astype(np.float32),
+        n_real_entries=n_entries,
+        n_real_chunks=n_chunks,
+        stats={
+            "entries": n_entries, "chunks": n_chunks,
+            "max_ops_per_tile": int(
+                np.bincount(raw["entry_tile"], minlength=ntx * nty).max()
+            ) if n_entries else 0,
+            "tiles": ntx * nty,
+            "backend": "native",
+        },
+    )
+
+
+def bin_frame_numpy(
+    ops: list[RasterOp],
+    width: int,
+    height: int,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    chunk: int = 32,
+    color_tiles: np.ndarray | None = None,
 ) -> FramePlan:
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
