@@ -26,10 +26,10 @@ import sys
 import time
 
 
-def measure(reps: int = 30, warmup: int = 3) -> dict:
+def measure(reps: int = 32, warmup: int = 3) -> dict:
     import numpy as np
     import vgtpu as vg
-    from vgtpu.raster.frame import execute_plan
+    from vgtpu.raster.benchloop import measure_device_ms_per_frame
     from vgtpu.scenes.demo_ui import draw_benchmark_frame
 
     ctx = vg.createContext()
@@ -46,15 +46,8 @@ def measure(reps: int = 30, warmup: int = 3) -> dict:
     d = ctx.last_device_arrays
     bg = (0.12, 0.12, 0.13, 1.0)
 
-    for _ in range(warmup):
-        execute_plan(plan, background=bg, device_arrays=d).block_until_ready()
-    t3 = time.perf_counter()
-    for _ in range(reps):
-        out = execute_plan(plan, background=bg, device_arrays=d)
-    out.block_until_ready()
-    t4 = time.perf_counter()
-
-    frame_ms = (t4 - t3) / reps * 1e3
+    # chained on-device loop: immune to async-dispatch timing artifacts
+    frame_ms = measure_device_ms_per_frame(plan, d, bg, reps_hi=reps, reps_lo=warmup)
     return {
         "record_ms": (t1 - t0) * 1e3,
         "cold_bin_exec_ms": (t2 - t1) * 1e3,

@@ -179,6 +179,39 @@ def composite_tiles_body(
     return fb
 
 
+def composite_bucketed_body(
+    entry_w,
+    buckets,            # list of (tile_entries_b (Nb,MOb), tile_ids_b (Nb,))
+    entry_kind,
+    entry_rule,
+    entry_aa,
+    entry_paint_kind,
+    entry_paint,
+    entry_scissor,
+    entry_color_tile,
+    color_tiles,
+    background,
+    *,
+    ntx: int,
+    tile_h: int,
+    tile_w: int,
+    num_tiles: int,
+):
+    """Composite with tiles grouped by op-count bucket: each group scans only
+    as many painter slots as its busiest tile needs; op-free tiles never run.
+    Output row num_tiles is a scratch target for bucket padding."""
+    fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
+    for te_b, ids_b in buckets:
+        fb_b = composite_tiles_body(
+            entry_w, te_b, ids_b,
+            entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
+            entry_scissor, entry_color_tile, color_tiles, background,
+            ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=te_b.shape[1],
+        )
+        fb = fb.at[ids_b].set(fb_b)
+    return fb[:num_tiles]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ntx", "tile_h", "tile_w", "max_ops", "num_tiles"),

@@ -1,0 +1,85 @@
+"""Honest device timing: render N chained frames inside one jitted fori_loop.
+
+The axon TPU tunnel's block_until_ready does not actually synchronize, so
+naive dispatch loops measure enqueue latency (we caught this calibrating
+against a known-FLOP matmul).  Here every iteration perturbs the edge buffer
+with a scalar derived from the previous frame's pixels — a true serial
+dependency through the ENTIRE pipeline (coverage included), so XLA can
+neither hoist loop-invariant stages nor dedupe dispatches, and the final
+scalar fetch forces completion of all N frames.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vgtpu.ops.composite import composite_bucketed_body
+from vgtpu.ops.coverage import coverage_chunks_body
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_frames", "ntx", "num_tiles", "tile_h", "tile_w", "num_entries"),
+)
+def chained_frames(
+    chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
+    entry_aa, entry_paint_kind, entry_paint, entry_scissor,
+    entry_color_tile, color_tiles, buckets, background,
+    *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
+    num_entries: int,
+):
+    def one_frame(eps):
+        ce = chunk_edges + eps
+        chunk_cov = coverage_chunks_body(ce, tile_h, tile_w)
+        entry_cov = jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+        entry_w = entry_cov + entry_backdrop[:, :, None]
+        fb = composite_bucketed_body(
+            entry_w, buckets,
+            entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
+            entry_scissor, entry_color_tile, color_tiles, background + eps,
+            ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+        )
+        return fb
+
+    def body(i, eps):
+        fb = one_frame(eps)
+        # fold a pixel back into the next frame's inputs (true dependency)
+        return fb[0, 0, 0, 3] * 1e-7
+
+    return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+
+def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> float:
+    """Run chained loops of two lengths and difference out fixed overhead."""
+    import time
+
+    import numpy as np
+
+    args = (
+        d["chunk_edges"], d["chunk_entry"], d["entry_backdrop"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"],
+        d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
+        d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],
+        jnp.asarray(np.asarray(background, np.float32)),
+    )
+    kw = dict(
+        ntx=plan.ntx, num_tiles=plan.tile_entries.shape[0],
+        tile_h=plan.tile_h, tile_w=plan.tile_w,
+        num_entries=d["entry_backdrop"].shape[0],
+    )
+
+    def run(n):
+        out = chained_frames(*args, n_frames=n, **kw)
+        return float(np.asarray(out))  # scalar fetch = full sync
+
+    run(reps_lo)  # compile both variants
+    run(reps_hi)
+    t0 = time.perf_counter()
+    run(reps_lo)
+    t1 = time.perf_counter()
+    run(reps_hi)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (reps_hi - reps_lo) * 1e3

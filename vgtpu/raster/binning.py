@@ -100,13 +100,49 @@ class FramePlan:
     tile_entries: np.ndarray     # (T, MAX_OPS) i32 entry ids, -1 padded
     # aux color tiles for textured entries (text/images), premultiplied RGBA
     color_tiles: np.ndarray      # (NCT, tile_h, tile_w, 4) f32
+    tile_buckets: list | None = None  # [(tile_entries_b, tile_ids_b)] by op count
     n_real_entries: int = 0
     n_real_chunks: int = 0
     stats: dict = field(default_factory=dict)
 
 
+def compute_tile_buckets(tile_entries: np.ndarray, num_tiles: int) -> list:
+    """Group tiles by painter-depth: tiles with n ops scan only the smallest
+    power-of-two slot count >= n; op-free tiles are skipped entirely.  Padding
+    rows target the scratch tile id == num_tiles."""
+    counts = (tile_entries >= 0).sum(axis=1)
+    width = tile_entries.shape[1]
+    buckets = []
+    prev = 0
+    mo = 4
+    while prev < width:
+        mo_c = min(mo, width)
+        sel = np.nonzero((counts > prev) & (counts <= mo_c))[0]
+        if len(sel):
+            n_pad = _bucket(len(sel), minimum=8)
+            ids = np.full(n_pad, num_tiles, np.int32)
+            ids[: len(sel)] = sel
+            te_b = np.full((n_pad, mo_c), -1, np.int32)
+            te_b[: len(sel)] = tile_entries[sel, :mo_c]
+            buckets.append((te_b, ids))
+        prev = mo_c
+        mo *= 4
+    return buckets
+
+
 def _bucket(n: int, minimum: int = 16) -> int:
-    """Round up to a power of two to bound the number of compiled programs."""
+    """Round up to the next {2^k, 1.5*2^k} size: bounds compiled-program count
+    while keeping padding waste under ~25%."""
+    b = minimum
+    while True:
+        if b >= n:
+            return b
+        if (b * 3) // 2 >= n:
+            return (b * 3) // 2
+        b *= 2
+
+
+def _bucket_pow2(n: int, minimum: int = 4) -> int:
     b = minimum
     while b < n:
         b *= 2
@@ -119,7 +155,7 @@ def bin_frame(
     height: int,
     tile_h: int = 8,
     tile_w: int = 128,
-    chunk: int = 32,
+    chunk: int = 8,
     color_tiles: np.ndarray | None = None,
     backend: str = "auto",
 ) -> FramePlan:
@@ -190,7 +226,7 @@ def bin_frame_numpy(
     height: int,
     tile_h: int = 8,
     tile_w: int = 128,
-    chunk: int = 32,
+    chunk: int = 8,
     color_tiles: np.ndarray | None = None,
 ) -> FramePlan:
     ntx = -(-width // tile_w)
@@ -444,7 +480,7 @@ def bin_frame_numpy(
     et = entry_tile[:n_entries].astype(np.int64)
     counts = np.bincount(et, minlength=T)
     max_ops = int(counts.max()) if n_entries else 0
-    MAX_OPS = _bucket(max(max_ops, 1), minimum=4)
+    MAX_OPS = _bucket_pow2(max(max_ops, 1), minimum=4)  # matches native table stride
     tile_entries = np.full((T, MAX_OPS), -1, np.int32)
     if n_entries:
         order = np.lexsort((np.arange(n_entries), et))

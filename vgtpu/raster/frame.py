@@ -3,54 +3,63 @@ vg.cpp:1076-1288, minus bgfx: upload arrays once, run the jitted pipeline)."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vgtpu.ops.composite import composite_tiles, tiles_to_image
-from vgtpu.ops.coverage import accumulate_entries, coverage_chunks
-from vgtpu.raster.binning import FramePlan
+from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
+from vgtpu.ops.coverage import coverage_chunks_body
+from vgtpu.raster.binning import FramePlan, compute_tile_buckets
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width", "height"),
+)
+def _frame_fn(
+    chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
+    entry_aa, entry_paint_kind, entry_paint, entry_scissor,
+    entry_color_tile, color_tiles, buckets, background,
+    *, num_entries, ntx, nty, tile_h, tile_w, width, height,
+):
+    """The whole device frame in ONE compiled program."""
+    chunk_cov = coverage_chunks_body(chunk_edges, tile_h, tile_w)
+    entry_cov = jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+    entry_w = entry_cov + entry_backdrop[:, :, None]
+    fb = composite_bucketed_body(
+        entry_w, buckets,
+        entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
+        entry_scissor, entry_color_tile, color_tiles, background,
+        ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=ntx * nty,
+    )
+    return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h, tile_w=tile_w,
+                          width=width, height=height)
 
 
 def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
     """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
     d = device_arrays if device_arrays is not None else plan_to_device(plan)
-
-    chunk_cov = coverage_chunks(d["chunk_edges"], plan.tile_h, plan.tile_w)
-    entry_cov = accumulate_entries(chunk_cov, d["chunk_entry"], num_entries=d["chunk_entry_num"])
-    entry_w = entry_cov + d["entry_backdrop"][:, :, None]
-
-    fb_tiles = composite_tiles(
-        entry_w,
-        d["tile_entries"],
-        d["entry_kind"],
-        d["entry_rule"],
-        d["entry_aa"],
-        d["entry_paint_kind"],
-        d["entry_paint"],
-        d["entry_scissor"],
-        d["entry_color_tile"],
-        d["color_tiles"],
+    return _frame_fn(
+        d["chunk_edges"], d["chunk_entry"], d["entry_backdrop"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"],
+        d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
+        d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],
         jnp.asarray(np.asarray(background, np.float32)),
-        ntx=plan.ntx,
-        tile_h=plan.tile_h,
-        tile_w=plan.tile_w,
-        max_ops=plan.tile_entries.shape[1],
-        num_tiles=plan.tile_entries.shape[0],
-    )
-    return tiles_to_image(
-        fb_tiles,
-        ntx=plan.ntx,
-        nty=plan.nty,
-        tile_h=plan.tile_h,
-        tile_w=plan.tile_w,
-        width=plan.width,
-        height=plan.height,
+        num_entries=d["chunk_entry_num"],
+        ntx=plan.ntx, nty=plan.nty,
+        tile_h=plan.tile_h, tile_w=plan.tile_w,
+        width=plan.width, height=plan.height,
     )
 
 
 def plan_to_device(plan: FramePlan) -> dict:
     """Upload the plan's arrays once (command lists / caches stay resident)."""
+    if plan.tile_buckets is None:
+        plan.tile_buckets = compute_tile_buckets(
+            plan.tile_entries, plan.tile_entries.shape[0]
+        )
     return {
         "chunk_edges": jnp.asarray(plan.chunk_edges),
         "chunk_entry": jnp.asarray(plan.chunk_entry),
@@ -65,6 +74,9 @@ def plan_to_device(plan: FramePlan) -> dict:
         "entry_color_tile": jnp.asarray(plan.entry_color_tile),
         "color_tiles": jnp.asarray(plan.color_tiles),
         "tile_entries": jnp.asarray(plan.tile_entries),
+        "tile_buckets": tuple(
+            (jnp.asarray(te), jnp.asarray(ids)) for te, ids in plan.tile_buckets
+        ),
     }
 
 
