@@ -142,4 +142,8 @@ def test_depth_limit():
     vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
     vg.endCommandList(ctx)
     vg.submitCommandList(ctx, cl)     # must terminate (depth cap 16)
-    assert len(ctx.ops) == 16
+    # the 16 identical fills merge into one op (allocDrawCommand-style
+    # batching); the depth cap shows as 16 rect loops of 4 edges
+    ctx._finalize_ops()
+    total_edges = sum(len(op.edges) for op in ctx.ops)
+    assert total_edges == 16 * 4

@@ -146,9 +146,9 @@ def test_inner_corner_overlap_stays_solid():
     # may go negative/hollow.
     pts = [(20, 30), (32, 26), (44, 30)]
     got = render_stroke(pts, False, 16.0, LineCap.Butt, LineJoin.Miter, 64, 64)
-    assert got[30, 32] == 1.0   # interior
-    assert got[33, 32] == 1.0   # inside inner corner (y < 34.43)
-    assert got[28, 26] == 1.0   # first segment band
+    assert got[30, 32] > 0.999   # interior
+    assert got[33, 32] > 0.999   # inside inner corner (y < 34.43)
+    assert got[28, 26] > 0.999   # first segment band
     assert got.min() >= 0.0 and np.isfinite(got).all()
 
 

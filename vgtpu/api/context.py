@@ -238,6 +238,7 @@ class Context:
         """Bin + execute the frame on device; returns premultiplied (H,W,4)."""
         if background is not None:
             self.background = tuple(background)
+        self._finalize_ops()
         plan = bin_frame(
             self.ops,
             self.canvas_width,
@@ -371,7 +372,38 @@ class Context:
         return (float(s[0]), float(s[1]), float(s[0] + s[2]), float(s[1] + s[3]))
 
     def _emit(self, op: RasterOp) -> None:
+        """Append a frame op, merging with the previous one when safe — the
+        analogue of allocDrawCommand's same-state batching (vg.cpp:5359-5380).
+        Merging is restricted to opaque solid NonZero draws whose geometry is
+        orientation-normalized, where union coverage == sequential blending."""
+        prev = self.ops[-1] if self.ops else None
+        if (
+            prev is not None
+            and op.mergeable
+            and prev.mergeable
+            and op.kind == 0
+            and prev.kind == 0
+            and op.paint_kind == P_SOLID
+            and prev.paint_kind == P_SOLID
+            and op.fill_rule == FillRule.NonZero
+            and prev.fill_rule == FillRule.NonZero
+            and op.aa == prev.aa
+            and op.scissor == prev.scissor
+            and op.paint is not None
+            and prev.paint is not None
+            and op.paint[13] >= 1.0
+            and np.array_equal(op.paint, prev.paint)
+        ):
+            if not isinstance(prev.edges, list):
+                prev.edges = [prev.edges]
+            prev.edges.append(op.edges)
+            return
         self.ops.append(op)
+
+    def _finalize_ops(self) -> None:
+        for op in self.ops:
+            if isinstance(op.edges, list):
+                op.edges = np.concatenate(op.edges, axis=0)
 
     # -- fills / strokes ----------------------------------------------------
     def fillPath(self, paint_or_color, flags: int, color_modulate=None) -> None:
@@ -404,7 +436,9 @@ class Context:
             for first, count, _closed in subs:
                 if count < 3:
                     continue
-                self._emit(mk(polyline_to_fill_edges(verts[first : first + count])))
+                op = mk(polyline_to_fill_edges(verts[first : first + count], normalize=True))
+                op.mergeable = not self._recording_clip
+                self._emit(op)
                 if self._recording_clip:
                     self._clip_shapes_recorded += 1
         else:
@@ -475,6 +509,7 @@ class Context:
                     kind=kind, edges=edges, fill_rule=FillRule.NonZero, aa=aa,
                     paint_kind=pk, paint=paint, scissor=sciss,
                     image_id=(img.idx if img is not None else -1),
+                    mergeable=not self._recording_clip,
                 )
             )
             if self._recording_clip:

@@ -76,7 +76,7 @@ def stroke_outline(
             pts, closed, stroke_width, line_cap, line_join, scale, tol
         )
         if res is not None:
-            return [c.astype(np.float32) for c in res]
+            return _normalize_orientation([c.astype(np.float32) for c in res])
     pts = np.asarray(pts, dtype=np.float64)
     n = len(pts)
     if n < 2:
@@ -94,10 +94,10 @@ def stroke_outline(
         d12 = d                                              # outgoing dir at joint i
         side_a = _joint_points(pts, d01, d12, hsw, line_join, da, +1.0)
         side_b = _joint_points(pts, d01, d12, hsw, line_join, da, -1.0)
-        return [
+        return _normalize_orientation([
             side_a.reshape(-1, 2).astype(np.float32),
             side_b.reshape(-1, 2)[::-1].astype(np.float32),
-        ]
+        ])
 
     # open path
     d = _normalize(pts[1:] - pts[:-1])                       # (n-1,2)
@@ -145,7 +145,27 @@ def stroke_outline(
         parts_fwd + [end_cap] + [p[::-1] for p in reversed(parts_bwd)] + [start_cap],
         axis=0,
     )
-    return [contour.astype(np.float32)]
+    return _normalize_orientation([contour.astype(np.float32)])
+
+
+def signed_area(c: np.ndarray) -> float:
+    """Shoelace signed area of a closed polygon (y-down: CW on screen > 0)."""
+    x, y = c[:, 0], c[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _normalize_orientation(contours: list[np.ndarray]) -> list[np.ndarray]:
+    """Canonical winding so that identically-painted opaque draws can merge
+    into one op without cancellation (see Context._emit): the largest contour
+    winds positive, all others keep their sign relative to it (preserving
+    ring holes of closed strokes)."""
+    if not contours:
+        return contours
+    areas = [signed_area(c) for c in contours]
+    dominant = max(range(len(contours)), key=lambda i: abs(areas[i]))
+    if areas[dominant] < 0.0:
+        contours = [c[::-1].copy() for c in contours]
+    return contours
 
 
 def _joint_points(
@@ -217,10 +237,13 @@ def contours_to_edges(contours: list[np.ndarray]) -> np.ndarray:
     return np.concatenate(segs, axis=0).astype(np.float32)
 
 
-def polyline_to_fill_edges(pts: np.ndarray) -> np.ndarray:
+def polyline_to_fill_edges(pts: np.ndarray, normalize: bool = False) -> np.ndarray:
     """Subpath polyline -> closed-contour edges for filling (implicit close,
-    like the reference's fill paths which treat every subpath as a loop)."""
+    like the reference's fill paths which treat every subpath as a loop).
+    normalize=True flips negative-area loops so same-paint fills can merge."""
     if len(pts) < 3:
         return np.zeros((0, 4), np.float32)
+    if normalize and signed_area(np.asarray(pts, np.float64)) < 0.0:
+        pts = pts[::-1]
     nxt = np.roll(pts, -1, axis=0)
     return np.concatenate([pts, nxt], axis=1).astype(np.float32)

@@ -30,32 +30,34 @@ def _edge_contribution(px, py, x0, y0, x1, y1):
     px,py: (..., TH, TW) pixel corner coordinates.
     x0..y1: broadcastable edge coordinates.
     Exact integral of clamp(px+1 - x(y), 0, 1) over the pixel's y-slab.
+
+    Division-free per pixel: with u(y) = px+1-x(y) linear (du/dy = -m),
+       ∫ clamp(u) dy = (G(u0) - G(u1)) / m,      G(u) = c·(u - c/2),
+    where c = clamp(u,0,1) — G needs no piecewise selects.  1/m is a
+    per-EDGE scalar; near-vertical edges (|m| tiny) use the constant-u
+    midpoint rule instead (error ≤ |m|·h/2 ≤ 0.005 coverage).
     """
     ymin = jnp.minimum(y0, y1)
     ymax = jnp.maximum(y0, y1)
-    ytop = jnp.maximum(ymin, py)
-    ybot = jnp.minimum(ymax, py + 1.0)
-    h = jnp.maximum(ybot - ytop, 0.0)
     s = jnp.sign(y1 - y0)
-
     dy = y1 - y0
-    inv_dy = 1.0 / jnp.where(jnp.abs(dy) < _EPS, 1.0, dy)
-    m = (x1 - x0) * inv_dy
-    xa = x0 + m * (ytop - y0)
-    xb = x0 + m * (ybot - y0)
-    u0 = (px + 1.0) - xa
-    u1 = (px + 1.0) - xb
+    m = (x1 - x0) / jnp.where(jnp.abs(dy) < _EPS, 1.0, dy)
+    steep = jnp.abs(m) < 0.01
+    s_over_m = s / jnp.where(steep, 1.0, m)     # per-edge scalars
 
-    # G(u) = integral of clamp(u,0,1); K = mean of clamp over [u0,u1]
-    def G(u):
-        return jnp.where(u <= 0.0, 0.0, jnp.where(u >= 1.0, u - 0.5, 0.5 * u * u))
+    # per-pixel part
+    ytop = jnp.maximum(ymin, py)
+    h = jnp.maximum(jnp.minimum(ymax, py + 1.0) - ytop, 0.0)
+    u0 = (px + 1.0) - (x0 + m * (ytop - y0))
+    u1 = u0 - m * h
 
-    du = u1 - u0
-    near = jnp.abs(du) < _EPS
-    k_near = jnp.clip(0.5 * (u0 + u1), 0.0, 1.0)
-    k_far = (G(u1) - G(u0)) / jnp.where(near, 1.0, du)
-    k = jnp.where(near, k_near, k_far)
-    return s * h * k
+    c0 = jnp.clip(u0, 0.0, 1.0)
+    c1 = jnp.clip(u1, 0.0, 1.0)
+    g0 = c0 * (u0 - 0.5 * c0)
+    g1 = c1 * (u1 - 0.5 * c1)
+    general = (g0 - g1) * s_over_m
+    vertical = s * h * c0
+    return jnp.where(steep, vertical, general)
 
 
 def coverage_chunks_body(chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128) -> jax.Array:

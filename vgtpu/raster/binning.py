@@ -53,7 +53,8 @@ class RasterOp:
     paint: np.ndarray | None = None          # (PAINT_NF,) f32; solid color in inner slot
     scissor: tuple | None = None             # (x0,y0,x1,y1) or None = viewport
     image_id: int = -1                       # for P_IMAGE / P_TEXTURE
-    tex_quads: np.ndarray | None = None      # (Q,8) f32 [x0,y0,x1,y1,u0,v0,u1,v1]
+    tex_quads: np.ndarray | None = None      # (Q,12) f32 parallelogram + uv rect
+    mergeable: bool = False                  # orientation-normalized geometry
 
 
 def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
@@ -106,10 +107,22 @@ class FramePlan:
     stats: dict = field(default_factory=dict)
 
 
-def compute_tile_buckets(tile_entries: np.ndarray, num_tiles: int) -> list:
+def compute_tile_buckets(
+    tile_entries: np.ndarray, num_tiles: int, entry_kind: np.ndarray | None = None
+) -> list:
     """Group tiles by painter-depth: tiles with n ops scan only the smallest
     power-of-two slot count >= n; op-free tiles are skipped entirely.  Padding
-    rows target the scratch tile id == num_tiles."""
+    rows target the scratch tile id == num_tiles.
+
+    When entry_kind is given, control entries (clip commit/reset — present in
+    EVERY tile by construction) trailing the tile's last draw are pruned: they
+    cannot affect output, and pruning turns pure-background tiles op-free."""
+    if entry_kind is not None and tile_entries.size:
+        te = tile_entries
+        kinds = np.where(te >= 0, entry_kind[np.maximum(te, 0)], -1)
+        is_draw = (kinds == K_DRAW) & (te >= 0)
+        rev_any = np.cumsum(is_draw[:, ::-1], axis=1)[:, ::-1]  # draws at/after pos
+        tile_entries = np.where(rev_any > 0, te, -1)
     counts = (tile_entries >= 0).sum(axis=1)
     width = tile_entries.shape[1]
     buckets = []
@@ -126,7 +139,7 @@ def compute_tile_buckets(tile_entries: np.ndarray, num_tiles: int) -> list:
             te_b[: len(sel)] = tile_entries[sel, :mo_c]
             buckets.append((te_b, ids))
         prev = mo_c
-        mo *= 4
+        mo *= 2
     return buckets
 
 

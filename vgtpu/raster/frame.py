@@ -58,7 +58,7 @@ def plan_to_device(plan: FramePlan) -> dict:
     """Upload the plan's arrays once (command lists / caches stay resident)."""
     if plan.tile_buckets is None:
         plan.tile_buckets = compute_tile_buckets(
-            plan.tile_entries, plan.tile_entries.shape[0]
+            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind
         )
     return {
         "chunk_edges": jnp.asarray(plan.chunk_edges),
