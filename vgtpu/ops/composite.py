@@ -71,9 +71,16 @@ def composite_tiles_body(
     tile_h: int,
     tile_w: int,
     max_ops: int,
+    lane_flags: tuple = (True, True, True, True, True, True),
 ) -> jax.Array:
     """Returns (T, TH, TW, 4) premultiplied RGBA tiles.  Unjitted body so the
-    sharded renderer (vgtpu/parallel) can call it inside shard_map."""
+    sharded renderer (vgtpu/parallel) can call it inside shard_map.
+
+    lane_flags = (gradient, tri, texture, clip, evenodd, non_aa): statically
+    disables shading/state lanes that no entry in this call uses — the
+    per-bucket specialization that replaces the reference's four separate
+    shader programs (src/shaders/*.sc) with compiled variants."""
+    has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags
     T = tile_entries.shape[0]
     tid = tile_ids.astype(jnp.int32)
     ox = ((tid % ntx) * tile_w).astype(jnp.float32)
@@ -103,9 +110,19 @@ def composite_tiles_body(
         sc = entry_scissor[e]                          # (T, 4)
 
         is_quad_tex = pk == P_TEXTURE          # coverage lives in the color tile
-        has_ctile = (entry_color_tile[e] >= 0)[:, None, None]
-        use_ctile = has_ctile & (is_quad_tex | (pk == P_IMAGE))
-        cov = _apply_rule(w, rule, aa, is_quad_tex)
+        if has_tex:
+            has_ctile = (entry_color_tile[e] >= 0)[:, None, None]
+            use_ctile = has_ctile & (is_quad_tex | (pk == P_IMAGE))
+        cov_nz = jnp.minimum(jnp.abs(w), 1.0)
+        if has_eo:
+            cov_eo = 1.0 - jnp.abs(jnp.mod(w, 2.0) - 1.0)
+            cov = jnp.where(rule == 0, cov_nz, cov_eo)
+        else:
+            cov = cov_nz
+        if has_noaa:
+            cov = jnp.where(aa != 0, cov, (cov >= 0.5).astype(jnp.float32))
+        if has_tex:
+            cov = jnp.where(is_quad_tex, 1.0, cov)
 
         # scissor (pixel-center test, like the GPU scissor rect)
         inside = (
@@ -116,46 +133,52 @@ def composite_tiles_body(
         )
         cov = cov * inside.astype(jnp.float32)
 
-        # ---- shading ----
-        # gradient uv via inverse paint matrix (vg.cpp:3712-3880)
-        m = paint[:, 0:6]
-        uxg = m[:, 0][:, None, None] * pxc + m[:, 2][:, None, None] * pyc + m[:, 4][:, None, None]
-        uyg = m[:, 1][:, None, None] * pxc + m[:, 3][:, None, None] * pyc + m[:, 5][:, None, None]
-        ex = paint[:, 6][:, None, None]
-        ey = paint[:, 7][:, None, None]
-        rad = paint[:, 8][:, None, None]
-        feather = jnp.maximum(paint[:, 9][:, None, None], 1e-6)
-        d = jnp.clip((_sdroundrect(uxg, uyg, ex, ey, rad) + feather * 0.5) / feather, 0.0, 1.0)
+        # ---- shading (each lane statically gated by bucket usage) ----
         inner = paint[:, 10:14]
-        outer = paint[:, 14:18]
-        grad = (
-            inner[:, None, None, :] * (1.0 - d[..., None])
-            + outer[:, None, None, :] * d[..., None]
-        )
-        solid = jnp.broadcast_to(inner[:, None, None, :], grad.shape)
-        # per-vertex-color triangles: rgba(x,y) = A*x + B*y + C, coeffs in paint
-        tri = (
-            paint[:, 0:4][:, None, None, :] * pxc[..., None]
-            + paint[:, 4:8][:, None, None, :] * pyc[..., None]
-            + paint[:, 8:12][:, None, None, :]
-        )
-        col = jnp.where((pk == P_GRADIENT)[..., None], grad, solid)  # straight alpha
-        col = jnp.where((pk == P_TRI)[..., None], tri, col)
+        solid = jnp.broadcast_to(inner[:, None, None, :], (inner.shape[0], tile_h, tile_w, 4))
+        col = solid
+        if has_grad:
+            # gradient uv via inverse paint matrix (vg.cpp:3712-3880)
+            m = paint[:, 0:6]
+            uxg = m[:, 0][:, None, None] * pxc + m[:, 2][:, None, None] * pyc + m[:, 4][:, None, None]
+            uyg = m[:, 1][:, None, None] * pxc + m[:, 3][:, None, None] * pyc + m[:, 5][:, None, None]
+            ex = paint[:, 6][:, None, None]
+            ey = paint[:, 7][:, None, None]
+            rad = paint[:, 8][:, None, None]
+            feather = jnp.maximum(paint[:, 9][:, None, None], 1e-6)
+            d = jnp.clip((_sdroundrect(uxg, uyg, ex, ey, rad) + feather * 0.5) / feather, 0.0, 1.0)
+            outer = paint[:, 14:18]
+            grad = (
+                inner[:, None, None, :] * (1.0 - d[..., None])
+                + outer[:, None, None, :] * d[..., None]
+            )
+            col = jnp.where((pk == P_GRADIENT)[..., None], grad, col)
+        if has_tri:
+            # per-vertex-color triangles: rgba(x,y) = A*x + B*y + C
+            tri = (
+                paint[:, 0:4][:, None, None, :] * pxc[..., None]
+                + paint[:, 4:8][:, None, None, :] * pyc[..., None]
+                + paint[:, 8:12][:, None, None, :]
+            )
+            col = jnp.where((pk == P_TRI)[..., None], tri, col)
 
-        # textured entries: pre-sampled premultiplied tiles (text / patterns)
-        ct = color_tiles[jnp.maximum(entry_color_tile[e], 0)]        # (T,TH,TW,4)
-        src_a_vec = jnp.where(use_ctile, ct[..., 3], col[..., 3])
-        src_rgb_pre = jnp.where(
-            use_ctile[..., None], ct[..., 0:3], col[..., 0:3] * col[..., 3:4]
-        )
+        if has_tex:
+            # textured entries: pre-sampled premultiplied tiles (text/patterns)
+            ct = color_tiles[jnp.maximum(entry_color_tile[e], 0)]    # (T,TH,TW,4)
+            src_a_vec = jnp.where(use_ctile, ct[..., 3], col[..., 3])
+            src_rgb_pre = jnp.where(
+                use_ctile[..., None], ct[..., 0:3], col[..., 0:3] * col[..., 3:4]
+            )
+        else:
+            src_a_vec = col[..., 3]
+            src_rgb_pre = col[..., 0:3] * col[..., 3:4]
 
         # ---- op-kind state machine ----
-        is_draw = valid[:, None, None] & (kind == K_DRAW)
-        is_cadd = valid[:, None, None] & (kind == K_CLIP_ADD)
-        is_ccommit = valid[:, None, None] & (kind == K_CLIP_COMMIT)
-        is_creset = valid[:, None, None] & (kind == K_CLIP_RESET)
-
-        c = jnp.where(is_draw, cov * mask, 0.0)
+        if has_clip:
+            is_draw = valid[:, None, None] & (kind == K_DRAW)
+            c = jnp.where(is_draw, cov * mask, 0.0)
+        else:
+            c = jnp.where(valid[:, None, None], cov, 0.0)
         a = src_a_vec * c
         fb = jnp.concatenate(
             [
@@ -165,11 +188,15 @@ def composite_tiles_body(
             axis=-1,
         )
 
-        accum = jnp.where(is_cadd, accum + cov, accum)
-        committed = jnp.where(rule == 0, (accum > 0.5), ~(accum > 0.5)).astype(jnp.float32)
-        mask = jnp.where(is_ccommit, committed, mask)
-        accum = jnp.where(is_ccommit, 0.0, accum)
-        mask = jnp.where(is_creset, 1.0, mask)
+        if has_clip:
+            is_cadd = valid[:, None, None] & (kind == K_CLIP_ADD)
+            is_ccommit = valid[:, None, None] & (kind == K_CLIP_COMMIT)
+            is_creset = valid[:, None, None] & (kind == K_CLIP_RESET)
+            accum = jnp.where(is_cadd, accum + cov, accum)
+            committed = jnp.where(rule == 0, (accum > 0.5), ~(accum > 0.5)).astype(jnp.float32)
+            mask = jnp.where(is_ccommit, committed, mask)
+            accum = jnp.where(is_ccommit, 0.0, accum)
+            mask = jnp.where(is_creset, 1.0, mask)
 
         return (fb, mask, accum), None
 
@@ -196,17 +223,21 @@ def composite_bucketed_body(
     tile_h: int,
     tile_w: int,
     num_tiles: int,
+    bucket_flags: tuple | None = None,
 ):
     """Composite with tiles grouped by op-count bucket: each group scans only
     as many painter slots as its busiest tile needs; op-free tiles never run.
     Output row num_tiles is a scratch target for bucket padding."""
     fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
-    for te_b, ids_b in buckets:
+    if bucket_flags is None:
+        bucket_flags = tuple((True,) * 6 for _ in buckets)
+    for (te_b, ids_b), flags in zip(buckets, bucket_flags):
         fb_b = composite_tiles_body(
             entry_w, te_b, ids_b,
             entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
             entry_scissor, entry_color_tile, color_tiles, background,
             ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=te_b.shape[1],
+            lane_flags=tuple(flags),
         )
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]

@@ -22,14 +22,15 @@ from vgtpu.ops.coverage import coverage_chunks_body
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_frames", "ntx", "num_tiles", "tile_h", "tile_w", "num_entries"),
+    static_argnames=("n_frames", "ntx", "num_tiles", "tile_h", "tile_w",
+                     "num_entries", "bucket_flags"),
 )
 def chained_frames(
     chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
     entry_aa, entry_paint_kind, entry_paint, entry_scissor,
     entry_color_tile, color_tiles, buckets, background,
     *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
-    num_entries: int,
+    num_entries: int, bucket_flags=None,
 ):
     def one_frame(eps):
         ce = chunk_edges + eps
@@ -41,6 +42,7 @@ def chained_frames(
             entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
             entry_scissor, entry_color_tile, color_tiles, background + eps,
             ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+            bucket_flags=bucket_flags,
         )
         return fb
 
@@ -69,6 +71,7 @@ def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> f
         ntx=plan.ntx, num_tiles=plan.tile_entries.shape[0],
         tile_h=plan.tile_h, tile_w=plan.tile_w,
         num_entries=d["entry_backdrop"].shape[0],
+        bucket_flags=d["bucket_flags"],
     )
 
     def run(n):

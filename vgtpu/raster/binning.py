@@ -108,7 +108,10 @@ class FramePlan:
 
 
 def compute_tile_buckets(
-    tile_entries: np.ndarray, num_tiles: int, entry_kind: np.ndarray | None = None
+    tile_entries: np.ndarray,
+    num_tiles: int,
+    entry_kind: np.ndarray | None = None,
+    plan: "FramePlan" = None,
 ) -> list:
     """Group tiles by painter-depth: tiles with n ops scan only the smallest
     power-of-two slot count >= n; op-free tiles are skipped entirely.  Padding
@@ -137,7 +140,21 @@ def compute_tile_buckets(
             ids[: len(sel)] = sel
             te_b = np.full((n_pad, mo_c), -1, np.int32)
             te_b[: len(sel)] = tile_entries[sel, :mo_c]
-            buckets.append((te_b, ids))
+            if plan is not None:
+                es = te_b[te_b >= 0]
+                pk = plan.entry_paint_kind[es]
+                kd = plan.entry_kind[es]
+                flags = (
+                    bool((pk == P_GRADIENT).any()),
+                    bool((pk == P_TRI).any()),
+                    bool(((pk == P_IMAGE) | (pk == P_TEXTURE)).any()),
+                    bool((kd != K_DRAW).any()),
+                    bool((plan.entry_rule[es] == 1).any()),
+                    bool((plan.entry_aa[es] == 0).any()),
+                )
+            else:
+                flags = (True,) * 6
+            buckets.append((te_b, ids, flags))
         prev = mo_c
         mo *= 2
     return buckets

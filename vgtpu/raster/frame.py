@@ -16,13 +16,14 @@ from vgtpu.raster.binning import FramePlan, compute_tile_buckets
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width", "height"),
+    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
+                     "height", "bucket_flags"),
 )
 def _frame_fn(
     chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
     entry_aa, entry_paint_kind, entry_paint, entry_scissor,
     entry_color_tile, color_tiles, buckets, background,
-    *, num_entries, ntx, nty, tile_h, tile_w, width, height,
+    *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
 ):
     """The whole device frame in ONE compiled program."""
     chunk_cov = coverage_chunks_body(chunk_edges, tile_h, tile_w)
@@ -33,6 +34,7 @@ def _frame_fn(
         entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
         entry_scissor, entry_color_tile, color_tiles, background,
         ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=ntx * nty,
+        bucket_flags=bucket_flags,
     )
     return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h, tile_w=tile_w,
                           width=width, height=height)
@@ -51,6 +53,7 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
         ntx=plan.ntx, nty=plan.nty,
         tile_h=plan.tile_h, tile_w=plan.tile_w,
         width=plan.width, height=plan.height,
+        bucket_flags=d["bucket_flags"],
     )
 
 
@@ -58,7 +61,7 @@ def plan_to_device(plan: FramePlan) -> dict:
     """Upload the plan's arrays once (command lists / caches stay resident)."""
     if plan.tile_buckets is None:
         plan.tile_buckets = compute_tile_buckets(
-            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind
+            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
         )
     return {
         "chunk_edges": jnp.asarray(plan.chunk_edges),
@@ -75,8 +78,9 @@ def plan_to_device(plan: FramePlan) -> dict:
         "color_tiles": jnp.asarray(plan.color_tiles),
         "tile_entries": jnp.asarray(plan.tile_entries),
         "tile_buckets": tuple(
-            (jnp.asarray(te), jnp.asarray(ids)) for te, ids in plan.tile_buckets
+            (jnp.asarray(te), jnp.asarray(ids)) for te, ids, _fl in plan.tile_buckets
         ),
+        "bucket_flags": tuple(fl for _te, _ids, fl in plan.tile_buckets),
     }
 
 
