@@ -205,6 +205,9 @@ class Context:
         self._frame_color_tiles: list[np.ndarray] = []
 
         self.stats = Stats()
+        from vgtpu.utils.profiler import FrameProfiler
+
+        self.profiler = FrameProfiler()
 
     # -- state helpers ------------------------------------------------------
     @property
@@ -238,21 +241,31 @@ class Context:
         """Bin + execute the frame on device; returns premultiplied (H,W,4)."""
         if background is not None:
             self.background = tuple(background)
-        self._finalize_ops()
-        plan = bin_frame(
-            self.ops,
-            self.canvas_width,
-            self.canvas_height,
-            tile_h=self.cfg.tile_h,
-            tile_w=self.cfg.tile_w,
-            chunk=self.cfg.edges_per_chunk,
-        )
-        self._fill_textures(plan)
+        prof = self.profiler
+        with prof.stage("finalize"):
+            self._finalize_ops()
+        with prof.stage("bin"):
+            plan = bin_frame(
+                self.ops,
+                self.canvas_width,
+                self.canvas_height,
+                tile_h=self.cfg.tile_h,
+                tile_w=self.cfg.tile_w,
+                chunk=self.cfg.edges_per_chunk,
+            )
+        with prof.stage("textures"):
+            self._fill_textures(plan)
         self.last_plan = plan
-        self.last_device_arrays = plan_to_device(plan)
-        self.frame_image = execute_plan(
-            plan, background=self.background, device_arrays=self.last_device_arrays
-        )
+        with prof.stage("upload"):
+            self.last_device_arrays = plan_to_device(plan)
+        with prof.stage("device_dispatch"):
+            self.frame_image = execute_plan(
+                plan, background=self.background, device_arrays=self.last_device_arrays
+            )
+        prof.count("ops", len(self.ops))
+        prof.count("entries", plan.stats.get("entries", 0))
+        prof.count("chunks", plan.stats.get("chunks", 0))
+        prof.frame_done()
         return self.frame_image
 
     def _fill_textures(self, plan) -> None:
@@ -806,6 +819,20 @@ class Context:
 
     # -- misc ---------------------------------------------------------------
     def getStats(self) -> Stats:
+        """Reference-parity Stats (vg.h:339-343) — command-list memory — plus
+        extended frame counters via ctx.profiler.report()."""
+        total = used = 0
+        for cl in self.command_lists.values():
+            n = len(cl.commands)
+            used += n * 64            # rough per-command footprint
+            total += max(n, 16) * 64
+            for slot in cl.cache_slots.values():
+                for item in slot or []:
+                    if item is not None:
+                        used += item[0].nbytes
+                        total += item[0].nbytes
+        self.stats.cmd_list_memory_used = used
+        self.stats.cmd_list_memory_total = total
         return self.stats
 
 
