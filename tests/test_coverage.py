@@ -163,3 +163,18 @@ def test_painter_order_blend():
     plan = bin_frame(ops, 32, 32)
     img = np.asarray(execute_plan(plan, background=(0, 0, 0, 0)))
     np.testing.assert_allclose(img[16, 16], [0.5, 0.0, 0.5, 1.0], atol=1e-5)
+
+
+def test_pallas_kernel_matches_xla():
+    """The Pallas TPU kernel (interpret mode on CPU) must agree with the XLA
+    coverage implementation bit-for-bit-ish."""
+    import jax.numpy as jnp
+
+    from vgtpu.ops.coverage import coverage_chunks_body
+    from vgtpu.ops.coverage_pallas import coverage_chunks_pallas
+
+    rng = np.random.default_rng(11)
+    edges = rng.uniform(-40, 170, (64, 8, 4)).astype(np.float32)
+    a = np.asarray(coverage_chunks_body(jnp.asarray(edges), 8, 128))
+    b = np.asarray(coverage_chunks_pallas(jnp.asarray(edges), 8, 128, interpret=True))
+    np.testing.assert_allclose(a, b, atol=1e-5)

@@ -94,7 +94,7 @@ class FontSystem:
             fi, f, g = self._lookup_glyph(font_idx, cp)
             if prev is not None and prev[0] == fi:
                 pen += f.kern_u(prev[1], g) * f.pixel_scale(size_px)
-            gid = f.glyph_order.index(g) if isinstance(g, str) else g
+            gid = f.gid_of(g) if isinstance(g, str) else g
             gi = self.atlas.get_or_bake(fi, f, g, gid, size_px)
             S = float(self.atlas.size)
             if gi is None:
@@ -379,7 +379,7 @@ def ctx_text_glyph_positions(ctx, cfg, x, y, s: str, max_positions=None):
         fi, f, g = fs._lookup_glyph(cfg.font.idx, ord(ch))
         if prev is not None and prev[0] == fi:
             pen += f.kern_u(prev[1], g) * f.pixel_scale(scaled_size)
-        gid = f.glyph_order.index(g)
+        gid = f.gid_of(g)
         gi = fs.atlas.get_or_bake(fi, f, g, gid, scaled_size)
         adv = gi.advance if gi else 0.0
         out.append(

@@ -74,6 +74,7 @@ class Font:
         self.line_gap_u = hhea.lineGap
         self.cmap = self.ttf.getBestCmap()
         self.glyph_order = self.ttf.getGlyphOrder()
+        self._gid_of = {name: i for i, name in enumerate(self.glyph_order)}
         self.hmtx = self.ttf["hmtx"]
         self.glyf = self.ttf["glyf"] if "glyf" in self.ttf else None
         self._kern = None
@@ -83,6 +84,9 @@ class Font:
     # stb-style pixel-height scale: pixels per font unit for a given size
     def pixel_scale(self, size_px: float) -> float:
         return size_px / float(self.ascent_u - self.descent_u)
+
+    def gid_of(self, glyph_name: str) -> int:
+        return self._gid_of.get(glyph_name, 0)
 
     def glyph_name(self, codepoint: int) -> str | None:
         g = self._gid_cache.get(codepoint)

@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for analytic winding coverage.
+
+Same math as vgtpu/ops/coverage.py (division-free G-form, see
+ARCHITECTURE.md), hand-scheduled for the VPU.  Layout: the pixel grid is
+flattened to the lane axis — blocks are (BC chunks, TH*TW pixels), so every
+broadcast is single-axis (per-edge params broadcast along lanes, the pixel
+iota along sublanes; Mosaic does not lower dual sublane+lane broadcasts).
+
+On non-TPU backends the kernel runs in interpreter mode (tests compare it
+against the XLA implementation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BC = 64  # chunks per grid step
+
+
+def _kernel(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int):
+    npx = tile_h * tile_w
+    bc = out_ref.shape[0]
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, npx), 1)
+    px = (flat % tile_w).astype(jnp.float32)      # (1, NPX): sublane-broadcasts
+    py = (flat // tile_w).astype(jnp.float32)
+
+    j = pl.program_id(1)
+
+    e = edges_ref[:, pl.ds(j, 1), :]              # (BC,1,4) slot j
+    x0 = e[:, 0, 0].reshape(bc, 1)                # (BC,1): lane-broadcasts
+    y0 = e[:, 0, 1].reshape(bc, 1)
+    x1 = e[:, 0, 2].reshape(bc, 1)
+    y1 = e[:, 0, 3].reshape(bc, 1)
+
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    s = jnp.sign(y1 - y0)
+    dy = y1 - y0
+    m = (x1 - x0) / jnp.where(jnp.abs(dy) < 1e-6, 1.0, dy)
+    steep = jnp.abs(m) < 0.01
+    s_over_m = s / jnp.where(steep, 1.0, m)
+
+    ytop = jnp.maximum(ymin, py)
+    h = jnp.maximum(jnp.minimum(ymax, py + 1.0) - ytop, 0.0)
+    u0 = (px + 1.0) - (x0 + m * (ytop - y0))
+    u1 = u0 - m * h
+    c0 = jnp.clip(u0, 0.0, 1.0)
+    c1 = jnp.clip(u1, 0.0, 1.0)
+    g0 = c0 * (u0 - 0.5 * c0)
+    g1 = c1 * (u1 - 0.5 * c1)
+    contrib = jnp.where(steep, (s * h) * c0, (g0 - g1) * s_over_m)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros((bc, npx), jnp.float32)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+def coverage_chunks_pallas(
+    chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """(NC, CH, 4) -> (NC, TH, TW)."""
+    nc, ch, _ = chunk_edges.shape
+    bc = min(_BC, nc)
+    if nc % bc:
+        bc = 1 << (nc % ~nc).bit_length() if False else _largest_divisor(nc, bc)
+    grid = (nc // bc, ch)   # edge slot in the grid: Mosaic pipelines the steps
+    npx = tile_h * tile_w
+    out = pl.pallas_call(
+        functools.partial(_kernel, ch=ch, tile_h=tile_h, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((nc, npx), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bc, ch, 4), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, npx), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(chunk_edges)
+    return out.reshape(nc, tile_h, tile_w)
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    d = cap
+    while d > 1 and n % d:
+        d //= 2
+    return max(d, 1)
+
+
+def coverage_backend_default() -> str:
+    """'pallas' on TPU, 'xla' elsewhere (pallas interpret mode is for tests)."""
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    except Exception:  # noqa: BLE001
+        return "xla"
