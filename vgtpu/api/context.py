@@ -274,7 +274,9 @@ class Context:
         image_map = {idx: (img.data, img.flags) for idx, img in self.images.items()}
         if self.font_system is not None:
             image_map.update(self.font_system.atlas_image_map())
-        fill_color_tiles(plan, self.ops, image_map)
+        if not hasattr(self, "_tile_sample_cache"):
+            self._tile_sample_cache = {}
+        fill_color_tiles(plan, self.ops, image_map, cache=self._tile_sample_cache)
 
     def frame(self) -> None:
         """Per-app-frame housekeeping (reference: font-atlas GC, vg.cpp:1290)."""

@@ -66,7 +66,11 @@ class PathBuilder:
         self._scale = float(scale)
         self._tol = float(tess_tol)
         self._verbs: list[int] = []
-        self._args: list[tuple] = []
+        # flat per-type argument streams (fast C-level np conversion at bake)
+        self._simple_flat: list[float] = []   # MOVE/LINE: x,y
+        self._cubic_flat: list[float] = []    # p0..p3: 8 floats
+        self._arc_flat: list[float] = []      # cx,cy,rx,ry,a0,a1
+        self._poly_args: list[tuple] = []     # (offset, count)
         self._poly_pool: list[np.ndarray] = []
         self._poly_pool_len = 0
         # record-time state for arcTo/arc and subpath bookkeeping
@@ -78,7 +82,7 @@ class PathBuilder:
     # -- verbs (path.cpp parity) ------------------------------------------
     def move_to(self, x: float, y: float) -> None:
         self._verbs.append(V_MOVE)
-        self._args.append((x, y))
+        self._simple_flat += (x, y)
         self._cur = (x, y)
         self._subpath_open = True
         self._subpath_nverts = 1
@@ -86,14 +90,14 @@ class PathBuilder:
 
     def line_to(self, x: float, y: float) -> None:
         self._verbs.append(V_LINE)
-        self._args.append((x, y))
+        self._simple_flat += (x, y)
         self._cur = (x, y)
         self._subpath_nverts += 1
         self._baked = None
 
     def cubic_to(self, c1x, c1y, c2x, c2y, x, y) -> None:
         self._verbs.append(V_CUBIC)
-        self._args.append((self._cur[0], self._cur[1], c1x, c1y, c2x, c2y, x, y))
+        self._cubic_flat += (self._cur[0], self._cur[1], c1x, c1y, c2x, c2y, x, y)
         self._cur = (x, y)
         self._subpath_nverts += 2  # lower bound; exact count resolved at bake
         self._baked = None
@@ -169,14 +173,14 @@ class PathBuilder:
             self._subpath_open = True
             self._subpath_nverts = 0
             self._verbs.append(V_MOVE)
-            self._args.append((cx + rx * math.cos(a0), cy + ry * math.sin(a0)))
+            self._simple_flat += (cx + rx * math.cos(a0), cy + ry * math.sin(a0))
             self._subpath_nverts = 1
         else:
             self._verbs.append(V_LINE)
-            self._args.append((cx + rx * math.cos(a0), cy + ry * math.sin(a0)))
+            self._simple_flat += (cx + rx * math.cos(a0), cy + ry * math.sin(a0))
             self._subpath_nverts += 1
         self._verbs.append(V_ARC)
-        self._args.append((cx, cy, rx, ry, a0, a1))
+        self._arc_flat += (cx, cy, rx, ry, a0, a1)
         self._cur = (cx + rx * math.cos(a1), cy + ry * math.sin(a1))
         self._subpath_nverts += 2
         self._baked = None
@@ -246,7 +250,7 @@ class PathBuilder:
         """path.cpp:599-631: full revolution sampled clockwise (negative da)."""
         self.move_to(cx + rx, cy)
         self._verbs.append(V_ARC)
-        self._args.append((cx, cy, rx, ry, 0.0, -_PI2))
+        self._arc_flat += (cx, cy, rx, ry, 0.0, -_PI2)
         self._cur = (cx + rx, cy)
         self._subpath_nverts += 3
         self._baked = None
@@ -255,7 +259,7 @@ class PathBuilder:
     def polyline(self, coords: np.ndarray) -> None:
         coords = np.asarray(coords, dtype=np.float32).reshape(-1, 2)
         self._verbs.append(V_POLY)
-        self._args.append((self._poly_pool_len, len(coords)))
+        self._poly_args.append((self._poly_pool_len, len(coords)))
         self._poly_pool.append(coords)
         self._poly_pool_len += len(coords)
         if len(coords):
@@ -265,7 +269,6 @@ class PathBuilder:
 
     def close(self) -> None:
         self._verbs.append(V_CLOSE)
-        self._args.append(())
         self._baked = None
 
     # -- bake --------------------------------------------------------------
@@ -291,7 +294,7 @@ class PathBuilder:
         cubic_pts = None
         cubic_n = None
         if len(cubic_ids):
-            cp = np.array([self._args[i] for i in cubic_ids], dtype=np.float64).reshape(-1, 4, 2)
+            cp = np.asarray(self._cubic_flat, dtype=np.float64).reshape(-1, 4, 2)
             d1 = cp[:, 0] - 2.0 * cp[:, 1] + cp[:, 2]
             d2 = cp[:, 1] - 2.0 * cp[:, 2] + cp[:, 3]
             m = np.maximum(np.hypot(d1[:, 0], d1[:, 1]), np.hypot(d2[:, 0], d2[:, 1]))
@@ -306,7 +309,7 @@ class PathBuilder:
         arc_params = None
         arc_n = None
         if len(arc_ids):
-            ap = np.array([self._args[i] for i in arc_ids], dtype=np.float64)  # cx,cy,rx,ry,a0,a1
+            ap = np.asarray(self._arc_flat, dtype=np.float64).reshape(-1, 6)  # cx,cy,rx,ry,a0,a1
             avg_r = (np.abs(ap[:, 2]) + np.abs(ap[:, 3])) * 0.5
             sr = self._scale * np.maximum(avg_r, 1e-6)
             da = np.arccos(np.clip(sr / (sr + self._tol), -1.0, 1.0)) * 2.0
@@ -318,8 +321,8 @@ class PathBuilder:
         simple_ids = np.nonzero((verbs == V_MOVE) | (verbs == V_LINE))[0]
         counts[simple_ids] = 1
         poly_ids = np.nonzero(verbs == V_POLY)[0]
-        for i in poly_ids:
-            counts[i] = self._args[i][1]
+        for k, i in enumerate(poly_ids):
+            counts[i] = self._poly_args[k][1]
 
         offsets = np.zeros(nverbs + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
@@ -328,7 +331,7 @@ class PathBuilder:
 
         # simple verbs
         if len(simple_ids):
-            pts = np.array([self._args[i] for i in simple_ids], dtype=np.float32)
+            pts = np.asarray(self._simple_flat, dtype=np.float32).reshape(-1, 2)
             out[offsets[simple_ids]] = pts
 
         # cubics: ragged uniform-t evaluation
@@ -365,8 +368,8 @@ class PathBuilder:
             out[dst, 1] = py.astype(np.float32)
 
         # polylines: block copies
-        for i in poly_ids:
-            off, cnt = self._args[i]
+        for k, i in enumerate(poly_ids):
+            off, cnt = self._poly_args[k]
             blk_start = 0
             for blk in self._poly_pool:
                 if blk_start == off:

@@ -51,9 +51,14 @@ def _bilinear(img: np.ndarray, u: np.ndarray, v: np.ndarray, flags: int) -> np.n
     )
 
 
-def fill_color_tiles(plan: FramePlan, ops, images) -> None:
+def fill_color_tiles(plan: FramePlan, ops, images, cache: dict | None = None) -> None:
     """Mutates plan: computes color_tiles + entry_color_tile for textured
-    entries.  `images` maps image id -> (data u8 (h,w,4) or (h,w), flags)."""
+    entries.  `images` maps image id -> (data u8 (h,w,4) or (h,w), flags).
+
+    `cache` (optional, persists across frames on the Context) memoizes
+    sampled tiles by content fingerprint — the analogue of FONSstring's
+    baked-quad reuse (fontstash.h:2368): static text/pattern tiles cost a
+    dict lookup per frame instead of a resample."""
     th, tw = plan.tile_h, plan.tile_w
     n = plan.n_real_entries
     pk = plan.entry_paint_kind[:n]
@@ -64,8 +69,27 @@ def fill_color_tiles(plan: FramePlan, ops, images) -> None:
     ix = np.arange(tw)[None, :] + 0.5
     iy = np.arange(th)[:, None] + 0.5
 
+    if cache is not None and len(cache) > 8192:
+        cache.clear()
+
     tiles: list[np.ndarray] = []
     for ei in need:
+        # content fingerprint: tile + paint + image generation + quad bytes
+        ck = None
+        if cache is not None:
+            op0 = ops[int(plan.entry_op[ei])]
+            img_id = int(plan.entry_image[ei])
+            data0, flags0 = images.get(img_id, (None, 0))
+            qb = op0.tex_quads.tobytes() if op0.tex_quads is not None else b""
+            ck = (
+                int(plan.entry_tile[ei]), int(pk[ei]), img_id, flags0,
+                id(data0), plan.entry_paint[ei].tobytes(), hash(qb),
+            )
+            hit = cache.get(ck)
+            if hit is not None:
+                plan.entry_color_tile[ei] = len(tiles)
+                tiles.append(hit)
+                continue
         tile_id = int(plan.entry_tile[ei])
         ox = (tile_id % plan.ntx) * tw
         oy = (tile_id // plan.ntx) * th
@@ -136,7 +160,10 @@ def fill_color_tiles(plan: FramePlan, ops, images) -> None:
                 tile = tile + add
             tile = np.clip(tile, 0.0, 1.0)
 
+        tile = tile.astype(np.float32)
         plan.entry_color_tile[ei] = len(tiles)
-        tiles.append(tile.astype(np.float32))
+        tiles.append(tile)
+        if cache is not None and ck is not None:
+            cache[ck] = tile
 
     plan.color_tiles = np.stack(tiles) if tiles else plan.color_tiles

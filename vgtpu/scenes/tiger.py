@@ -96,10 +96,19 @@ def tiger_svg_text(seed: int = 20260816, n_paths: int = 240) -> str:
     return "\n".join(parts)
 
 
+_DOC_CACHE: dict = {}
+
+
 def load_tiger() -> SvgDoc:
-    if os.path.exists(ASSET):
-        return load_svg(ASSET)
-    return load_svg(tiger_svg_text())
+    """Parsed-document cache: the scene is static; regenerating + reparsing
+    the SVG per frame would charge XML parsing to the render loop."""
+    key = "tiger"
+    if key not in _DOC_CACHE:
+        if os.path.exists(ASSET):
+            _DOC_CACHE[key] = load_svg(ASSET)
+        else:
+            _DOC_CACHE[key] = load_svg(tiger_svg_text())
+    return _DOC_CACHE[key]
 
 
 def draw_tiger(ctx, x: float, y: float, scale: float, aa: bool = True) -> None:
