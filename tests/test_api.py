@@ -147,3 +147,44 @@ def test_even_odd_flag_plumbs_through():
     img = render(ctx)
     assert img[32, 32, 3] == 0.0   # inner rect hollow
     assert img[12, 12, 3] == 1.0
+
+
+def test_device_pixel_ratio_scales_framebuffer():
+    """dpr=2 renders a 2x-denser framebuffer of the same logical canvas
+    (the reference's ortho viewport scaling, vg.cpp:1034-1055)."""
+    def render(dpr):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, 64, 32, dpr)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 8, 8, 32, 16)
+        vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+        vg.beginPath(ctx)
+        vg.moveTo(ctx, 8, 28)
+        vg.lineTo(ctx, 56, 28)
+        vg.strokePath(ctx, vg.Colors.White, 2.0, vg.StrokeFlags.ButtMiterAA)
+        return np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+
+    lo = render(1.0)
+    hi = render(2.0)
+    assert lo.shape[:2] == (32, 64)
+    assert hi.shape[:2] == (64, 128)
+    # same logical content: rect interior lit in both
+    assert lo[16, 24, 3] == 1.0 and hi[32, 48, 3] == 1.0
+    assert lo[4, 4, 3] == 0.0 and hi[8, 8, 3] == 0.0
+    # stroke width scales: 2 logical px -> 4 device px at dpr=2
+    assert hi[:, 96, 3][52:60].sum() > 3.5
+
+
+def test_dpr_gradient_and_scissor_follow():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 64, 32, 2.0)
+    g = vg.createLinearGradient(ctx, 0, 0, 64, 0, vg.Colors.Red, vg.Colors.Blue)
+    vg.setScissor(ctx, 8, 0, 48, 32)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 32)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+    assert img.shape[:2] == (64, 128)
+    assert img[32, 10, 3] == 0.0           # scissored (logical x<8 -> fb x<16)
+    assert img[32, 20, 0] > 0.6            # red side
+    assert img[32, 108, 2] > 0.6           # blue side

@@ -224,6 +224,10 @@ class Context:
         self.canvas_width = int(w)
         self.canvas_height = int(h)
         self.dpr = dpr
+        # canvas units are logical; the framebuffer is dpr x denser (the
+        # reference's ortho viewport scaling, vg.cpp:1148-1154)
+        self.fb_width = int(round(w * dpr))
+        self.fb_height = int(round(h * dpr))
         self.tess_tol = self.cfg.tess_tol / dpr
         self.fringe = self.cfg.fringe / dpr
         self.state_stack = [_State()]
@@ -247,8 +251,8 @@ class Context:
         with prof.stage("bin"):
             plan = bin_frame(
                 self.ops,
-                self.canvas_width,
-                self.canvas_height,
+                self.fb_width,
+                self.fb_height,
                 tile_h=self.cfg.tile_h,
                 tile_w=self.cfg.tile_w,
                 chunk=self.cfg.edges_per_chunk,
@@ -343,11 +347,18 @@ class Context:
         self.path.close()
         self._path_transformed = None
 
+    def _render_transform(self):
+        """state transform composed with the dpr viewport scale: logical
+        canvas units -> framebuffer pixels."""
+        if self.dpr == 1.0:
+            return self.state.transform
+        return core.xform_multiply(core.xform_scale(self.dpr, self.dpr), self.state.transform)
+
     def _transformed_path(self):
         """transformPath (vg.cpp:4957-4975): lazy, cached per path edit."""
         if self._path_transformed is None:
             verts, subs = self.path.bake()
-            self._path_transformed = (core.xform_points(self.state.transform, verts), subs)
+            self._path_transformed = (core.xform_points(self._render_transform(), verts), subs)
         return self._path_transformed
 
     # -- paints -------------------------------------------------------------
@@ -384,7 +395,9 @@ class Context:
         s = self.state.scissor
         if s[2] <= 0 or s[3] <= 0:
             return (0.0, 0.0, 0.0, 0.0)
-        return (float(s[0]), float(s[1]), float(s[0] + s[2]), float(s[1] + s[3]))
+        d = self.dpr
+        return (float(s[0] * d), float(s[1] * d),
+                float((s[0] + s[2]) * d), float((s[1] + s[3]) * d))
 
     def _emit(self, op: RasterOp) -> None:
         """Append a frame op, merging with the previous one when safe — the
@@ -470,15 +483,17 @@ class Context:
 
     def strokePath(self, paint_or_color, width: float, flags: int, color_modulate=None) -> None:
         st = self.state
+        render_scale = st.avg_scale * self.dpr
         scaled_width = (
             width
             if (flags & core.StrokeFlags.FixedWidth)
-            else float(np.clip(width * st.avg_scale, 0.0, 200.0))
+            else float(np.clip(width * st.avg_scale, 0.0, 200.0) * self.dpr)
         )
-        is_thin = scaled_width <= self.fringe
+        fringe_fb = self.fringe * self.dpr   # = 1 framebuffer pixel
+        is_thin = scaled_width <= fringe_fb
         # thin-stroke alpha law (vg.cpp:3416-3420)
-        alpha_scale = 1.0 if not is_thin else float(np.clip(scaled_width, 0.0, self.fringe)) ** 2
-        stroke_width = self.fringe if is_thin else scaled_width
+        alpha_scale = 1.0 if not is_thin else float(np.clip(scaled_width / self.dpr, 0.0, self.fringe)) ** 2
+        stroke_width = fringe_fb if is_thin else scaled_width
 
         if self._recording_clip:
             resolved = (P_SOLID, make_solid_paint(np.array([0, 0, 0, 1], np.float32)), None)
@@ -514,7 +529,7 @@ class Context:
                 continue
             contours = stroke_outline(
                 verts[first : first + count], bool(closed), stroke_width, cap, join,
-                scale=st.avg_scale, tol=self.tess_tol,
+                scale=render_scale, tol=self.tess_tol,
             )
             edges = contours_to_edges(contours)
             if not len(edges):
@@ -585,7 +600,7 @@ class Context:
         return self._store_gradient(gm, params, icol, ocol)
 
     def _store_gradient(self, grad_mtx, params, icol, ocol) -> GradientHandle:
-        patt = core.xform_multiply(self.state.transform, grad_mtx)
+        patt = core.xform_multiply(self._render_transform(), grad_mtx)
         inv = core.xform_invert(patt)
         paint = make_gradient_paint(
             inv.astype(np.float32), params,
@@ -599,7 +614,7 @@ class Context:
             return ImagePatternHandle()
         cs, sn = math.cos(angle), math.sin(angle)
         mtx = np.array([cs, sn, -sn, cs, cx, cy])
-        patt = core.xform_multiply(self.state.transform, mtx)
+        patt = core.xform_multiply(self._render_transform(), mtx)
         inv = core.xform_invert(patt)
         # normalize UVs by pattern size (vg.cpp:3921-3926)
         inv = inv / np.array([w, h, w, h, w, h], np.float64)
@@ -741,7 +756,7 @@ class Context:
         winding op.
         """
         pos = np.asarray(pos, np.float32).reshape(-1, 2)
-        spos = core.xform_points(self.state.transform, pos)
+        spos = core.xform_points(self._render_transform(), pos)
         idx = np.asarray(indices, np.int64).reshape(-1, 3)
         ga = self.state.global_alpha
         sciss = self._scissor_rect()

@@ -196,7 +196,7 @@ def ctx_text(ctx, cfg, x: float, y: float, s: str) -> None:
         return
     dx, dy = fs.align_offsets(cfg.font.idx, scaled_size, baked.width, cfg.alignment)
 
-    m = ctx.state.transform
+    m = ctx._render_transform()
     inv = 1.0 / scale
     tx = x + dx * inv
     ty = y + dy * inv
