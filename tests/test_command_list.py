@@ -147,3 +147,36 @@ def test_depth_limit():
     ctx._finalize_ops()
     total_edges = sum(len(op.edges) for op in ctx.ops)
     assert total_edges == 16 * 4
+
+
+def test_cached_replay_preserves_clip_semantics():
+    """Clip shapes recorded in a Cacheable list must keep their CLIP kind on
+    cached replay (geometry cache stores op kinds)."""
+    def build(ctx):
+        cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+        vg.beginCommandList(ctx, cl)
+        vg.beginClip(ctx, vg.ClipRule.In)
+        vg.beginPath(ctx)
+        vg.circle(ctx, 40, 32, 20)
+        vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.Convex)
+        vg.endClip(ctx)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 0, 0, 128, 64)
+        vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+        vg.resetClip(ctx)
+        vg.endCommandList(ctx)
+        return cl
+
+    ctx = make_ctx()
+    cl = build(ctx)
+    vg.submitCommandList(ctx, cl)            # builds cache
+    vg.end(ctx, background=(0, 0, 0, 0))
+    direct = np.asarray(ctx.frame_image).copy()
+    assert direct[32, 40, 3] == 1.0          # inside clip circle
+    assert direct[5, 120, 3] == 0.0          # outside clip
+
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.submitCommandList(ctx, cl)            # cached replay
+    vg.end(ctx, background=(0, 0, 0, 0))
+    cached = np.asarray(ctx.frame_image)
+    np.testing.assert_allclose(direct, cached, atol=1e-5)

@@ -241,29 +241,33 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
         getattr(ctx, name)(*args, **kwargs)
         return
 
-    # resolve paint exactly like the non-cached path would
-    n_before = len(ctx.ops)
-    # re-run with empty geometry? Instead reuse the op-building logic by
-    # emitting with cached edges: build paint via the public helpers.
+    # resolve paint exactly like the non-cached path would (clip recording
+    # forces black solid + no AA, ctxFillPathColor vg.cpp:3070-3082)
+    import numpy as _np
+
+    from vgtpu.raster.binning import make_solid_paint
+
+    if ctx._recording_clip:
+        resolved = (0, make_solid_paint(_np.array([0, 0, 0, 1], _np.float32)), None)
+    else:
+        if name == "fillPath":
+            resolved = ctx._resolve_paint(args[0], kwargs.get("color_modulate"))
+        else:
+            resolved = ctx._resolve_paint(args[0], kwargs.get("color_modulate"))
+    if resolved is None:
+        return
+    pk, paint, img = resolved
     if name == "fillPath":
-        paint_or_color, flags = args[0], args[1]
-        resolved = ctx._resolve_paint(paint_or_color, kwargs.get("color_modulate"))
-        if resolved is None:
-            return
-        pk, paint, img = resolved
+        flags = args[1]
         from vgtpu.core import fill_flags_aa, fill_flags_rule
 
-        aa = (not ctx.cfg.force_aa_off) and fill_flags_aa(flags)
+        aa = (not ctx.cfg.force_aa_off) and (not ctx._recording_clip) and fill_flags_aa(flags)
         rule = fill_flags_rule(flags)
     else:
-        paint_or_color, width, flags = args[0], args[1], args[2]
-        resolved = ctx._resolve_paint(paint_or_color, kwargs.get("color_modulate"))
-        if resolved is None:
-            return
-        pk, paint, img = resolved
+        flags = args[2]
         from vgtpu.core import FillRule, stroke_flags_aa
 
-        aa = (not ctx.cfg.force_aa_off) and stroke_flags_aa(flags)
+        aa = (not ctx.cfg.force_aa_off) and (not ctx._recording_clip) and stroke_flags_aa(flags)
         rule = FillRule.NonZero
 
     sciss = ctx._scissor_rect()
@@ -287,4 +291,5 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
                 image_id=(img.idx if img is not None else -1),
             )
         )
-    del n_before
+        if ctx._recording_clip:
+            ctx._clip_shapes_recorded += 1
