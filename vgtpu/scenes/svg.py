@@ -132,6 +132,9 @@ def load_svg(source: str) -> SvgDoc:
                 if ":" in part:
                     k, v = part.split(":", 1)
                     style[k.strip()] = v.strip()
+        for k in ("fill-opacity", "stroke-opacity"):
+            if el.get(k) is not None:
+                style[k] = el.get(k)
         xf = xform_multiply(xf, _parse_transform(el.get("transform", "")))
         tag = strip(el.tag)
         if tag == "path" and el.get("d"):
@@ -139,6 +142,17 @@ def load_svg(source: str) -> SvgDoc:
             stroke = _parse_color(style.get("stroke"), None)
             sw = float(_parse_floats(style.get("stroke-width", "1") or "1")[0])
             rule = 1 if style.get("fill-rule") == "evenodd" else 0
+
+            def _apply_opacity(col, key):
+                if col is None:
+                    return None
+                o = float(style.get("opacity", 1.0)) * float(style.get(key, 1.0))
+                if o >= 1.0:
+                    return col
+                return vg.colorSetAlpha(col, int(vg.colorGetAlpha(col) * max(o, 0.0)))
+
+            fill = _apply_opacity(fill, "fill-opacity")
+            stroke = _apply_opacity(stroke, "stroke-opacity")
             doc.paths.append(SvgPath(el.get("d"), fill, stroke, sw, xf.copy(), rule))
         for child in el:
             walk(child, xf, style)
