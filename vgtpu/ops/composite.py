@@ -71,7 +71,7 @@ def composite_tiles_body(
     tile_h: int,
     tile_w: int,
     max_ops: int,
-    lane_flags: tuple = (True, True, True, True, True, True),
+    lane_flags: tuple = (True, True, True, True, True, True, True),
 ) -> jax.Array:
     """Returns (T, TH, TW, 4) premultiplied RGBA tiles.  Unjitted body so the
     sharded renderer (vgtpu/parallel) can call it inside shard_map.
@@ -80,7 +80,8 @@ def composite_tiles_body(
     disables shading/state lanes that no entry in this call uses — the
     per-bucket specialization that replaces the reference's four separate
     shader programs (src/shaders/*.sc) with compiled variants."""
-    has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags
+    has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags[:6]
+    has_scissor = lane_flags[6] if len(lane_flags) > 6 else True
     T = tile_entries.shape[0]
     tid = tile_ids.astype(jnp.int32)
     ox = ((tid % ntx) * tile_w).astype(jnp.float32)
@@ -124,14 +125,15 @@ def composite_tiles_body(
         if has_tex:
             cov = jnp.where(is_quad_tex, 1.0, cov)
 
-        # scissor (pixel-center test, like the GPU scissor rect)
-        inside = (
-            (pxc >= sc[:, 0][:, None, None])
-            & (pyc >= sc[:, 1][:, None, None])
-            & (pxc < sc[:, 2][:, None, None])
-            & (pyc < sc[:, 3][:, None, None])
-        )
-        cov = cov * inside.astype(jnp.float32)
+        if has_scissor:
+            # scissor (pixel-center test, like the GPU scissor rect)
+            inside = (
+                (pxc >= sc[:, 0][:, None, None])
+                & (pyc >= sc[:, 1][:, None, None])
+                & (pxc < sc[:, 2][:, None, None])
+                & (pyc < sc[:, 3][:, None, None])
+            )
+            cov = cov * inside.astype(jnp.float32)
 
         # ---- shading (each lane statically gated by bucket usage) ----
         inner = paint[:, 10:14]

@@ -144,6 +144,8 @@ def compute_tile_buckets(
                 es = te_b[te_b >= 0]
                 pk = plan.entry_paint_kind[es]
                 kd = plan.entry_kind[es]
+                sc = plan.entry_scissor[es]
+                full_vp = np.array([0.0, 0.0, plan.width, plan.height], np.float32)
                 flags = (
                     bool((pk == P_GRADIENT).any()),
                     bool((pk == P_TRI).any()),
@@ -151,9 +153,10 @@ def compute_tile_buckets(
                     bool((kd != K_DRAW).any()),
                     bool((plan.entry_rule[es] == 1).any()),
                     bool((plan.entry_aa[es] == 0).any()),
+                    bool(len(sc) > 0 and not np.all(sc == full_vp)),
                 )
             else:
-                flags = (True,) * 6
+                flags = (True,) * 7
             buckets.append((te_b, ids, flags))
         prev = mo_c
         mo *= 2
