@@ -476,3 +476,181 @@ int vg_stroke_outline(
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Path baking (mirrors vgtpu/geometry/path.py::PathBuilder.bake)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct BakeResult {
+    float*   verts;       // (V,2)
+    int32_t* subpaths;    // (S,3): first, count, closed
+    int64_t  n_verts;
+    int32_t  n_subpaths;
+};
+
+void vg_free_bake(BakeResult* r) {
+    std::free(r->verts); std::free(r->subpaths);
+    std::memset(r, 0, sizeof(*r));
+}
+
+enum { V_MOVE = 0, V_LINE = 1, V_CUBIC = 2, V_ARC = 3, V_CLOSE = 4, V_POLY = 5 };
+static const double VG_EPS = 1e-5;   // VG_EPSILON (dist^2 dedupe)
+
+int vg_bake_path(
+    const int32_t* verbs, int32_t n_verbs,
+    const double* simple_flat,       // MOVE/LINE xy in verb order
+    const double* cubic_flat,        // 8 per cubic
+    const double* arc_flat,          // 6 per arc
+    const int64_t* poly_args,        // 2 per poly: offset,count
+    const float* poly_pool,
+    float scale_f, float tol_f,
+    BakeResult* out)
+{
+    const double scale = scale_f, tol = tol_f;
+    if (n_verbs == 0) { std::memset(out, 0, sizeof(*out)); return 0; }
+
+    // pass 1: per-verb emission counts
+    std::vector<int64_t> counts((size_t)n_verbs, 0);
+    std::vector<int64_t> cub_n, arc_n;
+    {
+        const double tol_d = std::sqrt(tol) / std::max(scale, 1e-6);
+        int ci = 0, ai = 0, pi = 0;
+        for (int i = 0; i < n_verbs; ++i) {
+            switch (verbs[i]) {
+            case V_MOVE: case V_LINE: counts[i] = 1; break;
+            case V_CUBIC: {
+                const double* p = &cubic_flat[(size_t)ci*8];
+                double d1x = p[0]-2*p[2]+p[4], d1y = p[1]-2*p[3]+p[5];
+                double d2x = p[2]-2*p[4]+p[6], d2y = p[3]-2*p[5]+p[7];
+                double m = std::max(std::hypot(d1x,d1y), std::hypot(d2x,d2y));
+                double nn = std::ceil(std::sqrt(std::max(3.0*m/(4.0*tol_d), 1.0)));
+                int64_t n = (int64_t)std::min(std::max(nn, 1.0), 1024.0);
+                counts[i] = n; cub_n.push_back(n); ++ci;
+            } break;
+            case V_ARC: {
+                const double* a = &arc_flat[(size_t)ai*6];
+                double avg_r = (std::fabs(a[2]) + std::fabs(a[3])) * 0.5;
+                double sr = scale * std::max(avg_r, 1e-6);
+                double da = std::acos(std::min(1.0, std::max(-1.0, sr/(sr+tol)))) * 2.0;
+                int64_t n = (int64_t)std::max(2.0, std::ceil(std::fabs(a[5]-a[4]) / da));
+                n = std::min<int64_t>(n, 4096);
+                counts[i] = n; arc_n.push_back(n); ++ai;
+            } break;
+            case V_POLY: counts[i] = poly_args[(size_t)pi*2+1]; ++pi; break;
+            default: break; // CLOSE: 0
+            }
+        }
+    }
+    std::vector<int64_t> offs((size_t)n_verbs + 1, 0);
+    for (int i = 0; i < n_verbs; ++i) offs[i+1] = offs[i] + counts[i];
+    const int64_t total = offs[n_verbs];
+
+    std::vector<float> v((size_t)total * 2);
+    // pass 2: fill
+    {
+        int ci = 0, ai = 0, pi = 0, si = 0;
+        for (int i = 0; i < n_verbs; ++i) {
+            float* dst = &v[(size_t)offs[i]*2];
+            switch (verbs[i]) {
+            case V_MOVE: case V_LINE:
+                dst[0] = (float)simple_flat[(size_t)si*2];
+                dst[1] = (float)simple_flat[(size_t)si*2+1];
+                ++si; break;
+            case V_CUBIC: {
+                const double* p = &cubic_flat[(size_t)ci*8];
+                int64_t n = cub_n[(size_t)ci];
+                for (int64_t k = 0; k < n; ++k) {
+                    double t = (double)(k+1) / (double)n, mt = 1.0 - t;
+                    double w0 = mt*mt*mt, w1 = 3*mt*mt*t, w2 = 3*mt*t*t, w3 = t*t*t;
+                    dst[k*2]   = (float)(w0*p[0] + w1*p[2] + w2*p[4] + w3*p[6]);
+                    dst[k*2+1] = (float)(w0*p[1] + w1*p[3] + w2*p[5] + w3*p[7]);
+                }
+                ++ci;
+            } break;
+            case V_ARC: {
+                const double* a = &arc_flat[(size_t)ai*6];
+                int64_t n = arc_n[(size_t)ai];
+                for (int64_t k = 0; k < n; ++k) {
+                    double th = a[4] + (a[5]-a[4]) * (double)(k+1) / (double)n;
+                    dst[k*2]   = (float)(a[0] + a[2]*std::cos(th));
+                    dst[k*2+1] = (float)(a[1] + a[3]*std::sin(th));
+                }
+                ++ai;
+            } break;
+            case V_POLY: {
+                int64_t off = poly_args[(size_t)pi*2], cnt = poly_args[(size_t)pi*2+1];
+                std::memcpy(dst, &poly_pool[(size_t)off*2], (size_t)cnt*2*sizeof(float));
+                ++pi;
+            } break;
+            default: break;
+            }
+        }
+    }
+
+    // subpath table (MOVE/CLOSE walk, python parity)
+    struct Sub { int64_t first, count; int closed; };
+    std::vector<Sub> subs;
+    {
+        int64_t cur_first = 0; bool cur_open = false;
+        for (int i = 0; i < n_verbs; ++i) {
+            int vb = verbs[i];
+            if (vb == V_MOVE) {
+                if (cur_open && offs[i] > cur_first)
+                    subs.push_back({cur_first, offs[i]-cur_first, 0});
+                cur_first = offs[i]; cur_open = true;
+            } else if (vb == V_CLOSE) {
+                if (cur_open && offs[i] > cur_first) {
+                    subs.push_back({cur_first, offs[i]-cur_first, 1});
+                    cur_open = false; cur_first = offs[i];
+                }
+            } else if (!cur_open) { cur_open = true; cur_first = offs[i]; }
+        }
+        if (cur_open && total > cur_first)
+            subs.push_back({cur_first, total-cur_first, 0});
+    }
+
+    // dedupe (consecutive within subpath + closing pair), python parity
+    std::vector<uint8_t> keep((size_t)total, 1);
+    for (int64_t k = 1; k < total; ++k) {
+        double dx = (double)v[k*2]   - v[(k-1)*2];
+        double dy = (double)v[k*2+1] - v[(k-1)*2+1];
+        keep[(size_t)k] = (dx*dx + dy*dy) >= VG_EPS;
+    }
+    for (auto& s : subs) keep[(size_t)s.first] = 1;   // subpath firsts survive
+
+    std::vector<Sub> out_subs; out_subs.reserve(subs.size());
+    for (auto& s : subs) {
+        int64_t c = 0, first_k = -1, last_k = -1;
+        for (int64_t k = s.first; k < s.first + s.count; ++k)
+            if (keep[(size_t)k]) { ++c; if (first_k < 0) first_k = k; last_k = k; }
+        if (s.closed && c > 1) {
+            double dx = (double)v[last_k*2]   - v[first_k*2];
+            double dy = (double)v[last_k*2+1] - v[first_k*2+1];
+            if (dx*dx + dy*dy < VG_EPS) { keep[(size_t)last_k] = 0; --c; }
+        }
+        int closed = (s.closed && c > 2) ? 1 : 0;
+        if (c > 0) out_subs.push_back({0, c, closed});   // first fixed below
+    }
+
+    int64_t vkept = 0;
+    for (int64_t k = 0; k < total; ++k) vkept += keep[(size_t)k];
+    out->verts = (float*)std::malloc(std::max<int64_t>(vkept,1)*2*sizeof(float));
+    int64_t w = 0;
+    for (int64_t k = 0; k < total; ++k)
+        if (keep[(size_t)k]) { out->verts[w*2] = v[k*2]; out->verts[w*2+1] = v[k*2+1]; ++w; }
+    out->n_verts = vkept;
+    out->subpaths = (int32_t*)std::malloc(std::max<size_t>(out_subs.size(),1)*3*sizeof(int32_t));
+    int64_t run = 0;
+    for (size_t si2 = 0; si2 < out_subs.size(); ++si2) {
+        out->subpaths[si2*3]   = (int32_t)run;
+        out->subpaths[si2*3+1] = (int32_t)out_subs[si2].count;
+        out->subpaths[si2*3+2] = out_subs[si2].closed;
+        run += out_subs[si2].count;
+    }
+    out->n_subpaths = (int32_t)out_subs.size();
+    return 0;
+}
+
+} // extern "C"

@@ -92,3 +92,52 @@ def test_native_stroker_matches_numpy():
                 cov_b = _edge_coverage_np(eb, 200, 200)
                 np.testing.assert_allclose(cov_a, cov_b, atol=2e-3,
                                            err_msg=str((closed, cap, join)))
+
+
+def test_native_bake_matches_numpy():
+    from vgtpu.geometry.path import PathBuilder
+
+    rng = np.random.default_rng(9)
+    for trial in range(12):
+        pb = PathBuilder()
+        pb.reset(float(rng.uniform(0.5, 3.0)), 0.25)
+        pb.move_to(*rng.uniform(0, 200, 2))
+        for _ in range(int(rng.integers(2, 10))):
+            r = rng.uniform()
+            if r < 0.4:
+                pb.line_to(*rng.uniform(0, 200, 2))
+            elif r < 0.7:
+                pb.cubic_to(*rng.uniform(0, 200, 6))
+            elif r < 0.8:
+                pb.arc(*rng.uniform(20, 180, 2), rng.uniform(5, 40),
+                       rng.uniform(0, 3), rng.uniform(3, 6), 1)
+            elif r < 0.9:
+                pb.polyline(rng.uniform(0, 200, (4, 2)).astype(np.float32))
+            else:
+                pb.move_to(*rng.uniform(0, 200, 2))
+        if rng.uniform() < 0.5:
+            pb.close()
+        va, sa = pb.bake(backend="auto")
+        pb._baked = None
+        vb, sb = pb.bake(backend="numpy")
+        np.testing.assert_array_equal(sa, sb, err_msg=str(trial))
+        np.testing.assert_allclose(va, vb, atol=2e-4, err_msg=str(trial))
+
+
+def test_native_bake_shapes():
+    from vgtpu.geometry.path import PathBuilder
+
+    for build in (
+        lambda p: p.circle(50, 50, 40),
+        lambda p: p.rounded_rect(5, 5, 90, 60, 12),
+        lambda p: (p.move_to(0, 0), p.arc_to(50, 0, 50, 50, 20)),
+        lambda p: p.ellipse(40, 40, 30, 18),
+    ):
+        pb = PathBuilder()
+        pb.reset(1.0, 0.25)
+        build(pb)
+        va, sa = pb.bake(backend="auto")
+        pb._baked = None
+        vb, sb = pb.bake(backend="numpy")
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_allclose(va, vb, atol=2e-4)

@@ -272,11 +272,13 @@ class PathBuilder:
         self._baked = None
 
     # -- bake --------------------------------------------------------------
-    def bake(self) -> tuple[np.ndarray, np.ndarray]:
+    def bake(self, backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:
         """Returns (vertices (V,2) f32, subpaths (S,3) i32 [first, count, closed]).
 
-        One vectorized pass over all recorded verbs; the flattening math is the
-        device-portable computation described in the module docstring.
+        backend='auto' uses the native C++ baker when built (parity-tested);
+        this numpy body is the oracle.  One vectorized pass over all recorded
+        verbs; the flattening math is the device-portable computation
+        described in the module docstring.
         """
         if self._baked is not None:
             return self._baked
@@ -286,6 +288,20 @@ class PathBuilder:
         if nverbs == 0:
             self._baked = (np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int32))
             return self._baked
+
+        if backend == "auto":
+            from vgtpu import native
+
+            res = native.bake_path_native(
+                verbs, self._simple_flat, self._cubic_flat, self._arc_flat,
+                np.asarray(self._poly_args, np.int64).reshape(-1, 2),
+                (np.concatenate(self._poly_pool, axis=0)
+                 if self._poly_pool else np.zeros((0, 2), np.float32)),
+                self._scale, self._tol,
+            )
+            if res is not None:
+                self._baked = res
+                return self._baked
 
         counts = np.zeros(nverbs, dtype=np.int64)
 

@@ -234,3 +234,67 @@ def stroke_outline_native(pts, closed, width, cap, join, scale, tol):
     contours = [flat[off[i] : off[i + 1]].copy() for i in range(res.n_contours)]
     lib.vg_free_stroke(ctypes.byref(res))
     return contours
+
+
+class _BakeResult(ctypes.Structure):
+    _fields_ = [
+        ("verts", ctypes.POINTER(ctypes.c_float)),
+        ("subpaths", ctypes.POINTER(ctypes.c_int32)),
+        ("n_verts", ctypes.c_int64),
+        ("n_subpaths", ctypes.c_int32),
+    ]
+
+
+def _bind_bake(lib):
+    if getattr(lib, "_bake_bound", False):
+        return
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vg_bake_path.restype = ctypes.c_int
+    lib.vg_bake_path.argtypes = [
+        c_i32p, ctypes.c_int32,
+        c_f64p, c_f64p, c_f64p, c_i64p, c_f32p,
+        ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(_BakeResult),
+    ]
+    lib.vg_free_bake.argtypes = [ctypes.POINTER(_BakeResult)]
+    lib._bake_bound = True
+
+
+def bake_path_native(verbs, simple_flat, cubic_flat, arc_flat, poly_args,
+                     poly_pool, scale, tol):
+    """Native PathBuilder.bake; returns (verts (V,2) f32, subs (S,3) i32)
+    or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_bake(lib)
+    verbs = np.ascontiguousarray(verbs, np.int32)
+    sf = np.ascontiguousarray(simple_flat, np.float64)
+    cf = np.ascontiguousarray(cubic_flat, np.float64)
+    af = np.ascontiguousarray(arc_flat, np.float64)
+    pa = np.ascontiguousarray(poly_args, np.int64)
+    pp = np.ascontiguousarray(poly_pool, np.float32)
+    res = _BakeResult()
+    rc = lib.vg_bake_path(
+        _ip(verbs), len(verbs),
+        sf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        af.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _lp(pa), _fp(pp),
+        ctypes.c_float(scale), ctypes.c_float(tol),
+        ctypes.byref(res),
+    )
+    if rc != 0:
+        return None
+    nv, ns = int(res.n_verts), int(res.n_subpaths)
+    if nv == 0:
+        lib.vg_free_bake(ctypes.byref(res))
+        return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int32)
+    verts = np.ctypeslib.as_array(res.verts, shape=(nv * 2,)).copy().reshape(nv, 2)
+    subs = (np.ctypeslib.as_array(res.subpaths, shape=(max(ns, 1) * 3,)).copy()
+            .reshape(-1, 3)[:ns])
+    lib.vg_free_bake(ctypes.byref(res))
+    return verts, subs
