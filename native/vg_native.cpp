@@ -34,6 +34,8 @@ struct ChunkSOA {
     size_t size() const { return entry.size(); }
 };
 
+static const int MAX_POOLS = 4;
+
 inline int ifloordiv(double a, double b) { return (int)std::floor(a / b); }
 
 } // namespace
@@ -41,10 +43,11 @@ inline int ifloordiv(double a, double b) { return (int)std::floor(a / b); }
 extern "C" {
 
 struct BinResult {
-    // chunks
-    float*   chunk_edges;    // n_chunks * chunk * 4
-    int32_t* chunk_entry;    // n_chunks
-    int64_t  n_chunks;
+    // chunk pools (one per chunk size; see vg_bin_frame pool_sizes)
+    float*   chunk_edges[4]; // n_chunks[p] * pool_sizes[p] * 4
+    int32_t* chunk_entry[4]; // n_chunks[p]
+    int64_t  n_chunks[4];
+    int32_t  n_pools;
     // entries
     int32_t* entry_tile;
     float*   entry_backdrop; // n_entries * tile_h
@@ -63,7 +66,7 @@ struct BinResult {
 };
 
 void vg_free_result(BinResult* r) {
-    std::free(r->chunk_edges); std::free(r->chunk_entry);
+    for (int p = 0; p < 4; ++p) { std::free(r->chunk_edges[p]); std::free(r->chunk_entry[p]); }
     std::free(r->entry_tile); std::free(r->entry_backdrop);
     std::free(r->entry_kind); std::free(r->entry_rule); std::free(r->entry_aa);
     std::free(r->entry_paint_kind); std::free(r->entry_paint);
@@ -91,15 +94,17 @@ int vg_bin_frame(
     const int32_t* op_image,
     int32_t n_ops,
     int32_t width, int32_t height,
-    int32_t tile_h, int32_t tile_w, int32_t chunk,
+    int32_t tile_h, int32_t tile_w,
+    const int32_t* pool_sizes, int32_t n_pools,
     BinResult* out)
 {
+    n_pools = std::min(n_pools, MAX_POOLS);
     const int ntx = (width + tile_w - 1) / tile_w;
     const int nty = (height + tile_h - 1) / tile_h;
     const int T = ntx * nty;
 
     EntrySOA E;
-    ChunkSOA C;
+    ChunkSOA C[MAX_POOLS];
 
     // scratch reused across ops
     std::vector<int> tile_edge_count, tile_edge_start, tile_fill_pos;
@@ -270,20 +275,27 @@ int vg_bin_frame(
             if (has_edges) {
                 const double ox = (double)tx * tile_w, oy = (double)ty * tile_h;
                 int n_e = tile_edge_count[g];
+                // pick the smallest pool that fits the whole entry, else the
+                // largest (multi-chunk)
+                int pool = n_pools - 1;
+                for (int p = 0; p < n_pools; ++p)
+                    if (n_e <= pool_sizes[p]) { pool = p; break; }
+                const int chunk = pool_sizes[pool];
+                ChunkSOA& CP = C[pool];
                 int n_chunks_here = (n_e + chunk - 1) / chunk;
                 for (int c = 0; c < n_chunks_here; ++c) {
-                    size_t base = C.edges.size();
-                    C.edges.resize(base + (size_t)chunk*4, 0.0f);
+                    size_t base = CP.edges.size();
+                    CP.edges.resize(base + (size_t)chunk*4, 0.0f);
                     int lo = c*chunk, hi = std::min(n_e, lo + chunk);
                     for (int k = lo; k < hi; ++k) {
                         const float* P = &edges[pair_tile[tile_edge_start[g] + k]*4];
-                        float* D = &C.edges[base + (size_t)(k - lo)*4];
+                        float* D = &CP.edges[base + (size_t)(k - lo)*4];
                         D[0] = (float)((double)P[0] - ox);
                         D[1] = (float)((double)P[1] - oy);
                         D[2] = (float)((double)P[2] - ox);
                         D[3] = (float)((double)P[3] - oy);
                     }
-                    C.entry.push_back((int32_t)id);
+                    CP.entry.push_back((int32_t)id);
                 }
             }
         }
@@ -316,9 +328,18 @@ int vg_bin_frame(
         return p;
     };
 
-    out->chunk_edges = dupf(C.edges);
-    out->chunk_entry = dupi(C.entry);
-    out->n_chunks = (int64_t)C.size();
+    for (int p = 0; p < MAX_POOLS; ++p) {
+        if (p < n_pools) {
+            out->chunk_edges[p] = dupf(C[p].edges);
+            out->chunk_entry[p] = dupi(C[p].entry);
+            out->n_chunks[p] = (int64_t)C[p].size();
+        } else {
+            out->chunk_edges[p] = nullptr;
+            out->chunk_entry[p] = nullptr;
+            out->n_chunks[p] = 0;
+        }
+    }
+    out->n_pools = n_pools;
     out->entry_tile = dupi(E.tile);
     out->entry_backdrop = dupf(E.backdrop);
     out->entry_kind = dupi(E.kind);

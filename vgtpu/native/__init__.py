@@ -23,9 +23,10 @@ _tried = False
 
 class _BinResult(ctypes.Structure):
     _fields_ = [
-        ("chunk_edges", ctypes.POINTER(ctypes.c_float)),
-        ("chunk_entry", ctypes.POINTER(ctypes.c_int32)),
-        ("n_chunks", ctypes.c_int64),
+        ("chunk_edges", ctypes.POINTER(ctypes.c_float) * 4),
+        ("chunk_entry", ctypes.POINTER(ctypes.c_int32) * 4),
+        ("n_chunks", ctypes.c_int64 * 4),
+        ("n_pools", ctypes.c_int32),
         ("entry_tile", ctypes.POINTER(ctypes.c_int32)),
         ("entry_backdrop", ctypes.POINTER(ctypes.c_float)),
         ("entry_kind", ctypes.POINTER(ctypes.c_int32)),
@@ -92,7 +93,8 @@ def get_lib():
         c_i32p, c_i32p, c_i32p, c_i32p,
         c_f32p, c_f32p, c_i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+        c_i32p, ctypes.c_int32,
         ctypes.POINTER(_BinResult),
     ]
     lib.vg_free_result.argtypes = [ctypes.POINTER(_BinResult)]
@@ -124,7 +126,7 @@ def _lp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def bin_frame_native(ops, width, height, tile_h, tile_w, chunk):
+def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
     """Run the native binner; returns raw (unpadded) result dict or None."""
     lib = get_lib()
     if lib is None:
@@ -169,18 +171,19 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, chunk):
     tquads = np.ascontiguousarray(tquads, np.float32)
 
     res = _BinResult()
+    pool_arr = np.asarray(pools, np.int32)
     rc = lib.vg_bin_frame(
         _fp(edges), _lp(edge_off), _fp(tquads), _lp(quad_off),
         _ip(kind), _ip(rule), _ip(aa), _ip(pk),
         _fp(paint), _fp(sciss), _ip(image),
-        n, width, height, tile_h, tile_w, chunk,
+        n, width, height, tile_h, tile_w,
+        _ip(pool_arr), len(pool_arr),
         ctypes.byref(res),
     )
     if rc != 0:
         return None
 
     ne = int(res.n_entries)
-    nc = int(res.n_chunks)
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     T = ntx * nty
@@ -191,9 +194,15 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, chunk):
             return np.zeros(shape, dtype)
         return np.ctypeslib.as_array(ptr, shape=(int(np.prod(shape)),)).astype(dtype, copy=True).reshape(shape)
 
+    chunk_pools = []
+    for pi, ch in enumerate(pools):
+        ncp = int(res.n_chunks[pi])
+        chunk_pools.append((
+            arr(res.chunk_edges[pi], (ncp, int(ch), 4), np.float32),
+            arr(res.chunk_entry[pi], (ncp,), np.int32),
+        ))
     out = {
-        "chunk_edges": arr(res.chunk_edges, (nc, chunk, 4), np.float32),
-        "chunk_entry": arr(res.chunk_entry, (nc,), np.int32),
+        "chunk_pools": chunk_pools,
         "entry_tile": arr(res.entry_tile, (ne,), np.int32),
         "entry_backdrop": arr(res.entry_backdrop, (ne, tile_h), np.float32),
         "entry_kind": arr(res.entry_kind, (ne,), np.int32),
@@ -206,7 +215,6 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, chunk):
         "entry_op": arr(res.entry_op, (ne,), np.int32),
         "tile_entries": arr(res.tile_entries, (T, mo), np.int32),
         "n_entries": ne,
-        "n_chunks": nc,
         "max_ops": mo,
     }
     lib.vg_free_result(ctypes.byref(res))

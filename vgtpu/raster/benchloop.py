@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from vgtpu.ops.composite import composite_bucketed_body
-from vgtpu.ops.coverage import coverage_chunks_body
+from vgtpu.ops.coverage import entry_coverage_from_pools
 
 
 @functools.partial(
@@ -26,16 +26,15 @@ from vgtpu.ops.coverage import coverage_chunks_body
                      "num_entries", "bucket_flags"),
 )
 def chained_frames(
-    chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
+    chunk_pools, entry_backdrop, entry_kind, entry_rule,
     entry_aa, entry_paint_kind, entry_paint, entry_scissor,
     entry_color_tile, color_tiles, buckets, background,
     *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
     num_entries: int, bucket_flags=None,
 ):
     def one_frame(eps):
-        ce = chunk_edges + eps
-        chunk_cov = coverage_chunks_body(ce, tile_h, tile_w)
-        entry_cov = jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+        pools = tuple((ce + eps, cent) for ce, cent in chunk_pools)
+        entry_cov = entry_coverage_from_pools(pools, num_entries, tile_h, tile_w)
         entry_w = entry_cov + entry_backdrop[:, :, None]
         fb = composite_bucketed_body(
             entry_w, buckets,
@@ -61,7 +60,7 @@ def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> f
     import numpy as np
 
     args = (
-        d["chunk_edges"], d["chunk_entry"], d["entry_backdrop"],
+        d["chunk_pools"], d["entry_backdrop"],
         d["entry_kind"], d["entry_rule"], d["entry_aa"],
         d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
         d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],

@@ -82,9 +82,8 @@ class FramePlan:
     nty: int
     tile_h: int
     tile_w: int
-    # chunks
-    chunk_edges: np.ndarray      # (NC, CHUNK, 4) f32, tile-origin-relative
-    chunk_entry: np.ndarray      # (NC,) i32 -> entry id
+    # chunk pools: [(edges (NCp, CHp, 4) f32 tile-relative, entry (NCp,) i32)]
+    chunk_pools: list
     # entries (one per (tile, op) pair, draw-ordered within each tile)
     entry_tile: np.ndarray       # (NE,) i32
     entry_backdrop: np.ndarray   # (NE, tile_h) f32
@@ -191,42 +190,48 @@ def bin_frame(
     chunk: int = 8,
     color_tiles: np.ndarray | None = None,
     backend: str = "auto",
+    pools: tuple = (2, 6, 24),
 ) -> FramePlan:
     """Coarse-rasterize a frame.  backend: 'auto' uses the native C++ engine
-    when built (vgtpu/native), 'numpy' forces the reference implementation."""
+    when built (vgtpu/native), 'numpy' forces the reference implementation
+    (single chunk pool of `chunk` edges — the oracle layout)."""
+    for op in ops:
+        if isinstance(op.edges, list):   # finalize merged draw batches
+            op.edges = np.concatenate(op.edges, axis=0)
     if backend == "auto":
         from vgtpu import native
 
-        raw = native.bin_frame_native(ops, width, height, tile_h, tile_w, chunk)
+        raw = native.bin_frame_native(ops, width, height, tile_h, tile_w, pools)
         if raw is not None:
-            return _assemble_native(raw, width, height, tile_h, tile_w, chunk, color_tiles)
+            return _assemble_native(raw, width, height, tile_h, tile_w, color_tiles)
     return bin_frame_numpy(ops, width, height, tile_h, tile_w, chunk, color_tiles)
 
 
-def _assemble_native(raw, width, height, tile_h, tile_w, chunk, color_tiles) -> FramePlan:
+def _assemble_native(raw, width, height, tile_h, tile_w, color_tiles) -> FramePlan:
     """Pad the native binner's raw arrays to device buckets (same padding as
     the numpy assembly below)."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     n_entries = raw["n_entries"]
-    n_chunks = raw["n_chunks"]
+    n_chunks = sum(len(ce) for ce, _ in raw["chunk_pools"])
     NE = _bucket(max(n_entries, 1))
-    NC = _bucket(max(n_chunks, 1))
 
     def pad(a, n, fill=0):
         out = np.full((n,) + a.shape[1:], fill, a.dtype)
         out[: len(a)] = a
         return out
 
-    chunk_entry = pad(raw["chunk_entry"], NC, fill=NE - 1)
+    chunk_pools = []
+    for ce, cent in raw["chunk_pools"]:
+        NC = _bucket(max(len(ce), 1))
+        chunk_pools.append((pad(ce, NC), pad(cent, NC, fill=NE - 1)))
     if color_tiles is None or len(color_tiles) == 0:
         color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
 
     return FramePlan(
         width=width, height=height, ntx=ntx, nty=nty,
         tile_h=tile_h, tile_w=tile_w,
-        chunk_edges=pad(raw["chunk_edges"], NC),
-        chunk_entry=chunk_entry,
+        chunk_pools=chunk_pools,
         entry_tile=pad(raw["entry_tile"], NE),
         entry_backdrop=pad(raw["entry_backdrop"], NE),
         entry_kind=pad(raw["entry_kind"], NE, fill=K_DRAW),
@@ -508,6 +513,7 @@ def bin_frame_numpy(
         centry = np.concatenate(chunk_entry, axis=0)
         chunk_edges[: len(cb)] = cb
         chunk_entry_arr[: len(centry)] = centry.astype(np.int32)
+    chunk_pools = [(chunk_edges, chunk_entry_arr)]
 
     # per-tile draw-ordered entry table
     et = entry_tile[:n_entries].astype(np.int64)
@@ -534,8 +540,7 @@ def bin_frame_numpy(
         nty=nty,
         tile_h=tile_h,
         tile_w=tile_w,
-        chunk_edges=chunk_edges,
-        chunk_entry=chunk_entry_arr,
+        chunk_pools=chunk_pools,
         entry_tile=entry_tile,
         entry_backdrop=entry_backdrop,
         entry_kind=entry_kind,

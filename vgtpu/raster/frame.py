@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
-from vgtpu.ops.coverage import coverage_chunks_body
+from vgtpu.ops.coverage import entry_coverage_from_pools
 from vgtpu.raster.binning import FramePlan, compute_tile_buckets
 
 
@@ -20,14 +20,13 @@ from vgtpu.raster.binning import FramePlan, compute_tile_buckets
                      "height", "bucket_flags"),
 )
 def _frame_fn(
-    chunk_edges, chunk_entry, entry_backdrop, entry_kind, entry_rule,
+    chunk_pools, entry_backdrop, entry_kind, entry_rule,
     entry_aa, entry_paint_kind, entry_paint, entry_scissor,
     entry_color_tile, color_tiles, buckets, background,
     *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
 ):
     """The whole device frame in ONE compiled program."""
-    chunk_cov = coverage_chunks_body(chunk_edges, tile_h, tile_w)
-    entry_cov = jax.ops.segment_sum(chunk_cov, chunk_entry, num_segments=num_entries)
+    entry_cov = entry_coverage_from_pools(chunk_pools, num_entries, tile_h, tile_w)
     entry_w = entry_cov + entry_backdrop[:, :, None]
     fb = composite_bucketed_body(
         entry_w, buckets,
@@ -44,7 +43,7 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
     """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
     d = device_arrays if device_arrays is not None else plan_to_device(plan)
     return _frame_fn(
-        d["chunk_edges"], d["chunk_entry"], d["entry_backdrop"],
+        d["chunk_pools"], d["entry_backdrop"],
         d["entry_kind"], d["entry_rule"], d["entry_aa"],
         d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
         d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],
@@ -64,8 +63,9 @@ def plan_to_device(plan: FramePlan) -> dict:
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
         )
     return {
-        "chunk_edges": jnp.asarray(plan.chunk_edges),
-        "chunk_entry": jnp.asarray(plan.chunk_entry),
+        "chunk_pools": tuple(
+            (jnp.asarray(ce), jnp.asarray(cent)) for ce, cent in plan.chunk_pools
+        ),
         "chunk_entry_num": plan.entry_backdrop.shape[0],
         "entry_backdrop": jnp.asarray(plan.entry_backdrop),
         "entry_kind": jnp.asarray(plan.entry_kind),
