@@ -256,6 +256,7 @@ class Context:
                 tile_h=self.cfg.tile_h,
                 tile_w=self.cfg.tile_w,
                 chunk=self.cfg.edges_per_chunk,
+                pools=self.cfg.chunk_pools,
             )
         with prof.stage("textures"):
             self._fill_textures(plan)
