@@ -178,3 +178,33 @@ def test_pallas_kernel_matches_xla():
     a = np.asarray(coverage_chunks_body(jnp.asarray(edges), 8, 128))
     b = np.asarray(coverage_chunks_pallas(jnp.asarray(edges), 8, 128, interpret=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_occlusion_culling_correctness():
+    """An opaque full-cover layer culls entries below it (composite depth
+    shrinks) without changing pixels; a translucent cover must NOT cull."""
+    from vgtpu.raster.binning import compute_tile_buckets
+
+    def plan_for(alpha):
+        sq = _poly_edges([(0, 0), (200, 0), (200, 64), (0, 64)])
+        ops = [
+            RasterOp(edges=sq, paint=make_solid_paint(np.array([1, 0, 0, 1], np.float32))),
+            RasterOp(edges=sq, paint=make_solid_paint(np.array([0, 1, 0, 1], np.float32))),
+            RasterOp(edges=sq, paint=make_solid_paint(np.array([0, 0, 1, alpha], np.float32))),
+        ]
+        return bin_frame(ops, 200, 64), ops
+
+    def iters(plan):
+        buckets = compute_tile_buckets(
+            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
+        )
+        return sum(len(ids) * te.shape[1] for te, ids, _f in buckets)
+
+    p_opaque, _ = plan_for(1.0)
+    p_trans, _ = plan_for(0.5)
+    assert iters(p_opaque) < iters(p_trans)
+
+    img = np.asarray(execute_plan(p_opaque, background=(0, 0, 0, 0)))
+    np.testing.assert_allclose(img[32, 64], [0, 0, 1, 1], atol=1e-5)  # top layer
+    img_t = np.asarray(execute_plan(p_trans, background=(0, 0, 0, 0)))
+    np.testing.assert_allclose(img_t[32, 64], [0, 0.5, 0.5, 1], atol=1e-5)  # blended

@@ -118,13 +118,65 @@ def compute_tile_buckets(
 
     When entry_kind is given, control entries (clip commit/reset — present in
     EVERY tile by construction) trailing the tile's last draw are pruned: they
-    cannot affect output, and pruning turns pure-background tiles op-free."""
+    cannot affect output, and pruning turns pure-background tiles op-free.
+
+    With a full plan, OCCLUSION culling also applies: an entry that covers its
+    whole tile with an opaque solid NonZero fill (no edges in the tile, every
+    backdrop row winding >= 1, full-tile scissor) overwrites everything below
+    it, so earlier entries in that tile are dropped.  Deeply stacked opaque
+    artwork (the tiger) collapses to the visible top layers."""
     if entry_kind is not None and tile_entries.size:
         te = tile_entries
         kinds = np.where(te >= 0, entry_kind[np.maximum(te, 0)], -1)
         is_draw = (kinds == K_DRAW) & (te >= 0)
         rev_any = np.cumsum(is_draw[:, ::-1], axis=1)[:, ::-1]  # draws at/after pos
         tile_entries = np.where(rev_any > 0, te, -1)
+
+        if plan is not None:
+            # per-entry full-opaque-cover flag (conservative)
+            ne = plan.entry_backdrop.shape[0]
+            has_edges = np.zeros(ne, bool)
+            for _ce, cent in plan.chunk_pools:
+                has_edges[cent] = True
+            solid_opaque = (
+                (plan.entry_paint_kind == P_SOLID)
+                & (plan.entry_kind == K_DRAW)
+                & (plan.entry_rule == 0)
+                & (plan.entry_paint[:, 13] >= 1.0)
+            )
+            full_wind = (np.abs(plan.entry_backdrop) >= 1.0).all(axis=1)
+            covers = solid_opaque & full_wind & ~has_edges
+
+            te2 = tile_entries
+            e = np.maximum(te2, 0)
+            valid = te2 >= 0
+            # scissor must contain the whole tile
+            tile_ids = np.arange(te2.shape[0])
+            ntx = max(1, int(np.ceil(plan.width / plan.tile_w)))
+            tx0 = (tile_ids % ntx) * plan.tile_w
+            ty0 = (tile_ids // ntx) * plan.tile_h
+            sc = plan.entry_scissor[e]
+            sc_ok = (
+                (sc[:, :, 0] <= tx0[:, None])
+                & (sc[:, :, 1] <= ty0[:, None])
+                & (sc[:, :, 2] >= (tx0 + plan.tile_w)[:, None])
+                & (sc[:, :, 3] >= (ty0 + plan.tile_h)[:, None])
+            )
+            cover_grid = covers[e] & valid & sc_ok
+            # clip state is per-tile dynamic; only cull in clip-free tiles
+            has_clip = ((plan.entry_kind[e] != K_DRAW) & valid).any(axis=1)
+            cover_grid &= ~has_clip[:, None]
+            # keep from the LAST covering entry onward
+            pos = np.arange(te2.shape[1])
+            last_cover = np.where(
+                cover_grid.any(axis=1),
+                te2.shape[1] - 1 - np.argmax(cover_grid[:, ::-1], axis=1),
+                0,
+            )
+            tile_entries = np.where(pos[None, :] >= last_cover[:, None], te2, -1)
+            # compact: culling leaves -1 prefixes; buckets slice leading slots
+            order = np.argsort(tile_entries < 0, axis=1, kind="stable")
+            tile_entries = np.take_along_axis(tile_entries, order, axis=1)
     counts = (tile_entries >= 0).sum(axis=1)
     width = tile_entries.shape[1]
     buckets = []
