@@ -194,15 +194,15 @@ def test_occlusion_culling_correctness():
         ]
         return bin_frame(ops, 200, 64), ops
 
-    def iters(plan):
+    def live_slots(plan):
         buckets = compute_tile_buckets(
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
         )
-        return sum(len(ids) * te.shape[1] for te, ids, _f in buckets)
+        return sum(int((te >= 0).sum()) for te, _ids, _f in buckets)
 
     p_opaque, _ = plan_for(1.0)
     p_trans, _ = plan_for(0.5)
-    assert iters(p_opaque) < iters(p_trans)
+    assert live_slots(p_opaque) < live_slots(p_trans)
 
     img = np.asarray(execute_plan(p_opaque, background=(0, 0, 0, 0)))
     np.testing.assert_allclose(img[32, 64], [0, 0, 1, 1], atol=1e-5)  # top layer
