@@ -180,3 +180,32 @@ def test_cached_replay_preserves_clip_semantics():
     vg.end(ctx, background=(0, 0, 0, 0))
     cached = np.asarray(ctx.frame_image)
     np.testing.assert_allclose(direct, cached, atol=1e-5)
+
+
+def test_direct_cl_recording_api():
+    """clXXX(ctx, handle, ...) records without beginCommandList (vg.h:495)."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, 0)
+    vg.clBeginPath(ctx, cl)
+    vg.clRect(ctx, cl, 10, 10, 30, 30)
+    g = vg.clCreateLinearGradient(ctx, cl, 10, 10, 40, 40, vg.Colors.Red, vg.Colors.Blue)
+    assert g.flags == 1  # local handle
+    vg.clFillPath(ctx, cl, g, vg.FillFlags.ConvexAA)
+    assert len(ctx.ops) == 0
+    vg.submitCommandList(ctx, cl)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 20, 3] == 1.0
+
+
+def test_command_list_ref():
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, 0)
+    ref = vg.makeCommandListRef(ctx, cl)
+    ref.beginPath()
+    ref.circle(64, 32, 20)
+    ref.fillPath(vg.Colors.White, vg.FillFlags.ConvexAA)
+    ref.submit()
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[32, 64, 3] > 0.999

@@ -1169,3 +1169,207 @@ def endCommandList(ctx):
     from vgtpu.api.command_list import cl_end_recording
 
     cl_end_recording(ctx)
+
+
+# ---------------------------------------------------------------------------
+# Direct command-list recording API (vg.h:495-541): record into a specific
+# list without making it active — the clXXX function family.
+# ---------------------------------------------------------------------------
+
+def _cl(ctx, handle):
+    cl = ctx.command_lists.get(handle.idx)
+    if cl is None:
+        raise ValueError("invalid command list handle")
+    return cl
+
+
+def clBeginPath(ctx, handle):
+    _cl(ctx, handle).beginPath()
+
+
+def clMoveTo(ctx, handle, x, y):
+    _cl(ctx, handle).moveTo(x, y)
+
+
+def clLineTo(ctx, handle, x, y):
+    _cl(ctx, handle).lineTo(x, y)
+
+
+def clCubicTo(ctx, handle, c1x, c1y, c2x, c2y, x, y):
+    _cl(ctx, handle).cubicTo(c1x, c1y, c2x, c2y, x, y)
+
+
+def clQuadraticTo(ctx, handle, cx, cy, x, y):
+    _cl(ctx, handle).quadraticTo(cx, cy, x, y)
+
+
+def clArcTo(ctx, handle, x1, y1, x2, y2, r):
+    _cl(ctx, handle).arcTo(x1, y1, x2, y2, r)
+
+
+def clArc(ctx, handle, cx, cy, r, a0, a1, direction):
+    _cl(ctx, handle).arc(cx, cy, r, a0, a1, direction)
+
+
+def clRect(ctx, handle, x, y, w, h):
+    _cl(ctx, handle).rect(x, y, w, h)
+
+
+def clRoundedRect(ctx, handle, x, y, w, h, r):
+    _cl(ctx, handle).roundedRect(x, y, w, h, r)
+
+
+def clRoundedRectVarying(ctx, handle, x, y, w, h, rtl, rtr, rbr, rbl):
+    _cl(ctx, handle).roundedRectVarying(x, y, w, h, rtl, rtr, rbr, rbl)
+
+
+def clCircle(ctx, handle, cx, cy, r):
+    _cl(ctx, handle).circle(cx, cy, r)
+
+
+def clEllipse(ctx, handle, cx, cy, rx, ry):
+    _cl(ctx, handle).ellipse(cx, cy, rx, ry)
+
+
+def clPolyline(ctx, handle, coords, num_points=None):
+    _cl(ctx, handle).polyline(coords)
+
+
+def clClosePath(ctx, handle):
+    _cl(ctx, handle).closePath()
+
+
+def clFillPath(ctx, handle, paint_or_color, *args):
+    if isinstance(paint_or_color, ImagePatternHandle):
+        color_mod, flags = args
+        _cl(ctx, handle).fillPath(paint_or_color, flags, color_modulate=color_mod)
+    else:
+        (flags,) = args
+        _cl(ctx, handle).fillPath(paint_or_color, flags)
+
+
+def clStrokePath(ctx, handle, paint_or_color, *args):
+    if isinstance(paint_or_color, ImagePatternHandle):
+        color_mod, width, flags = args
+        _cl(ctx, handle).strokePath(paint_or_color, width, flags, color_modulate=color_mod)
+    else:
+        width, flags = args
+        _cl(ctx, handle).strokePath(paint_or_color, width, flags)
+
+
+def clBeginClip(ctx, handle, rule):
+    _cl(ctx, handle).beginClip(rule)
+
+
+def clEndClip(ctx, handle):
+    _cl(ctx, handle).endClip()
+
+
+def clResetClip(ctx, handle):
+    _cl(ctx, handle).resetClip()
+
+
+def clCreateLinearGradient(ctx, handle, sx, sy, ex, ey, icol, ocol):
+    return _cl(ctx, handle).createLinearGradient(sx, sy, ex, ey, icol, ocol)
+
+
+def clCreateBoxGradient(ctx, handle, x, y, w, h, r, f, icol, ocol):
+    return _cl(ctx, handle).createBoxGradient(x, y, w, h, r, f, icol, ocol)
+
+
+def clCreateRadialGradient(ctx, handle, cx, cy, inr, outr, icol, ocol):
+    return _cl(ctx, handle).createRadialGradient(cx, cy, inr, outr, icol, ocol)
+
+
+def clCreateImagePattern(ctx, handle, cx, cy, w, h, angle, image):
+    return _cl(ctx, handle).createImagePattern(cx, cy, w, h, angle, image)
+
+
+def clPushState(ctx, handle):
+    _cl(ctx, handle).pushState()
+
+
+def clPopState(ctx, handle):
+    _cl(ctx, handle).popState()
+
+
+def clResetScissor(ctx, handle):
+    _cl(ctx, handle).resetScissor()
+
+
+def clSetScissor(ctx, handle, x, y, w, h):
+    _cl(ctx, handle).setScissor(x, y, w, h)
+
+
+def clIntersectScissor(ctx, handle, x, y, w, h):
+    _cl(ctx, handle).intersectScissor(x, y, w, h)
+
+
+def clTransformIdentity(ctx, handle):
+    _cl(ctx, handle).transformIdentity()
+
+
+def clTransformScale(ctx, handle, x, y):
+    _cl(ctx, handle).transformScale(x, y)
+
+
+def clTransformTranslate(ctx, handle, x, y):
+    _cl(ctx, handle).transformTranslate(x, y)
+
+
+def clTransformRotate(ctx, handle, ang):
+    _cl(ctx, handle).transformRotate(ang)
+
+
+def clTransformMult(ctx, handle, mtx, order):
+    _cl(ctx, handle).transformMult(mtx, order)
+
+
+def clSetViewBox(ctx, handle, x, y, w, h):
+    _cl(ctx, handle).setViewBox(x, y, w, h)
+
+
+def clSetGlobalAlpha(ctx, handle, alpha):
+    _cl(ctx, handle).setGlobalAlpha(alpha)
+
+
+def clText(ctx, handle, cfg, x, y, s, end=None):
+    _cl(ctx, handle).text(cfg, x, y, s if end is None else s[:end])
+
+
+def clTextBox(ctx, handle, cfg, x, y, break_width, s, end=None, flags=0):
+    _cl(ctx, handle).textBox(cfg, x, y, break_width, s if end is None else s[:end], flags)
+
+
+def clIndexedTriList(ctx, handle, pos, uv, num_vertices, colors, num_colors,
+                     indices, num_indices, img):
+    _cl(ctx, handle).indexedTriList(pos, uv, colors, indices, img)
+
+
+def clSubmitCommandList(ctx, parent, child):
+    _cl(ctx, parent).submitCommandList(child)
+
+
+class CommandListRef:
+    """vg.h:556-607 convenience: carries (Context, CommandListHandle) so call
+    sites don't thread both around."""
+
+    def __init__(self, ctx, handle):
+        self.ctx = ctx
+        self.handle = handle
+
+    def __getattr__(self, name):
+        cl = _cl(self.ctx, self.handle)
+        return getattr(cl, name)
+
+    def reset(self):
+        from vgtpu.api.command_list import cl_reset
+
+        cl_reset(self.ctx, self.handle)
+
+    def submit(self):
+        submitCommandList(self.ctx, self.handle)
+
+
+def makeCommandListRef(ctx, handle) -> CommandListRef:
+    return CommandListRef(ctx, handle)
