@@ -188,3 +188,22 @@ def test_dpr_gradient_and_scissor_follow():
     assert img[32, 10, 3] == 0.0           # scissored (logical x<8 -> fb x<16)
     assert img[32, 20, 0] > 0.6            # red side
     assert img[32, 108, 2] > 0.6           # blue side
+
+
+def test_indexed_tri_list_textured():
+    """Textured tri-list: uv-mapped image sampling through the exact
+    screen->uv affine of each triangle (ctxIndexedTriList, vg.cpp:4129)."""
+    ctx = make_ctx(64, 64)
+    # 2x2 image: left half red, right half blue
+    data = np.zeros((2, 2, 4), np.uint8)
+    data[:, 0] = (255, 0, 0, 255)
+    data[:, 1] = (0, 0, 255, 255)
+    img_h = vg.createImage(ctx, 2, 2, vg.ImageFlags.Filter_Nearest | vg.ImageFlags.Clamp_UV, data)
+    pos = np.array([[8, 8], [56, 8], [56, 56], [8, 56]], np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    idx = np.array([0, 1, 2, 0, 2, 3], np.uint16)
+    vg.indexedTriList(ctx, pos, uv, 4, np.array([vg.Colors.White], np.uint32), 1, idx, 6, img_h)
+    img = render(ctx)
+    assert img[32, 16, 0] > 0.9 and img[32, 16, 2] < 0.1   # left: red
+    assert img[32, 48, 2] > 0.9 and img[32, 48, 0] < 0.1   # right: blue
+    assert img[4, 4, 3] == 0.0                              # outside quad
