@@ -92,3 +92,28 @@ def test_image_pattern_rotated_and_modulated():
     assert abs(out[32, 32, 3] - 0.5) < 0.02   # modulated alpha
     assert out[32, 32, 0] > 0.4               # red modulate (premultiplied)
     assert out[32, 32, 1] < 0.05
+
+
+def test_update_image_invalidates_sample_cache():
+    """updateImage mutates pixels in place; cached sampled tiles must not go
+    stale (generation is part of the cache key)."""
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 64, 64, 1.0)
+    data = np.zeros((2, 2, 4), np.uint8)
+    data[:] = (255, 0, 0, 255)
+    h = vg.createImage(ctx, 2, 2, vg.ImageFlags.Filter_Nearest, data)
+    pat = vg.createImagePattern(ctx, 0, 0, 64, 64, 0.0, h)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 64)
+    vg.fillPath(ctx, pat, vg.Colors.White, vg.FillFlags.ConvexAA)
+    img1 = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+    assert img1[32, 32, 0] > 0.9
+
+    vg.updateImage(ctx, h, 0, 0, 2, 2, np.tile([0, 255, 0, 255], (2, 2, 1)).astype(np.uint8))
+    vg.begin(ctx, 0, 64, 64, 1.0)
+    pat = vg.createImagePattern(ctx, 0, 0, 64, 64, 0.0, h)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 64)
+    vg.fillPath(ctx, pat, vg.Colors.White, vg.FillFlags.ConvexAA)
+    img2 = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+    assert img2[32, 32, 1] > 0.9 and img2[32, 32, 0] < 0.1   # now green

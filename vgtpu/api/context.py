@@ -276,7 +276,10 @@ class Context:
     def _fill_textures(self, plan) -> None:
         from vgtpu.raster.sampling import fill_color_tiles
 
-        image_map = {idx: (img.data, img.flags) for idx, img in self.images.items()}
+        image_map = {
+            idx: (img.data, img.flags, img.generation)
+            for idx, img in self.images.items()
+        }
         if self.font_system is not None:
             image_map.update(self.font_system.atlas_image_map())
         if not hasattr(self, "_tile_sample_cache"):

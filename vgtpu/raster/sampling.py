@@ -79,11 +79,13 @@ def fill_color_tiles(plan: FramePlan, ops, images, cache: dict | None = None) ->
         if cache is not None:
             op0 = ops[int(plan.entry_op[ei])]
             img_id = int(plan.entry_image[ei])
-            data0, flags0 = images.get(img_id, (None, 0))
+            rec0 = images.get(img_id, (None, 0))
+            data0, flags0 = rec0[0], rec0[1]
+            gen0 = rec0[2] if len(rec0) > 2 else 0
             qb = op0.tex_quads.tobytes() if op0.tex_quads is not None else b""
             ck = (
                 int(plan.entry_tile[ei]), int(pk[ei]), img_id, flags0,
-                id(data0), plan.entry_paint[ei].tobytes(), hash(qb),
+                id(data0), gen0, plan.entry_paint[ei].tobytes(), hash(qb),
             )
             hit = cache.get(ck)
             if hit is not None:
@@ -100,7 +102,7 @@ def fill_color_tiles(plan: FramePlan, ops, images, cache: dict | None = None) ->
         op = ops[int(plan.entry_op[ei])]
 
         if kind == P_IMAGE:
-            data, flags = images[int(plan.entry_image[ei])]
+            data, flags = images[int(plan.entry_image[ei])][:2]
             ih, iw = data.shape[:2]
             m = paint[0:6]
             u = (m[0] * pxc + m[2] * pyc + m[4]) * iw   # normalized -> texels
@@ -114,7 +116,7 @@ def fill_color_tiles(plan: FramePlan, ops, images, cache: dict | None = None) ->
                 [rgba[..., 0:3] * rgba[..., 3:4], rgba[..., 3:4]], axis=-1
             )
         else:  # P_TEXTURE: sum of textured parallelogram quads
-            data, flags = images[int(plan.entry_image[ei])]
+            data, flags = images[int(plan.entry_image[ei])][:2]
             a8 = data.ndim == 2
             tex = data.astype(np.float32) / 255.0
             ih, iw = data.shape[:2]
