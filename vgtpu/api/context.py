@@ -370,15 +370,15 @@ class Context:
         """Returns (paint_kind, paint_array, image_handle, alpha_of_solid)."""
         ga = self.state.global_alpha
         if isinstance(paint_or_color, GradientHandle):
-            if not isValid(paint_or_color):
-                return None
+            if not isValid(paint_or_color) or paint_or_color.idx >= len(self.gradients):
+                return None   # stale handle from a previous frame: skip cleanly
             p = self.gradients[paint_or_color.idx].copy()
             # global alpha modulates the gradient (vertex alpha in the shader)
             p[13] *= ga
             p[17] *= ga
             return (P_GRADIENT, p, None)
         if isinstance(paint_or_color, ImagePatternHandle):
-            if not isValid(paint_or_color):
+            if not isValid(paint_or_color) or paint_or_color.idx >= len(self.image_patterns):
                 return None
             mat, img = self.image_patterns[paint_or_color.idx]
             rgba = color_to_rgba_f32(color_modulate if color_modulate is not None else Colors.White)
