@@ -121,3 +121,35 @@ def test_polyline_appends():
     v, s = _bake(lambda p: (p.move_to(0, 0), p.polyline(coords)))
     assert s[0][1] == 4
     np.testing.assert_allclose(v[1:], coords)
+
+
+def test_device_flatten_matches_host():
+    """ops/flatten.py (jit) and the host baker implement the same math: the
+    flattened polylines rasterize to the same coverage, and clamped-tail
+    padding edges contribute nothing."""
+    import jax.numpy as jnp
+
+    from vgtpu.fonts.truetype import _edge_coverage_np
+    from vgtpu.ops.flatten import flatten_cubics, polyline_edges
+
+    rng = np.random.default_rng(21)
+    cps = rng.uniform(5, 120, (6, 4, 2))
+    # close each curve into a loop with a chord back to the start
+    dev_pts = np.asarray(flatten_cubics(jnp.asarray(cps, jnp.float32), 0.5, max_n=48))
+    dev_edges = np.asarray(polyline_edges(jnp.asarray(dev_pts), close=True))
+
+    for k in range(len(cps)):
+        pb = PathBuilder()
+        pb.reset(1.0, 0.25)   # tol_d = sqrt(0.25)/1 = 0.5, same as device call
+        pb.move_to(*cps[k, 0])
+        pb.cubic_to(*cps[k, 1], *cps[k, 2], *cps[k, 3])
+        pb.close()
+        v, _ = pb.bake(backend="numpy")
+        nxt = np.roll(v, -1, axis=0)
+        host_edges = np.concatenate([v, nxt], axis=1).astype(np.float32)
+
+        cov_host = _edge_coverage_np(host_edges, 128, 128)
+        cov_dev = _edge_coverage_np(dev_edges[k].astype(np.float32), 128, 128)
+        d = np.abs(cov_host - cov_dev)
+        assert d.mean() < 2e-3, k     # same curve within flattening tolerance
+        assert (d > 0.3).sum() < 40, k
