@@ -177,3 +177,38 @@ def test_tier5_full_frame():
     draw_color_wheel(ctx, 380, 128, 50, 30)
     vg.end(ctx, background=(0.1, 0.1, 0.1, 1))
     _check_golden("tier5_full", np.asarray(vg.Context.readback_u8(ctx)))
+
+
+def test_svg_clip_path():
+    """<clipPath> defs + clip-path=url(#id) route through the engine clip."""
+    doc = load_svg(
+        '<svg width="64" height="64">'
+        '<defs><clipPath id="c"><path d="M0 0 H32 V64 H0 Z"/></clipPath></defs>'
+        '<path clip-path="url(#c)" d="M8 8 H56 V56 H8 Z" fill="#00ff00"/>'
+        "</svg>"
+    )
+    assert "c" in doc.clips and doc.paths[0].clip_id == "c"
+    ctx = _ctx(64, 64)
+    render_svg(ctx, doc)
+    vg.end(ctx, background=(0, 0, 0, 1))
+    img = np.asarray(ctx.frame_image)
+    assert img[32, 16, 1] > 0.9    # left half: green (inside clip)
+    assert img[32, 48, 1] < 0.1    # right half: clipped away
+
+
+def test_real_matplotlib_logo_renders():
+    import glob
+
+    srcs = glob.glob("/root/.cache/uv/**/mpl-data/images/matplotlib.svg", recursive=True)
+    if not srcs:
+        pytest.skip("matplotlib svg not present")
+    doc = load_svg(srcs[0])
+    assert len(doc.paths) > 10
+    ctx = _ctx(128, 128)
+    vg.transformScale(ctx, 128 / max(doc.width, 1), 128 / max(doc.height, 1))
+    render_svg(ctx, doc)
+    vg.end(ctx, background=(1, 1, 1, 1))
+    img = np.asarray(ctx.frame_image)
+    # the logo has colored wedges: some saturated non-gray pixels must exist
+    sat = np.abs(img[..., 0] - img[..., 1]) + np.abs(img[..., 1] - img[..., 2])
+    assert (sat > 0.4).sum() > 100

@@ -202,7 +202,6 @@ class Context:
         self.fonts: list[object] = []
         self._font_by_name: dict[str, int] = {}
         self.font_system = None      # lazily created FontSystem
-        self._frame_color_tiles: list[np.ndarray] = []
 
         self.stats = Stats()
         from vgtpu.utils.profiler import FrameProfiler
@@ -239,7 +238,6 @@ class Context:
         self._recording_clip = False
         self._submit_depth = 0
         self._active_cl = None
-        self._frame_color_tiles = []
 
     def end(self, background=None):
         """Bin + execute the frame on device; returns premultiplied (H,W,4)."""

@@ -92,6 +92,7 @@ class SvgPath:
     stroke_width: float
     transform: np.ndarray
     fill_rule: int = 0  # NonZero
+    clip_id: str | None = None
 
 
 @dataclass
@@ -99,6 +100,7 @@ class SvgDoc:
     width: float
     height: float
     paths: list[SvgPath] = field(default_factory=list)
+    clips: dict = field(default_factory=dict)   # id -> [(d, transform)]
 
 
 def load_svg(source: str) -> SvgDoc:
@@ -121,6 +123,27 @@ def load_svg(source: str) -> SvgDoc:
 
     from vgtpu.core import xform_identity, xform_multiply
 
+    # pre-pass: clipPath definitions (usually inside <defs>)
+    def collect_clips(el, xf):
+        xf = xform_multiply(xf, _parse_transform(el.get("transform", "")))
+        if strip(el.tag) == "clipPath" and el.get("id"):
+            shapes = []
+            for child in el.iter():
+                if strip(child.tag) == "path" and child.get("d"):
+                    cxf = xform_multiply(xf, _parse_transform(child.get("transform", "")))
+                    shapes.append((child.get("d"), cxf.copy()))
+                elif strip(child.tag) == "rect":
+                    x0 = float(child.get("x", 0)); y0 = float(child.get("y", 0))
+                    w0 = float(child.get("width", 0)); h0 = float(child.get("height", 0))
+                    d = f"M{x0} {y0} H{x0+w0} V{y0+h0} H{x0} Z"
+                    cxf = xform_multiply(xf, _parse_transform(child.get("transform", "")))
+                    shapes.append((d, cxf.copy()))
+            doc.clips[el.get("id")] = shapes
+        for child in el:
+            collect_clips(child, xf)
+
+    collect_clips(root, xform_identity())
+
     def walk(el, xf, style):
         style = dict(style)
         for k in ("fill", "stroke", "stroke-width", "fill-rule", "opacity"):
@@ -135,8 +158,15 @@ def load_svg(source: str) -> SvgDoc:
         for k in ("fill-opacity", "stroke-opacity"):
             if el.get(k) is not None:
                 style[k] = el.get(k)
+        cp = el.get("clip-path")
+        if cp:
+            m = re.match(r"url\(#([^)]+)\)", cp.strip())
+            if m:
+                style["__clip"] = m.group(1)   # innermost clip wins
         xf = xform_multiply(xf, _parse_transform(el.get("transform", "")))
         tag = strip(el.tag)
+        if tag == "clipPath":
+            return                             # handled by the pre-pass
         if tag == "path" and el.get("d"):
             fill = _parse_color(style.get("fill"), vg.Colors.Black)
             stroke = _parse_color(style.get("stroke"), None)
@@ -153,7 +183,8 @@ def load_svg(source: str) -> SvgDoc:
 
             fill = _apply_opacity(fill, "fill-opacity")
             stroke = _apply_opacity(stroke, "stroke-opacity")
-            doc.paths.append(SvgPath(el.get("d"), fill, stroke, sw, xf.copy(), rule))
+            doc.paths.append(SvgPath(el.get("d"), fill, stroke, sw, xf.copy(), rule,
+                                     style.get("__clip")))
         for child in el:
             walk(child, xf, style)
 
@@ -317,7 +348,25 @@ def render_svg(ctx, doc: SvgDoc, aa: bool = True) -> None:
     stroke_flags = (
         vg.StrokeFlags.ButtRoundAA if aa else vg.StrokeFlags.ButtRound
     )
+    active_clip = None
     for p in doc.paths:
+        # set the engine clip when the SVG clip changes (runs of equally
+        # clipped paths share one beginClip/endClip)
+        clip = p.clip_id if (p.clip_id in doc.clips and doc.clips[p.clip_id]) else None
+        if clip != active_clip:
+            if clip is None:
+                vg.resetClip(ctx)
+            else:
+                vg.beginClip(ctx, vg.ClipRule.In)
+                for d, cxf in doc.clips[clip]:
+                    vg.pushState(ctx)
+                    vg.transformMult(ctx, cxf, TransformOrder.Pre)
+                    vg.beginPath(ctx)
+                    path_verbs(ctx, d)
+                    vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.ConcaveNonZero)
+                    vg.popState(ctx)
+                vg.endClip(ctx)
+            active_clip = clip
         vg.pushState(ctx)
         vg.transformMult(ctx, p.transform, TransformOrder.Pre)
         vg.beginPath(ctx)
@@ -327,3 +376,5 @@ def render_svg(ctx, doc: SvgDoc, aa: bool = True) -> None:
         if p.stroke is not None:
             vg.strokePath(ctx, p.stroke, p.stroke_width, stroke_flags)
         vg.popState(ctx)
+    if active_clip is not None:
+        vg.resetClip(ctx)
