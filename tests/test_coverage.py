@@ -208,3 +208,59 @@ def test_occlusion_culling_correctness():
     np.testing.assert_allclose(img[32, 64], [0, 0, 1, 1], atol=1e-5)  # top layer
     img_t = np.asarray(execute_plan(p_trans, background=(0, 0, 0, 0)))
     np.testing.assert_allclose(img_t[32, 64], [0, 0.5, 0.5, 1], atol=1e-5)  # blended
+
+
+def test_fuzz_full_scenes_vs_oracle():
+    """Randomized mixed scenes (fills both rules, strokes, scissors) through
+    the FULL pipeline vs the supersampled oracle applied op-by-op."""
+    import vgtpu as vg
+
+    rng = np.random.default_rng(31)
+    for trial in range(3):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, 96, 96, 1.0)
+        oracle_img = np.zeros((96, 96, 4))
+
+        def blend_oracle(cov, rgba):
+            nonlocal oracle_img
+            a = cov * rgba[3]
+            oracle_img[..., :3] = (rgba[None, None, :3] * a[..., None]
+                                   + oracle_img[..., :3] * (1 - a[..., None]))
+            oracle_img[..., 3] = a + oracle_img[..., 3] * (1 - a)
+
+        from vgtpu.geometry.stroker import contours_to_edges, stroke_outline
+
+        for _ in range(5):
+            rgba = rng.uniform(0.2, 1.0, 4)
+            color = vg.color4f(*rgba[:3], rgba[3])
+            if rng.uniform() < 0.6:
+                pts = rng.uniform(4, 92, (int(rng.integers(3, 8)), 2))
+                rule = int(rng.integers(0, 2))
+                vg.beginPath(ctx)
+                vg.moveTo(ctx, *pts[0])
+                for q in pts[1:]:
+                    vg.lineTo(ctx, *q)
+                vg.closePath(ctx)
+                vg.fillPath(ctx, color, vg.fill_flags(vg.PathType.Concave, rule, True))
+                e = _poly_edges(pts)
+                cov = coverage_oracle(e, 96, 96, fill_rule=rule, samples=8)
+            else:
+                pts = rng.uniform(8, 88, (int(rng.integers(2, 5)), 2))
+                w = float(rng.uniform(2, 8))
+                vg.beginPath(ctx)
+                vg.moveTo(ctx, *pts[0])
+                for q in pts[1:]:
+                    vg.lineTo(ctx, *q)
+                vg.strokePath(ctx, color, w, vg.StrokeFlags.ButtMiterAA)
+                contours = stroke_outline(pts.astype(np.float32), False, w,
+                                          vg.LineCap.Butt, vg.LineJoin.Miter)
+                cov = coverage_oracle(contours_to_edges(contours), 96, 96, 0, samples=8)
+            # quantize color like the engine (u8 round-trip)
+            q = np.array([vg.colorGetRed(color), vg.colorGetGreen(color),
+                          vg.colorGetBlue(color), vg.colorGetAlpha(color)]) / 255.0
+            blend_oracle(cov, q)
+
+        img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+        d = np.abs(img - oracle_img)
+        assert d.mean() < 6e-3, (trial, d.mean())
+        assert (d.max(axis=-1) > 0.12).mean() < 0.01, trial
