@@ -264,3 +264,17 @@ def test_fuzz_full_scenes_vs_oracle():
         d = np.abs(img - oracle_img)
         assert d.mean() < 6e-3, (trial, d.mean())
         assert (d.max(axis=-1) > 0.12).mean() < 0.01, trial
+
+
+def test_pallas_transposed_kernel_matches_xla():
+    import jax.numpy as jnp
+
+    from vgtpu.ops.coverage import coverage_chunks_body
+    from vgtpu.ops.coverage_pallas import coverage_chunks_pallas_t
+
+    rng = np.random.default_rng(13)
+    for ch in (2, 6, 24):
+        edges = rng.uniform(-40, 170, (256, ch, 4)).astype(np.float32)
+        a = np.asarray(coverage_chunks_body(jnp.asarray(edges), 8, 128))
+        b = np.asarray(coverage_chunks_pallas_t(jnp.asarray(edges), 8, 128, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=str(ch))

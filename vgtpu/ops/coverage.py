@@ -99,10 +99,24 @@ def entry_coverage_from_pools(chunk_pools, num_entries: int,
                               tile_h: int, tile_w: int) -> jax.Array:
     """Pooled coverage: chunk buffers come in several chunk sizes (entries
     with few edges use small chunks — measured 47%→66% slot fill on the
-    benchmark scene).  Coverage is additive, so pools sum independently."""
+    benchmark scene).  Coverage is additive, so pools sum independently.
+
+    On TPU, pools with lane-aligned chunk counts use the transposed-layout
+    Pallas kernel (coverage_pallas.coverage_chunks_pallas_t — measured faster
+    than the XLA formulation); everything else takes the XLA path.  The
+    backend choice is trace-time (platform is static under jit)."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
     acc = None
     for ce, cent in chunk_pools:
-        cov = coverage_chunks_body(ce, tile_h, tile_w)
+        if on_tpu and ce.shape[0] % 128 == 0 and ce.shape[0] >= 128:
+            from vgtpu.ops.coverage_pallas import coverage_chunks_pallas_t
+
+            cov = coverage_chunks_pallas_t(ce, tile_h, tile_w)
+        else:
+            cov = coverage_chunks_body(ce, tile_h, tile_w)
         part = jax.ops.segment_sum(cov, cent, num_segments=num_entries)
         acc = part if acc is None else acc + part
     return acc

@@ -100,3 +100,72 @@ def coverage_backend_default() -> str:
         return "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     except Exception:  # noqa: BLE001
         return "xla"
+
+
+# ---------------------------------------------------------------------------
+# Transposed-layout kernel: blocks are (pixels, chunks) so per-edge parameters
+# live along LANES (no broadcast at all) and the pixel iota broadcasts along
+# lanes from (NPX, 1) — every relayout Mosaic dislikes is gone.
+# ---------------------------------------------------------------------------
+
+def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int):
+    npx = tile_h * tile_w
+    j = pl.program_id(1)
+
+    row = j * 4
+    x0 = edges_ref[pl.ds(row, 1), :]          # (1, BC): lane vector
+    y0 = edges_ref[pl.ds(row + 1, 1), :]
+    x1 = edges_ref[pl.ds(row + 2, 1), :]
+    y1 = edges_ref[pl.ds(row + 3, 1), :]
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
+    px = (flat % tile_w).astype(jnp.float32)  # (NPX,1): lane-broadcasts
+    py = (flat // tile_w).astype(jnp.float32)
+
+    ymin = jnp.minimum(y0, y1)
+    ymax = jnp.maximum(y0, y1)
+    s = jnp.sign(y1 - y0)
+    dy = y1 - y0
+    m = (x1 - x0) / jnp.where(jnp.abs(dy) < 1e-6, 1.0, dy)
+    steep = jnp.abs(m) < 0.01
+    s_over_m = s / jnp.where(steep, 1.0, m)
+
+    ytop = jnp.maximum(ymin, py)
+    h = jnp.maximum(jnp.minimum(ymax, py + 1.0) - ytop, 0.0)
+    u0 = (px + 1.0) - (x0 + m * (ytop - y0))
+    u1 = u0 - m * h
+    c0 = jnp.clip(u0, 0.0, 1.0)
+    c1 = jnp.clip(u1, 0.0, 1.0)
+    g0 = c0 * (u0 - 0.5 * c0)
+    g1 = c1 * (u1 - 0.5 * c1)
+    contrib = jnp.where(steep, (s * h) * c0, (g0 - g1) * s_over_m)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += contrib
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+def coverage_chunks_pallas_t(
+    chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-layout variant; returns (NC, TH, TW) like the others."""
+    nc, ch, _ = chunk_edges.shape
+    bc = _largest_divisor(nc, 128)
+    npx = tile_h * tile_w
+    # (NC, CH, 4) -> (CH*4, NC): per-edge params along lanes
+    edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
+    out = pl.pallas_call(
+        functools.partial(_kernel_t, ch=ch, tile_h=tile_h, tile_w=tile_w),
+        out_shape=jax.ShapeDtypeStruct((npx, nc), jnp.float32),
+        grid=(nc // bc, ch),
+        in_specs=[
+            pl.BlockSpec((ch * 4, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((npx, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(edges_t)
+    return jnp.transpose(out, (1, 0)).reshape(nc, tile_h, tile_w)
