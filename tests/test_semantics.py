@@ -116,3 +116,46 @@ def test_even_odd_vs_nonzero_same_winding_ring():
         img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))[..., 3]
         assert img[12, 12] == 1.0
         assert (img[32, 32] == 0.0) == expect_hole, rule
+
+
+def test_stroke_with_gradient_paint():
+    """strokePath(gradient,...) — the reference's ctxStrokePathGradient."""
+    ctx = make_ctx(128, 64)
+    g = vg.createLinearGradient(ctx, 10, 0, 110, 0, vg.Colors.Red, vg.Colors.Blue)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 10, 32)
+    vg.lineTo(ctx, 110, 32)
+    vg.strokePath(ctx, g, 10.0, vg.StrokeFlags.ButtMiterAA)
+    img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+    assert img[32, 14, 0] > 0.8          # red end
+    assert img[32, 105, 2] > 0.8         # blue end
+    assert img[10, 60, 3] == 0.0         # outside the stroke band
+
+
+def test_stroke_with_pattern_paint():
+    ctx = make_ctx(64, 64)
+    data = np.full((2, 2, 4), 255, np.uint8)
+    data[..., 1] = 0
+    data[..., 2] = 0   # red
+    h = vg.createImage(ctx, 2, 2, vg.ImageFlags.Filter_Nearest, data)
+    pat = vg.createImagePattern(ctx, 0, 0, 64, 64, 0.0, h)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 32, 32, 20)
+    vg.strokePath(ctx, pat, vg.Colors.White, 6.0, vg.StrokeFlags.ButtMiterAA)
+    img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))
+    assert img[32, 52, 0] > 0.8          # on the ring, red pattern
+    assert img[32, 32, 3] < 1e-4         # ring hole
+
+
+def test_textbox_center_alignment():
+    from tests.test_text import FONT_DATA
+
+    ctx = make_ctx(256, 96)
+    f = vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+    cfg = vg.makeTextConfig(ctx, f, 16.0, vg.TextAlign.TopCenter, vg.Colors.White)
+    vg.textBox(ctx, cfg, 28, 8, 200.0, "mm", None, 0)
+    img = np.asarray(vg.end(ctx, background=(0, 0, 0, 0)))[..., 3]
+    ys, xs = np.nonzero(img > 0.3)
+    assert len(xs) > 10
+    center = (xs.min() + xs.max()) / 2
+    assert abs(center - 128) < 6         # centered on box midline x=28+100
