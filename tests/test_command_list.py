@@ -209,3 +209,29 @@ def test_command_list_ref():
     vg.end(ctx, background=(0, 0, 0, 0))
     img = np.asarray(ctx.frame_image)
     assert img[32, 64, 3] > 0.999
+
+
+def test_cacheable_list_with_mergeable_draws():
+    """Two same-paint draws would merge into one op; the geometry cache must
+    still capture both (merge is suppressed while building the cache)."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 10, 10, 20, 20)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 60, 10, 20, 20)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)  # same paint: mergeable
+    vg.endCommandList(ctx)
+
+    vg.submitCommandList(ctx, cl)            # builds cache
+    vg.end(ctx, background=(0, 0, 0, 0))
+    direct = np.asarray(ctx.frame_image).copy()
+    assert direct[20, 20, 3] == 1.0 and direct[20, 70, 3] == 1.0
+
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.submitCommandList(ctx, cl)            # cached replay
+    vg.end(ctx, background=(0, 0, 0, 0))
+    cached = np.asarray(ctx.frame_image)
+    np.testing.assert_allclose(direct, cached, atol=1e-5)

@@ -199,7 +199,14 @@ def cl_submit(ctx, handle):
                     _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform)
                     continue
                 n_ops_before = len(ctx.ops)
-                getattr(ctx, name)(*args, **kwargs)
+                if build_cache:
+                    # merging would fold this draw into an earlier op and the
+                    # cache slot would come out empty — suppress while caching
+                    ctx._suppress_merge = True
+                try:
+                    getattr(ctx, name)(*args, **kwargs)
+                finally:
+                    ctx._suppress_merge = False
                 if build_cache:
                     slot = []
                     for op in ctx.ops[n_ops_before:]:

@@ -409,6 +409,7 @@ class Context:
         prev = self.ops[-1] if self.ops else None
         if (
             prev is not None
+            and not getattr(self, "_suppress_merge", False)
             and op.mergeable
             and prev.mergeable
             and op.kind == 0
