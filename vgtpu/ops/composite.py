@@ -249,13 +249,22 @@ def composite_bucketed_body(
     Output row num_tiles is a scratch target for bucket padding."""
     fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
     if bucket_flags is None:
-        bucket_flags = tuple((True,) * 6 for _ in buckets)
+        bucket_flags = tuple((True,) * 7 for _ in buckets)
     for (te_b, ids_b), flags in zip(buckets, bucket_flags):
+        # pre-gather the bucket's entries ONCE (one large gather instead of a
+        # gather per painter slot inside the scan — measured ~15% per frame)
+        nb, mo = te_b.shape
+        e = jnp.maximum(te_b, 0)
+        ef = e.reshape(-1)
+        ew_b = entry_w[ef]                                  # (Nb*MO, TH, TW)
+        flat_ids = jnp.arange(nb * mo, dtype=jnp.int32).reshape(nb, mo)
+        flat_ids = jnp.where(te_b >= 0, flat_ids, -1)
         fb_b = composite_tiles_body(
-            entry_w, te_b, ids_b,
-            entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
-            entry_scissor, entry_color_tile, color_tiles, background,
-            ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=te_b.shape[1],
+            ew_b, flat_ids, ids_b,
+            entry_kind[ef], entry_rule[ef], entry_aa[ef], entry_paint_kind[ef],
+            entry_paint[ef], entry_scissor[ef], entry_color_tile[ef],
+            color_tiles, background,
+            ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=mo,
             lane_flags=tuple(flags),
         )
         fb = fb.at[ids_b].set(fb_b)
