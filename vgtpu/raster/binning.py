@@ -179,13 +179,30 @@ def compute_tile_buckets(
             tile_entries = np.take_along_axis(tile_entries, order, axis=1)
     counts = (tile_entries >= 0).sum(axis=1)
     width = tile_entries.shape[1]
+
+    # per-tile feature signature: tiles whose entries are all simple
+    # (solid paint, pure draws) compile to a much cheaper composite variant —
+    # split each depth class so artwork tiles don't inherit UI tiles' lanes
+    if plan is not None and tile_entries.size:
+        e_all = np.maximum(tile_entries, 0)
+        v_all = tile_entries >= 0
+        fancy_entry = (plan.entry_paint_kind != P_SOLID) | (plan.entry_kind != K_DRAW)
+        tile_fancy = (fancy_entry[e_all] & v_all).any(axis=1)
+    else:
+        tile_fancy = np.zeros(tile_entries.shape[0], bool)
+
     buckets = []
     prev = 0
     mo = 4
     while prev < width:
         mo_c = min(mo, width)
-        sel = np.nonzero((counts > prev) & (counts <= mo_c))[0]
-        if len(sel):
+        in_class = (counts > prev) & (counts <= mo_c)
+        for sel in (
+            np.nonzero(in_class & ~tile_fancy)[0],
+            np.nonzero(in_class & tile_fancy)[0],
+        ):
+            if not len(sel):
+                continue
             n_pad = _bucket(len(sel), minimum=8)
             ids = np.full(n_pad, num_tiles, np.int32)
             ids[: len(sel)] = sel
