@@ -154,7 +154,7 @@ def coverage_chunks_pallas_t(
 ) -> jax.Array:
     """Transposed-layout variant; returns (NC, TH, TW) like the others."""
     nc, ch, _ = chunk_edges.shape
-    bc = _largest_divisor(nc, 128)
+    bc = _largest_divisor(nc, 256)
     npx = tile_h * tile_w
     # (NC, CH, 4) -> (CH*4, NC): per-edge params along lanes
     edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
