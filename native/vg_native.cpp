@@ -202,6 +202,7 @@ int vg_bin_frame(
         bgrid.assign(ngrid * tile_h, 0.0);
 
         // pass 1: count edge-class pairs per tile + accumulate backdrops
+        std::vector<double> ov(tile_h);  // per-row overlap scratch (tile_h is unbounded above)
         for (int64_t li = 0; li < (int64_t)live.size(); ++li) {
             const float* P = &edges[live[li]*4];
             double exmin = std::min(P[0], P[2]), exmax = std::max(P[0], P[2]);
@@ -221,7 +222,6 @@ int vg_bin_frame(
                 int b_lo = std::max(etx_hi + 1, tx0);
                 if (b_lo <= tx1) {
                     // row overlaps, added to [b_lo, tx1] (flat accumulate)
-                    double ov[64];
                     for (int r = 0; r < tile_h; ++r) {
                         double rowy = (double)ty * tile_h + r;
                         double o = std::min(eymax, rowy + 1.0) - std::max(eymin, rowy);

@@ -235,3 +235,128 @@ def test_cacheable_list_with_mergeable_draws():
     vg.end(ctx, background=(0, 0, 0, 0))
     cached = np.asarray(ctx.frame_image)
     np.testing.assert_allclose(direct, cached, atol=1e-5)
+
+
+def test_cached_replay_under_outer_clip():
+    """A cache primed OUTSIDE a clip must act as clip geometry when submitted
+    inside beginClip/endClip (the reference routes cached meshes through the
+    stencil path per the live m_RecordClipCommands)."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 40, 32, 20)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.Convex)
+    vg.endCommandList(ctx)
+
+    vg.submitCommandList(ctx, cl)          # builds cache as a plain draw
+    vg.end(ctx, background=(0, 0, 0, 0))
+
+    # now use the cached list as clip geometry
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.beginClip(ctx, vg.ClipRule.In)
+    vg.submitCommandList(ctx, cl)          # cached replay INSIDE clip
+    vg.endClip(ctx)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 128, 64)
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.ConvexAA)
+    vg.resetClip(ctx)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[32, 40, 0] > 0.9            # red INSIDE the clip circle
+    assert img[32, 40, 3] == 1.0
+    assert img[5, 120, 3] == 0.0           # clipped outside
+
+    # and the inverse: primed inside a clip, replayed as a plain draw
+    ctx2 = make_ctx()
+    cl2 = vg.createCommandList(ctx2, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx2, cl2)
+    vg.beginPath(ctx2)
+    vg.circle(ctx2, 40, 32, 20)
+    vg.fillPath(ctx2, vg.Colors.Blue, vg.FillFlags.Convex)
+    vg.endCommandList(ctx2)
+    vg.beginClip(ctx2, vg.ClipRule.In)
+    vg.submitCommandList(ctx2, cl2)        # builds cache as clip geometry
+    vg.endClip(ctx2)
+    vg.resetClip(ctx2)
+    vg.end(ctx2, background=(0, 0, 0, 0))
+
+    vg.begin(ctx2, 0, 128, 64, 1.0)
+    vg.submitCommandList(ctx2, cl2)        # cached replay as a DRAW
+    vg.end(ctx2, background=(0, 0, 0, 0))
+    img2 = np.asarray(ctx2.frame_image)
+    assert img2[32, 40, 2] > 0.9           # blue circle actually drawn
+
+
+def test_cacheable_dpr2_translate_after_cache():
+    """dpr=2 + Cacheable: cached edges are framebuffer-space, so the rebase
+    must fold the dpr viewport scale (vg.cpp:1148-1154 semantics).  A logical
+    translate of (50,10) must land at framebuffer (100,20)."""
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 128, 64, 2.0)         # framebuffer 256x128
+    cl = record_square(ctx, flags=vg.CommandListFlags.Cacheable)
+    vg.submitCommandList(ctx, cl)          # builds cache at dpr=2
+    vg.end(ctx, background=(0, 0, 0, 0))
+    direct = np.asarray(ctx.frame_image).copy()
+    assert direct.shape[:2] == (128, 256)
+    assert direct[40, 40, 3] == 1.0        # logical (20,20) -> fb (40,40)
+
+    vg.begin(ctx, 0, 128, 64, 2.0)
+    vg.transformTranslate(ctx, 50, 10)     # logical units
+    vg.submitCommandList(ctx, cl)          # cached replay
+    vg.end(ctx, background=(0, 0, 0, 0))
+    cached = np.asarray(ctx.frame_image)
+    assert cached[60, 140, 3] == 1.0       # fb (40+100, 40+20)
+    assert cached[40, 40, 3] == 0.0        # moved away
+
+    # direct (uncached) equivalent must be pixel-identical
+    ctx2 = vg.createContext()
+    vg.begin(ctx2, 0, 128, 64, 2.0)
+    cl2 = record_square(ctx2, flags=0)
+    vg.transformTranslate(ctx2, 50, 10)
+    vg.submitCommandList(ctx2, cl2)
+    vg.end(ctx2, background=(0, 0, 0, 0))
+    np.testing.assert_allclose(cached, np.asarray(ctx2.frame_image), atol=1e-5)
+
+
+def test_dpr_change_invalidates_cache():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    cl = record_square(ctx, flags=vg.CommandListFlags.Cacheable)
+    vg.submitCommandList(ctx, cl)          # cache at dpr=1
+    vg.end(ctx, background=(0, 0, 0, 0))
+
+    vg.begin(ctx, 0, 128, 64, 2.0)         # dpr changed -> must rebuild
+    vg.submitCommandList(ctx, cl)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img.shape[:2] == (128, 256)
+    assert img[40, 40, 3] == 1.0           # logical (20,20) -> fb (40,40)
+
+
+def test_cached_replay_thin_stroke_alpha():
+    """Thin strokes replayed from the cache must apply the thin-stroke alpha
+    law (vg.cpp:3416-3420) — not render ~12x more opaque."""
+    def build(ctx):
+        cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+        vg.beginCommandList(ctx, cl)
+        vg.beginPath(ctx)
+        vg.moveTo(ctx, 10, 32)
+        vg.lineTo(ctx, 118, 32)
+        vg.strokePath(ctx, vg.Colors.White, 0.3, vg.StrokeFlags.ButtMiterAA)
+        vg.endCommandList(ctx)
+        return cl
+
+    ctx = make_ctx()
+    cl = build(ctx)
+    vg.submitCommandList(ctx, cl)          # builds cache (direct path)
+    vg.end(ctx, background=(0, 0, 0, 0))
+    direct = np.asarray(ctx.frame_image).copy()
+
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.submitCommandList(ctx, cl)          # cached replay
+    vg.end(ctx, background=(0, 0, 0, 0))
+    cached = np.asarray(ctx.frame_image)
+    np.testing.assert_allclose(direct, cached, atol=1e-5)
+    # sanity: the law actually fired (alpha ~ 0.09, nowhere near full)
+    assert 0.0 < cached[32, 64, 3] < 0.2

@@ -154,3 +154,17 @@ def test_native_bake_shapes():
         vb, sb = pb.bake(backend="numpy")
         np.testing.assert_array_equal(sa, sb)
         np.testing.assert_allclose(va, vb, atol=2e-4)
+
+
+def test_native_binner_tall_tiles():
+    """tile_h > 64 must not overflow the native binner's row-overlap scratch
+    (was a fixed double[64]); parity vs numpy at tile_h=72."""
+    from vgtpu.raster.frame import execute_plan
+
+    rng = np.random.default_rng(11)
+    ops = _rand_ops(rng, n_ops=8, w=256, h=216)
+    a = bin_frame(ops, 256, 216, tile_h=72, backend="native")
+    b = bin_frame_numpy(ops, 256, 216, tile_h=72)
+    img_a = np.asarray(execute_plan(a, background=(1, 1, 1, 1)))
+    img_b = np.asarray(execute_plan(b, background=(1, 1, 1, 1)))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-4)

@@ -182,3 +182,15 @@ def test_fallback_font():
     data = MONO_PATH.read_bytes()
     f2 = vg.createFont(ctx, "mono", data, len(data), 0)
     assert vg.setFallbackFont(ctx, f, f2)
+
+
+def test_atlas_grow_bumps_generation():
+    """Growing the atlas rescales normalized UVs, so it must invalidate baked
+    strings via the generation counter (reference: new atlasID on realloc,
+    fontstash.h:768)."""
+    from vgtpu.fonts.fontstash import GlyphAtlas
+
+    atlas = GlyphAtlas()
+    g0 = atlas.generation
+    atlas._grow()
+    assert atlas.generation == g0 + 1

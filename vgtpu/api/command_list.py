@@ -45,6 +45,7 @@ class CommandList:
     # geometry cache (Cacheable)
     cache_valid: bool = False
     cache_avg_scale: float = -1.0
+    cache_dpr: float = -1.0
     cache_inv_base: np.ndarray | None = None
     cache_slots: dict[int, list] = field(default_factory=dict)  # cmd idx -> [(edges_local, closed_meta)]
 
@@ -159,6 +160,7 @@ def cl_submit(ctx, handle):
             cacheable
             and cl.cache_valid
             and abs(cl.cache_avg_scale - base_avg_scale) < 1e-6
+            and abs(cl.cache_dpr - ctx.dpr) < 1e-6
         )
         build_cache = cacheable and not use_cache
         if build_cache:
@@ -176,7 +178,12 @@ def cl_submit(ctx, handle):
                 return local_patterns[h.idx]
             return h
 
-        inv_base = core.xform_invert(base_transform)
+        # cached op edges live in FRAMEBUFFER space (they went through
+        # _render_transform, which pre-multiplies the dpr viewport scale), so
+        # the rebase must use the full render transform, not the logical one
+        render_base = core.xform_multiply(
+            core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
+        inv_base = core.xform_invert(render_base)
 
         for ci, (name, args, kwargs) in enumerate(cl.commands):
             if name in _GRADIENT_CMDS:
@@ -230,6 +237,7 @@ def cl_submit(ctx, handle):
         if build_cache:
             cl.cache_valid = True
             cl.cache_avg_scale = base_avg_scale
+            cl.cache_dpr = ctx.dpr
         if preserve:
             ctx.popState()
             ctx.resetClip()
@@ -239,8 +247,17 @@ def cl_submit(ctx, handle):
 
 def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
     """Re-emit cached geometry under the current base transform, resolving the
-    paint with current state (submitCachedMesh, vg.cpp:6137-6211)."""
-    from vgtpu.raster.binning import RasterOp
+    paint with current state (submitCachedMesh, vg.cpp:6137-6211).
+
+    The op kind is derived from the CURRENT clip-recording state, not from the
+    kind recorded at cache-build time: the reference routes cached meshes
+    through the stencil path per the live m_RecordClipCommands, so a cache
+    primed outside a clip replays correctly inside beginClip/endClip and vice
+    versa.  Stroke paints go through the thin-stroke alpha law
+    (vg.cpp:3416-3420) exactly like the direct path."""
+    import numpy as _np
+
+    from vgtpu.raster.binning import K_CLIP_ADD, K_DRAW, RasterOp, make_solid_paint
 
     slot = cl.cache_slots.get(ci)
     if slot is None:
@@ -250,45 +267,45 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
 
     # resolve paint exactly like the non-cached path would (clip recording
     # forces black solid + no AA, ctxFillPathColor vg.cpp:3070-3082)
-    import numpy as _np
-
-    from vgtpu.raster.binning import make_solid_paint
-
-    if ctx._recording_clip:
-        resolved = (0, make_solid_paint(_np.array([0, 0, 0, 1], _np.float32)), None)
-    else:
-        if name == "fillPath":
-            resolved = ctx._resolve_paint(args[0], kwargs.get("color_modulate"))
+    if name == "fillPath":
+        if ctx._recording_clip:
+            resolved = (0, make_solid_paint(_np.array([0, 0, 0, 1], _np.float32)), None)
         else:
             resolved = ctx._resolve_paint(args[0], kwargs.get("color_modulate"))
-    if resolved is None:
-        return
-    pk, paint, img = resolved
-    if name == "fillPath":
         flags = args[1]
         from vgtpu.core import fill_flags_aa, fill_flags_rule
 
         aa = (not ctx.cfg.force_aa_off) and (not ctx._recording_clip) and fill_flags_aa(flags)
         rule = fill_flags_rule(flags)
     else:
+        # strokePath(paint, width, flags): thin-stroke alpha from the recorded
+        # width and the CURRENT state (clip recording handled inside)
+        resolved, _sw = ctx._resolve_stroke_paint(
+            args[0], args[1], args[2], kwargs.get("color_modulate"))
         flags = args[2]
         from vgtpu.core import FillRule, stroke_flags_aa
 
         aa = (not ctx.cfg.force_aa_off) and (not ctx._recording_clip) and stroke_flags_aa(flags)
         rule = FillRule.NonZero
+    if resolved is None:
+        return
+    pk, paint, img = resolved
 
+    kind = K_CLIP_ADD if ctx._recording_clip else K_DRAW
+    render_base = core.xform_multiply(
+        core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
     sciss = ctx._scissor_rect()
     for item in slot:
         if item is None:
             continue
-        edges_local, op_kind = item
+        edges_local, _built_kind = item
         if not len(edges_local):
             continue
-        p0 = core.xform_points(base_transform, np.ascontiguousarray(edges_local[:, 0:2]))
-        p1 = core.xform_points(base_transform, np.ascontiguousarray(edges_local[:, 2:4]))
+        p0 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 0:2]))
+        p1 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 2:4]))
         ctx._emit(
             RasterOp(
-                kind=op_kind,
+                kind=kind,
                 edges=np.concatenate([p0, p1], axis=1).astype(np.float32),
                 fill_rule=rule,
                 aa=aa,

@@ -484,9 +484,13 @@ class Context:
             if self._recording_clip:
                 self._clip_shapes_recorded += 1
 
-    def strokePath(self, paint_or_color, width: float, flags: int, color_modulate=None) -> None:
+    def _resolve_stroke_paint(self, paint_or_color, width: float, flags: int,
+                              color_modulate=None):
+        """Stroke paint resolution including the thin-stroke alpha law
+        (vg.cpp:3416-3420): strokes thinner than one framebuffer pixel render
+        at fringe width with alpha scaled by clamp(scaledWidth,0,fringe)^2.
+        Returns (resolved_paint_or_None, stroke_width_fb)."""
         st = self.state
-        render_scale = st.avg_scale * self.dpr
         scaled_width = (
             width
             if (flags & core.StrokeFlags.FixedWidth)
@@ -494,7 +498,6 @@ class Context:
         )
         fringe_fb = self.fringe * self.dpr   # = 1 framebuffer pixel
         is_thin = scaled_width <= fringe_fb
-        # thin-stroke alpha law (vg.cpp:3416-3420)
         alpha_scale = 1.0 if not is_thin else float(np.clip(scaled_width / self.dpr, 0.0, self.fringe)) ** 2
         stroke_width = fringe_fb if is_thin else scaled_width
 
@@ -514,8 +517,15 @@ class Context:
                 a = int(alpha_scale * self.state.global_alpha * colorGetAlpha(col))
                 col = colorSetAlpha(col, a)
                 if colorGetAlpha(col) == 0:
-                    return
+                    return None, stroke_width
                 resolved = (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
+        return resolved, stroke_width
+
+    def strokePath(self, paint_or_color, width: float, flags: int, color_modulate=None) -> None:
+        st = self.state
+        render_scale = st.avg_scale * self.dpr
+        resolved, stroke_width = self._resolve_stroke_paint(
+            paint_or_color, width, flags, color_modulate)
         if resolved is None:
             return
         pk, paint, img = resolved

@@ -169,7 +169,11 @@ class GlyphAtlas:
 
     def _grow(self) -> None:
         """Double the atlas, keeping content (allocTextAtlas grows the same
-        way, vg.cpp:5500-5539)."""
+        way, vg.cpp:5500-5539).  Bumps the generation: BakedString quads store
+        UVs normalized by the atlas size at bake time, so every string baked
+        against the smaller atlas must rebake (the reference invalidates via a
+        new atlasID on reallocation, fontstash.h:768)."""
+        self.generation += 1
         old = self.bitmap
         old_nodes = self.packer.nodes
         new_size = self.size * 2

@@ -71,7 +71,7 @@ def coverage_chunks_pallas(
     nc, ch, _ = chunk_edges.shape
     bc = min(_BC, nc)
     if nc % bc:
-        bc = 1 << (nc % ~nc).bit_length() if False else _largest_divisor(nc, bc)
+        bc = _largest_divisor(nc, bc)
     grid = (nc // bc, ch)   # edge slot in the grid: Mosaic pipelines the steps
     npx = tile_h * tile_w
     out = pl.pallas_call(
