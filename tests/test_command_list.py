@@ -360,3 +360,64 @@ def test_cached_replay_thin_stroke_alpha():
     np.testing.assert_allclose(direct, cached, atol=1e-5)
     # sanity: the law actually fired (alpha ~ 0.09, nowhere near full)
     assert 0.0 < cached[32, 64, 3] < 0.2
+
+
+def test_per_command_scissor_culling():
+    """AllowCommandCulling skips draws whose transformed bounds miss the
+    scissor (vg.cpp:4534-4567), not just draws under an empty scissor."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.AllowCommandCulling)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 10, 10, 20, 20)          # inside the scissor
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 90, 10, 20, 20)          # fully outside the scissor
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 95, 40)
+    vg.lineTo(ctx, 120, 40)               # stroke fully outside
+    vg.strokePath(ctx, vg.Colors.Blue, 2.0, vg.StrokeFlags.ButtMiterAA)
+    vg.endCommandList(ctx)
+
+    vg.setScissor(ctx, 0, 0, 50, 64)
+    vg.submitCommandList(ctx, cl)
+    # only the inside rect produced an op
+    assert len(ctx.ops) == 1
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 20, 3] == 1.0
+
+    # without culling, all three draws emit (scissor still clips pixels)
+    ctx2 = make_ctx()
+    cl2 = vg.createCommandList(ctx2, 0)
+    vg.beginCommandList(ctx2, cl2)
+    vg.beginPath(ctx2)
+    vg.rect(ctx2, 90, 10, 20, 20)
+    vg.fillPath(ctx2, vg.Colors.Red, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx2)
+    vg.setScissor(ctx2, 0, 0, 50, 64)
+    vg.submitCommandList(ctx2, cl2)
+    assert len(ctx2.ops) == 1
+
+
+def test_cached_replay_scissor_culling():
+    """Culling also applies on the cached-geometry replay path: a clipped-out
+    cached draw produces zero entries."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(
+        ctx, vg.CommandListFlags.Cacheable | vg.CommandListFlags.AllowCommandCulling)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 80, 10, 30, 30)
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+
+    vg.submitCommandList(ctx, cl)          # builds cache (full viewport)
+    assert len(ctx.ops) == 1
+    vg.end(ctx, background=(0, 0, 0, 0))
+
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.setScissor(ctx, 0, 0, 40, 64)       # cached rect now outside
+    vg.submitCommandList(ctx, cl)          # cached replay
+    assert len(ctx.ops) == 0

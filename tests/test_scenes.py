@@ -15,10 +15,16 @@ GOLDEN_DIR = Path(__file__).parent / "goldens"
 
 
 def _check_golden(name: str, img_u8: np.ndarray, tol=2.0):
-    """Compare against a committed golden; (re)create when missing."""
+    """Compare against a committed golden.  A missing golden FAILS under
+    CI=1 / VGTPU_STRICT_GOLDENS=1 (a deleted golden must not silently turn a
+    regression test into a no-op); interactively it is (re)created once."""
+    import os
+
     GOLDEN_DIR.mkdir(exist_ok=True)
     path = GOLDEN_DIR / f"{name}.npz"
     if not path.exists():
+        if os.environ.get("CI") or os.environ.get("VGTPU_STRICT_GOLDENS"):
+            pytest.fail(f"golden {name} missing (strict mode refuses to regenerate)")
         np.savez_compressed(path, img=img_u8)
         pytest.skip(f"golden {name} created")
     want = np.load(path)["img"]

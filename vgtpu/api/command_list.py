@@ -203,7 +203,10 @@ def cl_submit(ctx, handle):
                     continue
                 args = tuple(xlat(a) for a in args)
                 if use_cache:
-                    _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform)
+                    _replay_cached_draw(ctx, cl, ci, name, args, kwargs,
+                                        base_transform, culling=culling)
+                    continue
+                if culling and _draw_outside_scissor(ctx, name, args):
                     continue
                 n_ops_before = len(ctx.ops)
                 if build_cache:
@@ -245,7 +248,41 @@ def cl_submit(ctx, handle):
         ctx._submit_depth -= 1
 
 
-def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
+def _stroke_pad_fb(ctx, name, args) -> float:
+    """Conservative framebuffer-space bbox inflation for a draw command:
+    AA fringe, plus (for strokes) the scaled width times the miter-limit
+    factor — mirrors the bounds test of the reference's command culling
+    (skipCmds, vg.cpp:4338-4341, :4534-4567)."""
+    pad = ctx.fringe * ctx.dpr
+    if name == "strokePath":
+        width = args[1]
+        flags = args[2]
+        sw = (width if (flags & core.StrokeFlags.FixedWidth)
+              else float(min(max(width * ctx.state.avg_scale, 0.0), 200.0)) * ctx.dpr)
+        pad += 2.0 * max(sw, ctx.fringe * ctx.dpr)   # half-width x miter limit 4
+    return pad
+
+
+def _bbox_outside_scissor(ctx, x0, y0, x1, y1, pad: float) -> bool:
+    sc = ctx._scissor_rect()
+    return (x1 + pad <= sc[0] or x0 - pad >= sc[2]
+            or y1 + pad <= sc[1] or y0 - pad >= sc[3])
+
+
+def _draw_outside_scissor(ctx, name, args) -> bool:
+    """Per-command scissor culling on the direct replay path: the transformed
+    path bounds (already lazily baked) against the current scissor."""
+    verts, _subs = ctx._transformed_path()
+    if len(verts) == 0:
+        return False
+    return _bbox_outside_scissor(
+        ctx, float(verts[:, 0].min()), float(verts[:, 1].min()),
+        float(verts[:, 0].max()), float(verts[:, 1].max()),
+        _stroke_pad_fb(ctx, name, args))
+
+
+def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,
+                        culling: bool = False):
     """Re-emit cached geometry under the current base transform, resolving the
     paint with current state (submitCachedMesh, vg.cpp:6137-6211).
 
@@ -295,6 +332,8 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
     render_base = core.xform_multiply(
         core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
     sciss = ctx._scissor_rect()
+    # cached edges are the final stroked outline, so only the AA fringe pads
+    pad = ctx.fringe * ctx.dpr if culling else 0.0
     for item in slot:
         if item is None:
             continue
@@ -303,6 +342,15 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform):
             continue
         p0 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 0:2]))
         p1 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 2:4]))
+        if culling and _bbox_outside_scissor(
+            ctx,
+            min(float(p0[:, 0].min()), float(p1[:, 0].min())),
+            min(float(p0[:, 1].min()), float(p1[:, 1].min())),
+            max(float(p0[:, 0].max()), float(p1[:, 0].max())),
+            max(float(p0[:, 1].max()), float(p1[:, 1].max())),
+            pad,
+        ):
+            continue
         ctx._emit(
             RasterOp(
                 kind=kind,
