@@ -278,3 +278,36 @@ def test_pallas_transposed_kernel_matches_xla():
         a = np.asarray(coverage_chunks_body(jnp.asarray(edges), 8, 128))
         b = np.asarray(coverage_chunks_pallas_t(jnp.asarray(edges), 8, 128, interpret=True))
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=str(ch))
+
+
+def test_entry_coverage_gather_matches_segment_sum():
+    """The inverse-permutation gather path must match the general
+    segment-sum reduction on a real multi-pool plan."""
+    import jax.numpy as jnp
+
+    import vgtpu as vg
+    from vgtpu.ops.coverage import (
+        build_cov_gather_map,
+        entry_coverage_from_pools,
+        entry_coverage_gather,
+    )
+    from vgtpu.raster.binning import bin_frame
+
+    rng = np.random.default_rng(5)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 384, 192, 1.0)
+    for _ in range(25):
+        vg.beginPath(ctx)
+        pts = rng.uniform(-10, 380, (int(rng.integers(3, 60)), 2))
+        vg.polyline(ctx, pts)
+        vg.closePath(ctx)
+        vg.fillPath(ctx, vg.color4ub(*rng.integers(0, 256, 3), 255),
+                    vg.FillFlags.ConcaveNonZeroAA)
+    plan = bin_frame(ctx.ops, 384, 192)
+    ne = plan.entry_backdrop.shape[0]
+    pools = tuple((jnp.asarray(ce), jnp.asarray(cent)) for ce, cent in plan.chunk_pools)
+    ref = np.asarray(entry_coverage_from_pools(pools, ne, plan.tile_h, plan.tile_w))
+    m = build_cov_gather_map(plan.chunk_pools, ne)
+    got = np.asarray(entry_coverage_gather(
+        pools, {k: jnp.asarray(v) for k, v in m.items()}, ne, plan.tile_h, plan.tile_w))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

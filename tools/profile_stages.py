@@ -40,12 +40,16 @@ def main() -> None:
     nt = plan.tile_entries.shape[0]
     bg = jnp.asarray(np.array([0.12, 0.12, 0.13, 1.0], np.float32))
 
+    from vgtpu.raster.frame import composite_arrays, composite_dispatch, coverage_dispatch
+
+    dd = composite_arrays(d)
+
     @functools.partial(jax.jit, static_argnames=("n",))
     def cov_loop(pools, backdrop, n):
         def body(i, eps):
             p = tuple((ce + eps, cent) for ce, cent in pools)
-            w = entry_coverage_from_pools(p, ne, th, tw) + backdrop[:, :, None]
-            return w[0, 0, 0] * 1e-7
+            w = coverage_dispatch(p, dd, ne, th, tw) + backdrop[:, :, None]
+            return jnp.sum(w[:, 0, 0]) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -54,15 +58,12 @@ def main() -> None:
     @functools.partial(jax.jit, static_argnames=("n",))
     def comp_loop(entry_w, n):
         def body(i, eps):
-            fb = composite_bucketed_body(
-                entry_w + eps, d["tile_buckets"],
-                d["entry_kind"], d["entry_rule"], d["entry_aa"],
-                d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
-                d["entry_color_tile"], d["color_tiles"], bg,
+            fb = composite_dispatch(
+                entry_w + eps, dd, bg,
                 ntx=plan.ntx, tile_h=th, tile_w=tw, num_tiles=nt,
                 bucket_flags=d["bucket_flags"],
             )
-            return fb[0, 0, 0, 3] * 1e-7
+            return jnp.sum(fb[:, 0, 0, 3]) * 1e-9
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -148,17 +148,18 @@ def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
-def coverage_chunks_pallas_t(
+def coverage_chunks_pallas_t_raw(
     chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
     interpret: bool = False,
 ) -> jax.Array:
-    """Transposed-layout variant; returns (NC, TH, TW) like the others."""
+    """Transposed-layout kernel, raw (NPX, NC) output (no relayout — callers
+    fuse the transpose into their reduction)."""
     nc, ch, _ = chunk_edges.shape
     bc = _largest_divisor(nc, 256)
     npx = tile_h * tile_w
     # (NC, CH, 4) -> (CH*4, NC): per-edge params along lanes
     edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel_t, ch=ch, tile_h=tile_h, tile_w=tile_w),
         out_shape=jax.ShapeDtypeStruct((npx, nc), jnp.float32),
         grid=(nc // bc, ch),
@@ -168,4 +169,13 @@ def coverage_chunks_pallas_t(
         out_specs=pl.BlockSpec((npx, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(edges_t)
+
+
+def coverage_chunks_pallas_t(
+    chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed-layout variant; returns (NC, TH, TW) like the others."""
+    nc = chunk_edges.shape[0]
+    out = coverage_chunks_pallas_t_raw(chunk_edges, tile_h, tile_w, interpret)
     return jnp.transpose(out, (1, 0)).reshape(nc, tile_h, tile_w)

@@ -16,7 +16,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vgtpu.ops.composite import composite_bucketed_body
 from vgtpu.ops.coverage import entry_coverage_from_pools
 
 
@@ -26,29 +25,27 @@ from vgtpu.ops.coverage import entry_coverage_from_pools
                      "num_entries", "bucket_flags"),
 )
 def chained_frames(
-    chunk_pools, entry_backdrop, entry_kind, entry_rule,
-    entry_aa, entry_paint_kind, entry_paint, entry_scissor,
-    entry_color_tile, color_tiles, buckets, background,
+    chunk_pools, entry_backdrop, d, background,
     *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
     num_entries: int, bucket_flags=None,
 ):
+    from vgtpu.raster.frame import frame_fb
+
     def one_frame(eps):
         pools = tuple((ce + eps, cent) for ce, cent in chunk_pools)
-        entry_cov = entry_coverage_from_pools(pools, num_entries, tile_h, tile_w)
-        entry_w = entry_cov + entry_backdrop[:, :, None]
-        fb = composite_bucketed_body(
-            entry_w, buckets,
-            entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
-            entry_scissor, entry_color_tile, color_tiles, background + eps,
-            ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-            bucket_flags=bucket_flags,
+        return frame_fb(
+            pools, entry_backdrop, d, background + eps,
+            num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
+            num_tiles=num_tiles, bucket_flags=bucket_flags,
         )
-        return fb
 
     def body(i, eps):
         fb = one_frame(eps)
-        # fold a pixel back into the next frame's inputs (true dependency)
-        return fb[0, 0, 0, 3] * 1e-7
+        # fold one pixel of EVERY tile back into the next frame's inputs: a
+        # single-tile probe lets XLA dead-code-eliminate buckets that tile
+        # does not touch (caught when the pallas composite made bucket DCE
+        # provable) — the sum makes every bucket's output live
+        return jnp.sum(fb[:, 0, 0, 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
 
@@ -59,11 +56,10 @@ def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> f
 
     import numpy as np
 
+    from vgtpu.raster.frame import composite_arrays
+
     args = (
-        d["chunk_pools"], d["entry_backdrop"],
-        d["entry_kind"], d["entry_rule"], d["entry_aa"],
-        d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
-        d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],
+        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
         jnp.asarray(np.asarray(background, np.float32)),
     )
     kw = dict(

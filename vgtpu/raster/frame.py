@@ -14,39 +14,112 @@ from vgtpu.ops.coverage import entry_coverage_from_pools
 from vgtpu.raster.binning import FramePlan, compute_tile_buckets
 
 
+def composite_dispatch(
+    entry_w, d: dict, background,
+    *, ntx, tile_h, tile_w, num_tiles, bucket_flags,
+):
+    """Composite backend choice (trace-time: the platform is static under
+    jit): fused Pallas kernels on TPU, the XLA scan elsewhere.  Both are
+    bit-compared in tests/test_composite_pallas.py."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if on_tpu and d.get("bucket_params") is not None:
+        from vgtpu.ops.composite_pallas import composite_bucketed_pallas_body
+
+        return composite_bucketed_pallas_body(
+            entry_w, d["tile_buckets"], d["bucket_params"], d["bucket_cts"],
+            background, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+            bucket_flags=bucket_flags,
+        )
+    return composite_bucketed_body(
+        entry_w, d["tile_buckets"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
+        d["color_tiles"], background,
+        ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+        bucket_flags=bucket_flags,
+    )
+
+
+def coverage_dispatch(chunk_pools, d: dict, num_entries, tile_h, tile_w):
+    """Entry coverage: inverse-permutation gather when the host map is
+    available (TPU plan uploads), general segment-sum otherwise."""
+    if d.get("cov_map") is not None:
+        from vgtpu.ops.coverage import entry_coverage_gather
+
+        return entry_coverage_gather(chunk_pools, d["cov_map"], num_entries,
+                                     tile_h, tile_w)
+    return entry_coverage_from_pools(chunk_pools, num_entries, tile_h, tile_w)
+
+
+def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
+             *, num_entries, ntx, tile_h, tile_w, num_tiles, bucket_flags):
+    """coverage + composite -> (T, TH, TW, 4) tiles.  On TPU with the fused
+    aux data, buckets gather straight from chunk coverage (the (NE, NPX)
+    entry_w intermediate is never materialized; backdrop is added in-kernel).
+    Elsewhere: entry coverage then the XLA composite."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if on_tpu and d.get("bucket_pteb") is not None:
+        from vgtpu.ops.composite_pallas import frame_fb_pallas
+        from vgtpu.ops.coverage import cov_all_resolved
+
+        cov_all = cov_all_resolved(chunk_pools, d["cov_map"], tile_h, tile_w)
+        return frame_fb_pallas(
+            cov_all, d["tile_buckets"], d["bucket_pteb"], d["bucket_params"],
+            d["bucket_cts"], background,
+            tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+            bucket_flags=bucket_flags,
+        )
+    entry_cov = coverage_dispatch(chunk_pools, d, num_entries, tile_h, tile_w)
+    entry_w = entry_cov + entry_backdrop[:, :, None]
+    return composite_dispatch(
+        entry_w, d, background,
+        ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+        bucket_flags=bucket_flags,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
                      "height", "bucket_flags"),
 )
 def _frame_fn(
-    chunk_pools, entry_backdrop, entry_kind, entry_rule,
-    entry_aa, entry_paint_kind, entry_paint, entry_scissor,
-    entry_color_tile, color_tiles, buckets, background,
+    chunk_pools, entry_backdrop, d, background,
     *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
 ):
     """The whole device frame in ONE compiled program."""
-    entry_cov = entry_coverage_from_pools(chunk_pools, num_entries, tile_h, tile_w)
-    entry_w = entry_cov + entry_backdrop[:, :, None]
-    fb = composite_bucketed_body(
-        entry_w, buckets,
-        entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
-        entry_scissor, entry_color_tile, color_tiles, background,
-        ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=ntx * nty,
-        bucket_flags=bucket_flags,
+    fb = frame_fb(
+        chunk_pools, entry_backdrop, d, background,
+        num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
+        num_tiles=ntx * nty, bucket_flags=bucket_flags,
     )
     return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h, tile_w=tile_w,
                           width=width, height=height)
+
+
+_COMPOSITE_KEYS = (
+    "tile_buckets", "entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
+    "entry_paint", "entry_scissor", "entry_color_tile", "color_tiles",
+    "bucket_params", "bucket_cts", "cov_map", "bucket_pteb",
+)
+
+
+def composite_arrays(d: dict) -> dict:
+    """The array-only sub-dict composite_dispatch consumes (jit pytree)."""
+    return {k: d[k] for k in _COMPOSITE_KEYS if k in d}
 
 
 def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
     """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
     d = device_arrays if device_arrays is not None else plan_to_device(plan)
     return _frame_fn(
-        d["chunk_pools"], d["entry_backdrop"],
-        d["entry_kind"], d["entry_rule"], d["entry_aa"],
-        d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
-        d["entry_color_tile"], d["color_tiles"], d["tile_buckets"],
+        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
         jnp.asarray(np.asarray(background, np.float32)),
         num_entries=d["chunk_entry_num"],
         ntx=plan.ntx, nty=plan.nty,
@@ -81,7 +154,47 @@ def plan_to_device(plan: FramePlan) -> dict:
             (jnp.asarray(te), jnp.asarray(ids)) for te, ids, _fl in plan.tile_buckets
         ),
         "bucket_flags": tuple(fl for _te, _ids, fl in plan.tile_buckets),
+        **_coverage_composite_aux(plan),
     }
+
+
+def _coverage_composite_aux(plan: FramePlan) -> dict:
+    """Host-built static aux for the fused TPU path: the chunk->entry inverse
+    map and the Pallas composite's per-bucket metadata.  TPU-only — the
+    gather formulation measured ~2x SLOWER than segment_sum on the CPU
+    backend, so other platforms keep the plain arrays."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if not on_tpu:
+        return {}
+    from vgtpu.ops.coverage import build_cov_gather_map
+
+    m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
+    out = {"cov_map": {k: jnp.asarray(v) for k, v in m.items()}}
+    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
+
+    dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
+    params, cts, ptebs = [], [], []
+    for te_b, _ids, flags in plan.tile_buckets:
+        pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
+        nbp = _pad_tiles(te_b.shape[0])
+        te_p = te_b
+        if nbp != te_b.shape[0]:
+            te_p = np.concatenate(
+                [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
+        pteb = np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)],
+                        dead_id).astype(np.int32)
+        params.append(jnp.asarray(pp))
+        cts.append(jnp.asarray(ct) if ct is not None else None)
+        ptebs.append(jnp.asarray(pteb))
+    out.update({
+        "bucket_params": tuple(params),
+        "bucket_cts": tuple(cts),
+        "bucket_pteb": tuple(ptebs),
+    })
+    return out
 
 
 def image_to_u8(img) -> np.ndarray:
