@@ -40,6 +40,8 @@ class ContextConfig:
     tess_tol: float = 0.25                 # tessellation tolerance in px (vg.cpp:763)
     fringe: float = 1.0                    # AA fringe reference width in px (vg.cpp:764)
     use_pallas: bool = True                # Pallas fine raster (False = pure-XLA path)
+    device_sampling: bool = True           # textures sampled on device (MXU hat-weight
+                                           # matmuls); False = host numpy sampler
     precision: str = "float32"
 
     def __post_init__(self) -> None:

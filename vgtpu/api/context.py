@@ -272,17 +272,57 @@ class Context:
         return self.frame_image
 
     def _fill_textures(self, plan) -> None:
-        from vgtpu.raster.sampling import fill_color_tiles
-
         image_map = {
             idx: (img.data, img.flags, img.generation)
             for idx, img in self.images.items()
         }
         if self.font_system is not None:
             image_map.update(self.font_system.atlas_image_map())
+        if self.cfg.device_sampling:
+            from vgtpu.ops.sampling_device import (
+                build_sampling_plan,
+                sample_color_tiles_device,
+            )
+
+            sp = build_sampling_plan(plan, self.ops, image_map)
+            if sp.num_tiles:
+                tex = self._device_textures(
+                    image_map, {g.image_id for g in sp.groups})
+                ct = sample_color_tiles_device(sp, tex, plan.tile_h, plan.tile_w)
+                if ct is not None:
+                    plan.color_tiles = ct   # device array; flows through upload
+            return
+        from vgtpu.raster.sampling import fill_color_tiles
+
         if not hasattr(self, "_tile_sample_cache"):
             self._tile_sample_cache = {}
         fill_color_tiles(plan, self.ops, image_map, cache=self._tile_sample_cache)
+
+    def _device_textures(self, image_map: dict, needed: set) -> dict:
+        """Device-resident f32 textures, re-uploaded only when the source's
+        generation/revision changes (images: updateImage bumps; atlas: any
+        baked pixel bumps)."""
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_tex_dev_cache", None)
+        if cache is None:
+            cache = self._tex_dev_cache = {}
+        out = {}
+        for img_id in needed:
+            rec = image_map[img_id]
+            data = rec[0]
+            gen = rec[2] if len(rec) > 2 else 0
+            key = (gen, data.shape)
+            hit = cache.get(img_id)
+            if hit is None or hit[0] != key:
+                arr = np.asarray(data)
+                if arr.ndim == 2:
+                    arr = arr[..., None]
+                dev = jnp.asarray(arr).astype(jnp.float32) / 255.0
+                cache[img_id] = (key, dev)
+                hit = cache[img_id]
+            out[img_id] = hit[1]
+        return out
 
     def frame(self) -> None:
         """Per-app-frame housekeeping (reference: font-atlas GC, vg.cpp:1290)."""

@@ -113,6 +113,7 @@ class GlyphAtlas:
     """A8 atlas texture + glyph cache with generation tracking."""
 
     def __init__(self) -> None:
+        self.revision = 0    # bumped on ANY pixel change (device-upload key)
         self.reset(ATLAS_INITIAL)
         self.generation = 0
 
@@ -122,8 +123,10 @@ class GlyphAtlas:
         self.packer = SkylineAtlas(size, size)
         self.glyphs: dict[tuple[int, int], GlyphInfo] = {}  # (font_idx, code)
         self.dirty = None  # (x0,y0,x1,y1)
+        self.revision += 1
 
     def _mark_dirty(self, x, y, w, h):
+        self.revision += 1
         if self.dirty is None:
             self.dirty = [x, y, x + w, y + h]
         else:
@@ -184,3 +187,4 @@ class GlyphAtlas:
         packer.nodes = [list(n) for n in old_nodes] + [[self.size, 0, new_size - self.size]]
         self.packer = packer
         self.size = new_size
+        self.revision += 1

@@ -141,7 +141,8 @@ class FontSystem:
         return dx, dy
 
     def atlas_image_map(self) -> dict:
-        return {ATLAS_IMAGE_ID: (self.atlas.bitmap, ImageFlags.Filter_Bilinear)}
+        return {ATLAS_IMAGE_ID: (self.atlas.bitmap, ImageFlags.Filter_Bilinear,
+                                 self.atlas.revision)}
 
     def end_frame(self) -> None:
         """frame() housekeeping (reference GCs extra atlases, vg.cpp:1290-1328;

@@ -99,6 +99,13 @@ def build_bucket_aux(plan, te_b: np.ndarray, need_ct: bool = False):
     return pp, ct_t
 
 
+@jax.jit
+def ct_t_from_color_tiles(ct_flat: jax.Array, ctile_ids: jax.Array) -> jax.Array:
+    """(NCT+1, 4*NPX) channel-major flat tiles + (NbP, MO) tile-slot ids
+    -> (MO, 4*NPX, NbP) kernel-layout color tiles (id NCT = zeros row)."""
+    return jnp.transpose(ct_flat[ctile_ids], (1, 2, 0))
+
+
 def _pad_tiles(nb: int) -> int:
     """Lane-axis padding: Mosaic lane blocks must be 128-multiples or the
     full axis.  Buckets over 128 tiles pad to the next 128-multiple so blocks

@@ -173,12 +173,22 @@ def _coverage_composite_aux(plan: FramePlan) -> dict:
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
     out = {"cov_map": {k: jnp.asarray(v) for k, v in m.items()}}
-    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
+    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux, ct_t_from_color_tiles
+
+    th, tw = plan.tile_h, plan.tile_w
+    # channel-major flat color tiles + zeros row for slots without one;
+    # device-built so device-computed color tiles flow straight through
+    ct_dev = jnp.asarray(plan.color_tiles)
+    ct_flat = jnp.concatenate([
+        jnp.transpose(ct_dev, (0, 3, 1, 2)).reshape(ct_dev.shape[0], 4 * th * tw),
+        jnp.zeros((1, 4 * th * tw), jnp.float32),
+    ])
+    nct = ct_dev.shape[0]
 
     dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
     params, cts, ptebs = [], [], []
     for te_b, _ids, flags in plan.tile_buckets:
-        pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
+        pp, _unused = build_bucket_aux(plan, te_b, need_ct=False)
         nbp = _pad_tiles(te_b.shape[0])
         te_p = te_b
         if nbp != te_b.shape[0]:
@@ -186,8 +196,14 @@ def _coverage_composite_aux(plan: FramePlan) -> dict:
                 [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
         pteb = np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)],
                         dead_id).astype(np.int32)
+        if flags[2]:
+            ctile = np.where(
+                te_p >= 0, plan.entry_color_tile[np.maximum(te_p, 0)], -1)
+            ctile = np.where(ctile >= 0, ctile, nct).astype(np.int32)
+            cts.append(ct_t_from_color_tiles(ct_flat, jnp.asarray(ctile)))
+        else:
+            cts.append(None)
         params.append(jnp.asarray(pp))
-        cts.append(jnp.asarray(ct) if ct is not None else None)
         ptebs.append(jnp.asarray(pteb))
     out.update({
         "bucket_params": tuple(params),
