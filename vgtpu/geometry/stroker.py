@@ -89,8 +89,13 @@ def stroke_outline(
     n_half_circle = max(2, int(math.ceil(math.pi / da)))
 
     if closed:
-        d = _normalize(np.roll(pts, -1, axis=0) - pts)      # d[i] = dir(p[i]->p[i+1])
-        d01 = np.roll(d, 1, axis=0)                          # incoming dir at joint i
+        nxt = np.empty_like(pts)
+        nxt[:-1] = pts[1:]
+        nxt[-1] = pts[0]
+        d = _normalize(nxt - pts)                            # d[i] = dir(p[i]->p[i+1])
+        d01 = np.empty_like(d)                               # incoming dir at joint i
+        d01[0] = d[-1]
+        d01[1:] = d[:-1]
         d12 = d                                              # outgoing dir at joint i
         side_a = _joint_points(pts, d01, d12, hsw, line_join, da, +1.0)
         side_b = _joint_points(pts, d01, d12, hsw, line_join, da, -1.0)
@@ -151,7 +156,8 @@ def stroke_outline(
 def signed_area(c: np.ndarray) -> float:
     """Shoelace signed area of a closed polygon (y-down: CW on screen > 0)."""
     x, y = c[:, 0], c[:, 1]
-    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])
+                       + x[-1] * y[0] - x[0] * y[-1])
 
 
 def _normalize_orientation(contours: list[np.ndarray]) -> list[np.ndarray]:
@@ -230,8 +236,11 @@ def contours_to_edges(contours: list[np.ndarray]) -> np.ndarray:
     for c in contours:
         if len(c) < 2:
             continue
-        nxt = np.roll(c, -1, axis=0)
-        segs.append(np.concatenate([c, nxt], axis=1))
+        e = np.empty((len(c), 4), np.float32)
+        e[:, 0:2] = c
+        e[:-1, 2:4] = c[1:]
+        e[-1, 2:4] = c[0]
+        segs.append(e)
     if not segs:
         return np.zeros((0, 4), np.float32)
     return np.concatenate(segs, axis=0).astype(np.float32)
@@ -245,5 +254,8 @@ def polyline_to_fill_edges(pts: np.ndarray, normalize: bool = False) -> np.ndarr
         return np.zeros((0, 4), np.float32)
     if normalize and signed_area(np.asarray(pts, np.float64)) < 0.0:
         pts = pts[::-1]
-    nxt = np.roll(pts, -1, axis=0)
-    return np.concatenate([pts, nxt], axis=1).astype(np.float32)
+    e = np.empty((len(pts), 4), np.float32)
+    e[:, 0:2] = pts
+    e[:-1, 2:4] = pts[1:]
+    e[-1, 2:4] = pts[0]
+    return e

@@ -114,6 +114,17 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _ptr_to_np(ptr, count: int, dtype) -> np.ndarray:
+    """Copy `count` items from a ctypes pointer into a fresh numpy array.
+    np.ctypeslib.as_array builds a new ctypes array TYPE per call (~10x
+    slower); frombuffer over the raw address is the fast path."""
+    if count == 0:
+        return np.zeros(0, dtype)
+    dt = np.dtype(dtype)
+    buf = ctypes.string_at(ctypes.addressof(ptr.contents), count * dt.itemsize)
+    return np.frombuffer(buf, dtype=dt).copy()
+
+
 def _fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
@@ -190,9 +201,10 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
     mo = int(res.max_ops)
 
     def arr(ptr, shape, dtype):
-        if np.prod(shape) == 0:
+        n = int(np.prod(shape))
+        if n == 0:
             return np.zeros(shape, dtype)
-        return np.ctypeslib.as_array(ptr, shape=(int(np.prod(shape)),)).astype(dtype, copy=True).reshape(shape)
+        return _ptr_to_np(ptr, n, dtype).reshape(shape)
 
     chunk_pools = []
     for pi, ch in enumerate(pools):
@@ -237,8 +249,8 @@ def stroke_outline_native(pts, closed, width, cap, join, scale, tol):
         if res.n_contours == 0:
             return []
         return None
-    off = np.ctypeslib.as_array(res.contour_off, shape=(res.n_contours + 1,)).copy()
-    flat = np.ctypeslib.as_array(res.pts, shape=(int(res.n_pts) * 2,)).copy().reshape(-1, 2)
+    off = _ptr_to_np(res.contour_off, res.n_contours + 1, np.int64)
+    flat = _ptr_to_np(res.pts, int(res.n_pts) * 2, np.float32).reshape(-1, 2)
     contours = [flat[off[i] : off[i + 1]].copy() for i in range(res.n_contours)]
     lib.vg_free_stroke(ctypes.byref(res))
     return contours
@@ -301,8 +313,7 @@ def bake_path_native(verbs, simple_flat, cubic_flat, arc_flat, poly_args,
     if nv == 0:
         lib.vg_free_bake(ctypes.byref(res))
         return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int32)
-    verts = np.ctypeslib.as_array(res.verts, shape=(nv * 2,)).copy().reshape(nv, 2)
-    subs = (np.ctypeslib.as_array(res.subpaths, shape=(max(ns, 1) * 3,)).copy()
-            .reshape(-1, 3)[:ns])
+    verts = _ptr_to_np(res.verts, nv * 2, np.float32).reshape(nv, 2)
+    subs = _ptr_to_np(res.subpaths, max(ns, 1) * 3, np.int32).reshape(-1, 3)[:ns]
     lib.vg_free_bake(ctypes.byref(res))
     return verts, subs
