@@ -46,12 +46,25 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     d = ctx.last_device_arrays
     bg = (0.12, 0.12, 0.13, 1.0)
 
+    # full dynamic frame: re-record + re-bin + re-upload + render (the
+    # reference's analogue is CPU retessellation of non-cached content)
+    dyn = []
+    for _ in range(5):
+        td0 = time.perf_counter()
+        vg.begin(ctx, 0, 1920, 1080, 1.0)
+        draw_benchmark_frame(ctx, 0.0)
+        img = vg.end(ctx, background=bg)
+        img.block_until_ready()
+        dyn.append((time.perf_counter() - td0) * 1e3)
+    dynamic_ms = sorted(dyn)[len(dyn) // 2]
+
     # chained on-device loop: immune to async-dispatch timing artifacts
     frame_ms = measure_device_ms_per_frame(plan, d, bg, reps_hi=reps, reps_lo=warmup)
     return {
         "record_ms": (t1 - t0) * 1e3,
         "cold_bin_exec_ms": (t2 - t1) * 1e3,
         "frame_ms": frame_ms,
+        "dynamic_ms": dynamic_ms,
         "stats": plan.stats,
         "platform": str(__import__("jax").devices()[0].platform),
     }
@@ -69,6 +82,7 @@ def main() -> None:
 
     r = measure()
     print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
+          f"dynamic={r['dynamic_ms']:.1f} ms  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
 

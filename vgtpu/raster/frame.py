@@ -130,63 +130,78 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
 
 
 def plan_to_device(plan: FramePlan) -> dict:
-    """Upload the plan's arrays once (command lists / caches stay resident)."""
+    """Upload the plan's arrays once (command lists / caches stay resident).
+    All host arrays ship in ONE batched jax.device_put (59 per-leaf puts
+    measured 15 ms vs 4 ms batched through the axon tunnel); the composite's
+    color-tile expansion then runs on device."""
     if plan.tile_buckets is None:
         plan.tile_buckets = compute_tile_buckets(
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
         )
-    return {
-        "chunk_pools": tuple(
-            (jnp.asarray(ce), jnp.asarray(cent)) for ce, cent in plan.chunk_pools
-        ),
-        "chunk_entry_num": plan.entry_backdrop.shape[0],
-        "entry_backdrop": jnp.asarray(plan.entry_backdrop),
-        "entry_kind": jnp.asarray(plan.entry_kind),
-        "entry_rule": jnp.asarray(plan.entry_rule),
-        "entry_aa": jnp.asarray(plan.entry_aa),
-        "entry_paint_kind": jnp.asarray(plan.entry_paint_kind),
-        "entry_paint": jnp.asarray(plan.entry_paint),
-        "entry_scissor": jnp.asarray(plan.entry_scissor),
-        "entry_color_tile": jnp.asarray(plan.entry_color_tile),
-        "color_tiles": jnp.asarray(plan.color_tiles),
-        "tile_entries": jnp.asarray(plan.tile_entries),
+    host = {
+        "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
+        "entry_backdrop": plan.entry_backdrop,
+        "entry_kind": plan.entry_kind,
+        "entry_rule": plan.entry_rule,
+        "entry_aa": plan.entry_aa,
+        "entry_paint_kind": plan.entry_paint_kind,
+        "entry_paint": plan.entry_paint,
+        "entry_scissor": plan.entry_scissor,
+        "entry_color_tile": plan.entry_color_tile,
+        "color_tiles": plan.color_tiles,
+        "tile_entries": plan.tile_entries,
         "tile_buckets": tuple(
-            (jnp.asarray(te), jnp.asarray(ids)) for te, ids, _fl in plan.tile_buckets
+            (te, ids) for te, ids, _fl in plan.tile_buckets
         ),
-        "bucket_flags": tuple(fl for _te, _ids, fl in plan.tile_buckets),
-        **_coverage_composite_aux(plan),
     }
+    aux_host, bucket_ctile = _coverage_composite_aux_host(plan)
+    host.update(aux_host)
+    d = jax.device_put(host)
+    d["chunk_entry_num"] = plan.entry_backdrop.shape[0]
+    d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
+    if bucket_ctile is not None:
+        from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+
+        th, tw = plan.tile_h, plan.tile_w
+        ct_dev = d["color_tiles"]
+        ct_flat = _ct_flat(ct_dev, th, tw)
+        d["bucket_cts"] = tuple(
+            ct_t_from_color_tiles(ct_flat, jnp.asarray(ids)) if ids is not None else None
+            for ids in bucket_ctile
+        )
+    return d
 
 
-def _coverage_composite_aux(plan: FramePlan) -> dict:
+@functools.partial(jax.jit, static_argnames=("th", "tw"))
+def _ct_flat(ct_dev, th, tw):
+    """(NCT, TH, TW, 4) -> (NCT+1, 4*NPX) channel-major + zeros row."""
+    return jnp.concatenate([
+        jnp.transpose(ct_dev, (0, 3, 1, 2)).reshape(ct_dev.shape[0], 4 * th * tw),
+        jnp.zeros((1, 4 * th * tw), jnp.float32),
+    ])
+
+
+def _coverage_composite_aux_host(plan: FramePlan):
     """Host-built static aux for the fused TPU path: the chunk->entry inverse
     map and the Pallas composite's per-bucket metadata.  TPU-only — the
     gather formulation measured ~2x SLOWER than segment_sum on the CPU
-    backend, so other platforms keep the plain arrays."""
+    backend, so other platforms keep the plain arrays.
+
+    Returns (host-array dict to device_put, per-bucket ctile index arrays or
+    None — the color-tile expansion itself runs on device afterwards)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
         on_tpu = False
     if not on_tpu:
-        return {}
+        return {}, None
+    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
     from vgtpu.ops.coverage import build_cov_gather_map
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
-    out = {"cov_map": {k: jnp.asarray(v) for k, v in m.items()}}
-    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux, ct_t_from_color_tiles
-
-    th, tw = plan.tile_h, plan.tile_w
-    # channel-major flat color tiles + zeros row for slots without one;
-    # device-built so device-computed color tiles flow straight through
-    ct_dev = jnp.asarray(plan.color_tiles)
-    ct_flat = jnp.concatenate([
-        jnp.transpose(ct_dev, (0, 3, 1, 2)).reshape(ct_dev.shape[0], 4 * th * tw),
-        jnp.zeros((1, 4 * th * tw), jnp.float32),
-    ])
-    nct = ct_dev.shape[0]
-
+    nct = plan.color_tiles.shape[0]
     dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
-    params, cts, ptebs = [], [], []
+    params, ptebs, ctiles = [], [], []
     for te_b, _ids, flags in plan.tile_buckets:
         pp, _unused = build_bucket_aux(plan, te_b, need_ct=False)
         nbp = _pad_tiles(te_b.shape[0])
@@ -199,18 +214,17 @@ def _coverage_composite_aux(plan: FramePlan) -> dict:
         if flags[2]:
             ctile = np.where(
                 te_p >= 0, plan.entry_color_tile[np.maximum(te_p, 0)], -1)
-            ctile = np.where(ctile >= 0, ctile, nct).astype(np.int32)
-            cts.append(ct_t_from_color_tiles(ct_flat, jnp.asarray(ctile)))
+            ctiles.append(np.where(ctile >= 0, ctile, nct).astype(np.int32))
         else:
-            cts.append(None)
-        params.append(jnp.asarray(pp))
-        ptebs.append(jnp.asarray(pteb))
-    out.update({
+            ctiles.append(None)
+        params.append(pp)
+        ptebs.append(pteb)
+    host = {
+        "cov_map": m,
         "bucket_params": tuple(params),
-        "bucket_cts": tuple(cts),
         "bucket_pteb": tuple(ptebs),
-    })
-    return out
+    }
+    return host, tuple(ctiles)
 
 
 def image_to_u8(img) -> np.ndarray:
