@@ -42,8 +42,15 @@ class ContextConfig:
     use_pallas: bool = True                # Pallas fine raster (False = pure-XLA path)
     device_sampling: bool = True           # textures sampled on device (MXU hat-weight
                                            # matmuls); False = host numpy sampler
+    coverage_supersample: int = 1          # y-supersampling factor (1/2/4/8): >1 applies
+                                           # the fill rule per sub-row for conflation-free
+                                           # self-intersection coverage (the reference's
+                                           # triangle meshes never conflate; analytic
+                                           # box-filter coverage does at overlap pixels).
+                                           # ~ss x coverage cost; XLA composite path.
     precision: str = "float32"
 
     def __post_init__(self) -> None:
         assert self.tile_w in (128, 256), "tile width must be a lane multiple"
         assert self.tile_h % 8 == 0, "tile height must be a sublane multiple"
+        assert self.coverage_supersample in (1, 2, 4, 8), "supersample must be 1/2/4/8"

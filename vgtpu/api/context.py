@@ -255,6 +255,7 @@ class Context:
                 tile_w=self.cfg.tile_w,
                 chunk=self.cfg.edges_per_chunk,
                 pools=self.cfg.chunk_pools,
+                supersample=self.cfg.coverage_supersample,
             )
         with prof.stage("textures"):
             self._fill_textures(plan)
@@ -288,7 +289,8 @@ class Context:
             if sp.num_tiles:
                 tex = self._device_textures(
                     image_map, {g.image_id for g in sp.groups})
-                ct = sample_color_tiles_device(sp, tex, plan.tile_h, plan.tile_w)
+                ct = sample_color_tiles_device(
+                    sp, tex, plan.tile_h // plan.supersample, plan.tile_w)
                 if ct is not None:
                     plan.color_tiles = ct   # device array; flows through upload
             return

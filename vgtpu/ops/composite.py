@@ -72,27 +72,43 @@ def composite_tiles_body(
     tile_w: int,
     max_ops: int,
     lane_flags: tuple = (True, True, True, True, True, True, True),
+    ss: int = 1,
 ) -> jax.Array:
-    """Returns (T, TH, TW, 4) premultiplied RGBA tiles.  Unjitted body so the
-    sharded renderer (vgtpu/parallel) can call it inside shard_map.
+    """Returns (T, TH_OUT, TW, 4) premultiplied RGBA tiles (TH_OUT =
+    tile_h // ss).  Unjitted body so the sharded renderer (vgtpu/parallel)
+    can call it inside shard_map.
 
     lane_flags = (gradient, tri, texture, clip, evenodd, non_aa): statically
     disables shading/state lanes that no entry in this call uses — the
     per-bucket specialization that replaces the reference's four separate
-    shader programs (src/shaders/*.sc) with compiled variants."""
+    shader programs (src/shaders/*.sc) with compiled variants.
+
+    ss > 1: winding/coverage/clip live on tile_h SUB-rows; the fill rule,
+    AA select, scissor and clip mask apply per sub-row, then coverage
+    averages down to output rows before shading + blending — self-
+    intersection pixels get mesh-equivalent (conflation-free) alpha in y."""
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags[:6]
     has_scissor = lane_flags[6] if len(lane_flags) > 6 else True
+    th_out = tile_h // ss
     T = tile_entries.shape[0]
     tid = tile_ids.astype(jnp.int32)
     ox = ((tid % ntx) * tile_w).astype(jnp.float32)
     oy = ((tid // ntx) * tile_h).astype(jnp.float32)
     ix = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
     iy = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
-    # pixel centers, screen space: (T, TH, TW)
+    # sub-row sample centers, scaled space: (T, TH, TW) — scissors are scaled
     pxc = ox[:, None, None] + ix + 0.5
     pyc = oy[:, None, None] + iy + 0.5
+    if ss == 1:
+        pxc_o, pyc_o = pxc, pyc
+    else:
+        # output-pixel centers for shading (paints are pixel-space)
+        ix_o = jax.lax.broadcasted_iota(jnp.float32, (th_out, tile_w), 1)
+        iy_o = jax.lax.broadcasted_iota(jnp.float32, (th_out, tile_w), 0)
+        pxc_o = ox[:, None, None] + ix_o + 0.5
+        pyc_o = (oy / ss)[:, None, None] + iy_o + 0.5
 
-    fb0 = jnp.broadcast_to(background, (T, tile_h, tile_w, 4)).astype(jnp.float32)
+    fb0 = jnp.broadcast_to(background, (T, th_out, tile_w, 4)).astype(jnp.float32)
     mask0 = jnp.ones((T, tile_h, tile_w), jnp.float32)
     accum0 = jnp.zeros((T, tile_h, tile_w), jnp.float32)
 
@@ -137,13 +153,13 @@ def composite_tiles_body(
 
         # ---- shading (each lane statically gated by bucket usage) ----
         inner = paint[:, 10:14]
-        solid = jnp.broadcast_to(inner[:, None, None, :], (inner.shape[0], tile_h, tile_w, 4))
+        solid = jnp.broadcast_to(inner[:, None, None, :], (inner.shape[0], th_out, tile_w, 4))
         col = solid
         if has_grad:
             # gradient uv via inverse paint matrix (vg.cpp:3712-3880)
             m = paint[:, 0:6]
-            uxg = m[:, 0][:, None, None] * pxc + m[:, 2][:, None, None] * pyc + m[:, 4][:, None, None]
-            uyg = m[:, 1][:, None, None] * pxc + m[:, 3][:, None, None] * pyc + m[:, 5][:, None, None]
+            uxg = m[:, 0][:, None, None] * pxc_o + m[:, 2][:, None, None] * pyc_o + m[:, 4][:, None, None]
+            uyg = m[:, 1][:, None, None] * pxc_o + m[:, 3][:, None, None] * pyc_o + m[:, 5][:, None, None]
             ex = paint[:, 6][:, None, None]
             ey = paint[:, 7][:, None, None]
             rad = paint[:, 8][:, None, None]
@@ -158,8 +174,8 @@ def composite_tiles_body(
         if has_tri:
             # per-vertex-color triangles: rgba(x,y) = A*x + B*y + C
             tri = (
-                paint[:, 0:4][:, None, None, :] * pxc[..., None]
-                + paint[:, 4:8][:, None, None, :] * pyc[..., None]
+                paint[:, 0:4][:, None, None, :] * pxc_o[..., None]
+                + paint[:, 4:8][:, None, None, :] * pyc_o[..., None]
                 + paint[:, 8:12][:, None, None, :]
             )
             col = jnp.where((pk == P_TRI)[..., None], tri, col)
@@ -181,6 +197,9 @@ def composite_tiles_body(
             c = jnp.where(is_draw, cov * mask, 0.0)
         else:
             c = jnp.where(valid[:, None, None], cov, 0.0)
+        if ss > 1:
+            # average rule-applied sub-row coverage down to output rows
+            c = jnp.mean(c.reshape(c.shape[0], th_out, ss, tile_w), axis=2)
         a = src_a_vec * c
         fb = jnp.concatenate(
             [
@@ -243,11 +262,13 @@ def composite_bucketed_body(
     tile_w: int,
     num_tiles: int,
     bucket_flags: tuple | None = None,
+    ss: int = 1,
 ):
     """Composite with tiles grouped by op-count bucket: each group scans only
     as many painter slots as its busiest tile needs; op-free tiles never run.
     Output row num_tiles is a scratch target for bucket padding."""
-    fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
+    fb = jnp.broadcast_to(
+        background, (num_tiles + 1, tile_h // ss, tile_w, 4)).astype(jnp.float32)
     if bucket_flags is None:
         bucket_flags = tuple((True,) * 7 for _ in buckets)
     for (te_b, ids_b), flags in zip(buckets, bucket_flags):
@@ -265,7 +286,7 @@ def composite_bucketed_body(
             entry_paint[ef], entry_scissor[ef], entry_color_tile[ef],
             color_tiles, background,
             ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=mo,
-            lane_flags=tuple(flags),
+            lane_flags=tuple(flags), ss=ss,
         )
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]

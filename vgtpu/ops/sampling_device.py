@@ -70,7 +70,8 @@ def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
     """Host pass (no sampling): assigns entry_color_tile and produces padded
     per-group parameter arrays for the device sampler.  `images` maps
     image id -> (data u8, flags[, generation])."""
-    th, tw = plan.tile_h, plan.tile_w
+    ss = plan.supersample
+    th, tw = plan.tile_h // ss, plan.tile_w   # OUTPUT-space tile rows
     n = plan.n_real_entries
     pk = plan.entry_paint_kind[:n]
     need = np.nonzero((pk == P_IMAGE) | (pk == P_TEXTURE))[0]
@@ -105,6 +106,8 @@ def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
             g["params"].append([ox, oy, *[float(x) for x in m], 0, 0, 0, 0])
             g["color"].append([float(x) for x in paint[10:14]])
         else:
+            # note: these are the caller's ORIGINAL ops (y unscaled) — only
+            # tile origins needed output-space correction under supersampling
             q = np.asarray(op.tex_quads, np.float64)
             cxs = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4], q[:, 0] + q[:, 2] + q[:, 4]])
             cys = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5], q[:, 1] + q[:, 3] + q[:, 5]])

@@ -99,10 +99,14 @@ class FramePlan:
     # per-tile op table
     tile_entries: np.ndarray     # (T, MAX_OPS) i32 entry ids, -1 padded
     # aux color tiles for textured entries (text/images), premultiplied RGBA
-    color_tiles: np.ndarray      # (NCT, tile_h, tile_w, 4) f32
+    color_tiles: np.ndarray      # (NCT, tile_h//supersample, tile_w, 4) f32
     tile_buckets: list | None = None  # [(tile_entries_b, tile_ids_b)] by op count
     n_real_entries: int = 0
     n_real_chunks: int = 0
+    # y-supersampling factor: >1 means all y geometry (edges, quads, scissors,
+    # backdrops, tile_h) is in sub-row units; height stays in real pixels and
+    # the composite averages ss sub-rows per output row after rule application
+    supersample: int = 1
     stats: dict = field(default_factory=dict)
 
 
@@ -213,7 +217,8 @@ def compute_tile_buckets(
                 pk = plan.entry_paint_kind[es]
                 kd = plan.entry_kind[es]
                 sc = plan.entry_scissor[es]
-                full_vp = np.array([0.0, 0.0, plan.width, plan.height], np.float32)
+                full_vp = np.array(
+                    [0.0, 0.0, plan.width, plan.height * plan.supersample], np.float32)
                 flags = (
                     bool((pk == P_GRADIENT).any()),
                     bool((pk == P_TRI).any()),
@@ -250,6 +255,33 @@ def _bucket_pow2(n: int, minimum: int = 4) -> int:
     return b
 
 
+def scale_ops_y(ops: list[RasterOp], ss: int) -> list[RasterOp]:
+    """Shallow-copied ops with all y geometry scaled into sub-row units
+    (edges, textured quads, scissors).  Paints stay in pixel space — shading
+    and sampling run at output resolution."""
+    import copy
+
+    out = []
+    for op in ops:
+        o = copy.copy(op)
+        if o.edges is not None and len(o.edges):
+            e = np.asarray(o.edges, np.float32).copy()
+            e[:, 1] *= ss
+            e[:, 3] *= ss
+            o.edges = e
+        if o.tex_quads is not None and len(o.tex_quads):
+            q = np.asarray(o.tex_quads, np.float32).copy()
+            q[:, 1] *= ss    # p0y
+            q[:, 3] *= ss    # ex_y
+            q[:, 5] *= ss    # ey_y
+            o.tex_quads = q
+        if o.scissor is not None:
+            s = o.scissor
+            o.scissor = (s[0], s[1] * ss, s[2], s[3] * ss)
+        out.append(o)
+    return out
+
+
 def bin_frame(
     ops: list[RasterOp],
     width: int,
@@ -260,20 +292,39 @@ def bin_frame(
     color_tiles: np.ndarray | None = None,
     backend: str = "auto",
     pools: tuple = (2, 6, 24),
+    supersample: int = 1,
 ) -> FramePlan:
     """Coarse-rasterize a frame.  backend: 'auto' uses the native C++ engine
     when built (vgtpu/native), 'numpy' forces the reference implementation
-    (single chunk pool of `chunk` edges — the oracle layout)."""
+    (single chunk pool of `chunk` edges — the oracle layout).
+
+    supersample > 1: y geometry is scaled into sub-row units and tiles carry
+    tile_h*ss sub-rows (conflation-free coverage, see ContextConfig)."""
     for op in ops:
         if isinstance(op.edges, list):   # finalize merged draw batches
             op.edges = np.concatenate(op.edges, axis=0)
+    ss = supersample
+    if ss > 1:
+        ops = scale_ops_y(ops, ss)
+    h_ss = height * ss
+    th_ss = tile_h * ss
     if backend == "auto":
         from vgtpu import native
 
-        raw = native.bin_frame_native(ops, width, height, tile_h, tile_w, pools)
+        raw = native.bin_frame_native(ops, width, h_ss, th_ss, tile_w, pools)
         if raw is not None:
-            return _assemble_native(raw, width, height, tile_h, tile_w, color_tiles)
-    return bin_frame_numpy(ops, width, height, tile_h, tile_w, chunk, color_tiles)
+            plan = _assemble_native(raw, width, h_ss, th_ss, tile_w, color_tiles)
+            plan.height = height
+            plan.supersample = ss
+            if ss > 1 and plan.color_tiles.shape[1] != tile_h:
+                plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
+            return plan
+    plan = bin_frame_numpy(ops, width, h_ss, th_ss, tile_w, chunk, color_tiles)
+    plan.height = height
+    plan.supersample = ss
+    if ss > 1 and plan.color_tiles.shape[1] != tile_h:
+        plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
+    return plan
 
 
 def _assemble_native(raw, width, height, tile_h, tile_w, color_tiles) -> FramePlan:

@@ -16,7 +16,7 @@ from vgtpu.raster.binning import FramePlan, compute_tile_buckets
 
 def composite_dispatch(
     entry_w, d: dict, background,
-    *, ntx, tile_h, tile_w, num_tiles, bucket_flags,
+    *, ntx, tile_h, tile_w, num_tiles, bucket_flags, ss: int = 1,
 ):
     """Composite backend choice (trace-time: the platform is static under
     jit): fused Pallas kernels on TPU, the XLA scan elsewhere.  Both are
@@ -39,7 +39,7 @@ def composite_dispatch(
         d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
         d["color_tiles"], background,
         ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-        bucket_flags=bucket_flags,
+        bucket_flags=bucket_flags, ss=ss,
     )
 
 
@@ -55,7 +55,8 @@ def coverage_dispatch(chunk_pools, d: dict, num_entries, tile_h, tile_w):
 
 
 def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
-             *, num_entries, ntx, tile_h, tile_w, num_tiles, bucket_flags):
+             *, num_entries, ntx, tile_h, tile_w, num_tiles, bucket_flags,
+             ss: int = 1):
     """coverage + composite -> (T, TH, TW, 4) tiles.  On TPU with the fused
     aux data, buckets gather straight from chunk coverage (the (NE, NPX)
     entry_w intermediate is never materialized; backdrop is added in-kernel).
@@ -80,27 +81,28 @@ def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
     return composite_dispatch(
         entry_w, d, background,
         ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-        bucket_flags=bucket_flags,
+        bucket_flags=bucket_flags, ss=ss,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
-                     "height", "bucket_flags"),
+                     "height", "bucket_flags", "ss"),
 )
 def _frame_fn(
     chunk_pools, entry_backdrop, d, background,
     *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
+    ss=1,
 ):
     """The whole device frame in ONE compiled program."""
     fb = frame_fb(
         chunk_pools, entry_backdrop, d, background,
         num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
-        num_tiles=ntx * nty, bucket_flags=bucket_flags,
+        num_tiles=ntx * nty, bucket_flags=bucket_flags, ss=ss,
     )
-    return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h, tile_w=tile_w,
-                          width=width, height=height)
+    return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h // ss,
+                          tile_w=tile_w, width=width, height=height)
 
 
 _COMPOSITE_KEYS = (
@@ -125,7 +127,7 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
         ntx=plan.ntx, nty=plan.nty,
         tile_h=plan.tile_h, tile_w=plan.tile_w,
         width=plan.width, height=plan.height,
-        bucket_flags=d["bucket_flags"],
+        bucket_flags=d["bucket_flags"], ss=plan.supersample,
     )
 
 
@@ -195,8 +197,15 @@ def _coverage_composite_aux_host(plan: FramePlan):
         on_tpu = False
     if not on_tpu:
         return {}, None
-    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
     from vgtpu.ops.coverage import build_cov_gather_map
+
+    if plan.supersample > 1:
+        # supersampled frames take the XLA composite (the Pallas kernel's
+        # VMEM/layout budget assumes one sub-row per row); the coverage
+        # gather map still applies
+        m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
+        return {"cov_map": m}, None
+    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
     nct = plan.color_tiles.shape[0]

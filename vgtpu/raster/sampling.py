@@ -59,7 +59,7 @@ def fill_color_tiles(plan: FramePlan, ops, images, cache: dict | None = None) ->
     sampled tiles by content fingerprint — the analogue of FONSstring's
     baked-quad reuse (fontstash.h:2368): static text/pattern tiles cost a
     dict lookup per frame instead of a resample."""
-    th, tw = plan.tile_h, plan.tile_w
+    th, tw = plan.tile_h // plan.supersample, plan.tile_w   # output-space rows
     n = plan.n_real_entries
     pk = plan.entry_paint_kind[:n]
     need = np.nonzero((pk == P_IMAGE) | (pk == P_TEXTURE))[0]
