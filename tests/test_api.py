@@ -207,3 +207,42 @@ def test_indexed_tri_list_textured():
     assert img[32, 16, 0] > 0.9 and img[32, 16, 2] < 0.1   # left: red
     assert img[32, 48, 2] > 0.9 and img[32, 48, 0] < 0.1   # right: blue
     assert img[4, 4, 3] == 0.0                              # outside quad
+
+
+def test_indexed_tri_list_batched_10k():
+    """10k-triangle color mesh: records as ONE batched op in <5 ms warm and
+    renders identically to the per-triangle oracle expansion."""
+    import time
+
+    rng = np.random.default_rng(3)
+    n = 3400
+    centers = rng.uniform(20, 230, (n, 2))
+    d = rng.uniform(3, 10, (n, 1))
+    ang = rng.uniform(0, 2 * np.pi, (n, 3, 1))
+    pos = (centers[:, None, :] + d[:, None] * np.concatenate(
+        [np.cos(ang), np.sin(ang)], axis=2)).reshape(-1, 2).astype(np.float32)
+    cols = rng.integers(0, 2**32, size=len(pos), dtype=np.uint64).astype(np.uint32)
+    cols |= 0xFF000000
+    idx = np.arange(len(pos), dtype=np.uint16)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 256, 1.0)
+    vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols), idx, len(idx), None)
+    assert len(ctx.ops) == 1 and ctx.ops[0].tri_paints.shape[0] == n
+
+    # warm record timing
+    vg.begin(ctx, 0, 256, 256, 1.0)
+    t0 = time.perf_counter()
+    vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols), idx, len(idx), None)
+    dt = (time.perf_counter() - t0) * 1e3
+    assert dt < 5.0, f"10k-tri record took {dt:.2f} ms"
+    vg.end(ctx, background=(0, 0, 0, 1))
+    img = np.asarray(ctx.frame_image)
+
+    # oracle: numpy binner path expands per triangle
+    from vgtpu.raster.binning import bin_frame
+    from vgtpu.raster.frame import execute_plan
+
+    plan_np = bin_frame(ctx.ops, 256, 256, backend="numpy")
+    img_np = np.asarray(execute_plan(plan_np, background=(0, 0, 0, 1)))
+    np.testing.assert_allclose(img, img_np, atol=1e-4)

@@ -817,7 +817,7 @@ class Context:
         sciss = self._scissor_rect()
 
         colors = np.atleast_1d(np.asarray(colors, np.uint32))
-        col_f = np.stack([color_to_rgba_f32(int(c)) for c in colors])
+        col_f = core.colors_to_rgba_f32(colors)
         col_f[:, 3] *= ga
 
         tri = spos[idx]                                   # (K,3,2)
@@ -840,43 +840,47 @@ class Context:
             )
             return
 
-        for k in range(len(idx)):
-            if not good[k]:
-                continue
-            t = tri[k]
-            edges = np.concatenate([t, np.roll(t, -1, axis=0)], axis=1).astype(np.float32)
-            if uv is not None:
-                uvk = np.asarray(uv, np.float32).reshape(-1, 2)[idx[k]]   # (3,2)
-                coef = np.linalg.solve(A[k], uvk.astype(np.float64))      # (3,2): u=ax+by+c
-                p = np.zeros(18, np.float32)
-                p[0] = coef[0, 0]
-                p[1] = coef[0, 1]
-                p[2] = coef[1, 0]
-                p[3] = coef[1, 1]
-                p[4] = coef[2, 0]
-                p[5] = coef[2, 1]
-                mod = col_f[0] if len(col_f) == 1 else col_f[idx[k][0]]
-                p[10:14] = mod
-                self._emit(
-                    RasterOp(
-                        edges=edges, fill_rule=FillRule.NonZero, aa=False,
-                        paint_kind=P_IMAGE, paint=p, scissor=sciss,
-                        image_id=(img.idx if img is not None and isValid(img) else -1),
-                    )
-                )
-            else:
-                ck = col_f[idx[k]] if len(col_f) > 1 else np.repeat(col_f, 3, axis=0)
-                coef = np.linalg.solve(A[k], ck.astype(np.float64))       # (3,4)
-                p = np.zeros(18, np.float32)
-                p[0:4] = coef[0]
-                p[4:8] = coef[1]
-                p[8:12] = coef[2]
-                self._emit(
-                    RasterOp(
-                        edges=edges, fill_rule=FillRule.NonZero, aa=False,
-                        paint_kind=P_TRI, paint=p, scissor=sciss,
-                    )
-                )
+        # batched: ONE op carries all triangles with per-triangle paints
+        # (expanded without python objects in the binner); the barycentric
+        # solves run as one batched np.linalg.solve
+        tri = tri[good]
+        Ag = A[good]
+        idx = idx[good]
+        if len(idx) == 0:
+            return
+        nxt = np.empty_like(tri)
+        nxt[:, :-1] = tri[:, 1:]
+        nxt[:, -1] = tri[:, 0]
+        edges = np.concatenate([tri, nxt], axis=2).astype(np.float32)  # (K,3,4)
+
+        paints = np.zeros((len(idx), 18), np.float32)
+        if uv is not None:
+            uvt = np.asarray(uv, np.float32).reshape(-1, 2)[idx]        # (K,3,2)
+            coef = np.linalg.solve(Ag, uvt.astype(np.float64))          # (K,3,2)
+            paints[:, 0] = coef[:, 0, 0]
+            paints[:, 1] = coef[:, 0, 1]
+            paints[:, 2] = coef[:, 1, 0]
+            paints[:, 3] = coef[:, 1, 1]
+            paints[:, 4] = coef[:, 2, 0]
+            paints[:, 5] = coef[:, 2, 1]
+            mod = col_f[0][None, :] if len(col_f) == 1 else col_f[idx[:, 0]]
+            paints[:, 10:14] = mod
+            pk_, img_id = P_IMAGE, (img.idx if img is not None and isValid(img) else -1)
+        else:
+            ck = (col_f[idx] if len(col_f) > 1
+                  else np.broadcast_to(col_f[0], (len(idx), 3, 4)))      # (K,3,4)
+            coef = np.linalg.solve(Ag, ck.astype(np.float64))            # (K,3,4)
+            paints[:, 0:4] = coef[:, 0]
+            paints[:, 4:8] = coef[:, 1]
+            paints[:, 8:12] = coef[:, 2]
+            pk_, img_id = P_TRI, -1
+        self._emit(
+            RasterOp(
+                edges=edges.reshape(-1, 4), fill_rule=FillRule.NonZero, aa=False,
+                paint_kind=pk_, paint=None, scissor=sciss, image_id=img_id,
+                tri_paints=paints,
+            )
+        )
 
     # -- text (methods so command lists can record them) --------------------
     def text(self, cfg, x, y, s) -> None:

@@ -79,6 +79,18 @@ def color_to_rgba_f32(c: Color) -> np.ndarray:
     ) / np.float32(255.0)
 
 
+def colors_to_rgba_f32(colors: np.ndarray) -> np.ndarray:
+    """Vectorized unpack: (N,) u32 -> (N, 4) f32 in 0..1."""
+    c = np.asarray(colors, np.uint32)
+    out = np.empty((len(c), 4), np.float32)
+    out[:, 0] = (c >> COLOR_RED_SHIFT) & 0xFF
+    out[:, 1] = (c >> COLOR_GREEN_SHIFT) & 0xFF
+    out[:, 2] = (c >> COLOR_BLUE_SHIFT) & 0xFF
+    out[:, 3] = c >> COLOR_ALPHA_SHIFT
+    out *= np.float32(1.0 / 255.0)
+    return out
+
+
 class Colors:
     Transparent = 0x00000000
     Black = 0xFF000000

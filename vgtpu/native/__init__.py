@@ -144,7 +144,8 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
         return None
     from vgtpu.raster.binning import PAINT_NF
 
-    n = len(ops)
+    # batched tri-list ops expand to one pseudo-op per triangle (vectorized)
+    n = sum(len(op.tri_paints) if op.tri_paints is not None else 1 for op in ops)
     edge_parts, quad_parts = [], []
     edge_off = np.zeros(n + 1, np.int64)
     quad_off = np.zeros(n + 1, np.int64)
@@ -155,7 +156,23 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
     paint = np.zeros((n, PAINT_NF), np.float32)
     sciss = np.zeros((n, 4), np.float32)
     image = np.full(n, -1, np.int32)
-    for i, op in enumerate(ops):
+    i = 0
+    for op in ops:
+        if op.tri_paints is not None:
+            k = len(op.tri_paints)
+            edge_parts.append(np.ascontiguousarray(op.edges, np.float32))
+            edge_off[i + 1 : i + k + 1] = edge_off[i] + 3 * np.arange(1, k + 1)
+            quad_off[i + 1 : i + k + 1] = quad_off[i]
+            kind[i : i + k] = op.kind
+            rule[i : i + k] = op.fill_rule
+            aa[i : i + k] = 1 if op.aa else 0
+            pk[i : i + k] = op.paint_kind
+            paint[i : i + k] = op.tri_paints
+            sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
+            sciss[i : i + k] = sc
+            image[i : i + k] = op.image_id
+            i += k
+            continue
         e = op.edges if (op.edges is not None and op.paint_kind != 3) else None
         q = op.tex_quads if op.paint_kind == 3 else None
         if e is not None and len(e):
@@ -173,6 +190,7 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
         sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
         sciss[i] = sc
         image[i] = op.image_id
+        i += 1
 
     edges = (np.concatenate(edge_parts, axis=0) if edge_parts
              else np.zeros((0, 4), np.float32))

@@ -55,6 +55,10 @@ class RasterOp:
     image_id: int = -1                       # for P_IMAGE / P_TEXTURE
     tex_quads: np.ndarray | None = None      # (Q,12) f32 parallelogram + uv rect
     mergeable: bool = False                  # orientation-normalized geometry
+    # batched user triangles (indexedTriList): edges holds (3K,4) with 3 edges
+    # per triangle and tri_paints carries that triangle's paint — the binner
+    # expands to K per-triangle pseudo-ops without K python objects
+    tri_paints: np.ndarray | None = None     # (K, PAINT_NF) f32
 
 
 def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
@@ -255,6 +259,24 @@ def _bucket_pow2(n: int, minimum: int = 4) -> int:
     return b
 
 
+def expand_tri_batches(ops: list[RasterOp]) -> list[RasterOp]:
+    """Per-triangle pseudo-ops from batched tri-list ops (oracle path; the
+    native packing expands vectorized without python objects)."""
+    out = []
+    for op in ops:
+        if op.tri_paints is None:
+            out.append(op)
+            continue
+        e = np.asarray(op.edges, np.float32).reshape(-1, 3, 4)
+        for k in range(len(e)):
+            out.append(RasterOp(
+                kind=op.kind, edges=e[k], fill_rule=op.fill_rule, aa=op.aa,
+                paint_kind=op.paint_kind, paint=op.tri_paints[k],
+                scissor=op.scissor, image_id=op.image_id,
+            ))
+    return out
+
+
 def scale_ops_y(ops: list[RasterOp], ss: int) -> list[RasterOp]:
     """Shallow-copied ops with all y geometry scaled into sub-row units
     (edges, textured quads, scissors).  Paints stay in pixel space — shading
@@ -308,23 +330,32 @@ def bin_frame(
         ops = scale_ops_y(ops, ss)
     h_ss = height * ss
     th_ss = tile_h * ss
+    # tri batches expand to per-triangle pseudo-ops: entry_op must map back
+    # to the CALLER's op indices (texture sampling reads the original list)
+    counts = np.array(
+        [len(op.tri_paints) if op.tri_paints is not None else 1 for op in ops],
+        np.int64)
+    orig_of = np.repeat(np.arange(len(ops), dtype=np.int32), counts) if len(ops) else None
+
+    def remap(plan):
+        if orig_of is not None and len(orig_of) != len(ops) and plan.n_real_entries:
+            valid = plan.entry_op >= 0
+            plan.entry_op = np.where(
+                valid, orig_of[np.maximum(plan.entry_op, 0)], plan.entry_op)
+        plan.height = height
+        plan.supersample = ss
+        if ss > 1 and plan.color_tiles.shape[1] != tile_h:
+            plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
+        return plan
+
     if backend == "auto":
         from vgtpu import native
 
         raw = native.bin_frame_native(ops, width, h_ss, th_ss, tile_w, pools)
         if raw is not None:
-            plan = _assemble_native(raw, width, h_ss, th_ss, tile_w, color_tiles)
-            plan.height = height
-            plan.supersample = ss
-            if ss > 1 and plan.color_tiles.shape[1] != tile_h:
-                plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
-            return plan
-    plan = bin_frame_numpy(ops, width, h_ss, th_ss, tile_w, chunk, color_tiles)
-    plan.height = height
-    plan.supersample = ss
-    if ss > 1 and plan.color_tiles.shape[1] != tile_h:
-        plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
-    return plan
+            return remap(_assemble_native(raw, width, h_ss, th_ss, tile_w, color_tiles))
+    return remap(bin_frame_numpy(expand_tri_batches(ops), width, h_ss, th_ss,
+                                 tile_w, chunk, color_tiles))
 
 
 def _assemble_native(raw, width, height, tile_h, tile_w, color_tiles) -> FramePlan:
