@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Multi-chip scaling harness (VERDICT round-1 item #10).
+
+Runs the sharded frame (vgtpu/parallel/sharding.py) over an n-device mesh and
+reports per-device tile/chunk counts plus wall-clock per frame.  On this box
+only one real TPU chip is reachable, so the mesh is the virtual CPU platform
+(xla_force_host_platform_device_count) — the numbers validate the COLLECTIVE
+LAYOUT and the sharding specs (pad shapes, psum placement), not ICI speed.
+
+Expected cost model on real hardware: the frame has exactly ONE collective —
+a psum of the (NE, TH, TW) partial entry coverage over the chunk shards.  At
+1080p tiger scale that is ~73 MB all-reduced; on a v5e pod slice
+(8 devices, ~186 GB/s bidirectional ICI per link) a ring all-reduce moves
+2*(n-1)/n * 73 MB per device => ~0.7 ms, overlappable with the composite of
+already-reduced tiles.  Everything else is device-local (tile rows shard the
+composite; the framebuffer gather is the output transfer).
+
+Usage: python bench_multichip.py [n_devices ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _measure(n: int) -> dict:
+    import numpy as np
+
+    import vgtpu as vg
+    from vgtpu.parallel.sharding import make_mesh, render_frame_sharded
+    from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 1920, 1080, 1.0)
+    draw_benchmark_frame(ctx, 0.0)
+    vg.end(ctx, background=(0.12, 0.12, 0.13, 1.0))
+    plan, d = ctx.last_plan, ctx.last_device_arrays
+
+    mesh = make_mesh(n)
+
+    def run():
+        img = render_frame_sharded(plan, {
+            "chunk_pools": tuple((np.asarray(ce), np.asarray(cent))
+                                 for ce, cent in plan.chunk_pools),
+            "entry_backdrop": np.asarray(d["entry_backdrop"]),
+            "entry_kind": np.asarray(d["entry_kind"]),
+            "entry_rule": np.asarray(d["entry_rule"]),
+            "entry_aa": np.asarray(d["entry_aa"]),
+            "entry_paint_kind": np.asarray(d["entry_paint_kind"]),
+            "entry_paint": np.asarray(d["entry_paint"]),
+            "entry_scissor": np.asarray(d["entry_scissor"]),
+            "entry_color_tile": np.asarray(d["entry_color_tile"]),
+            "color_tiles": np.asarray(d["color_tiles"]),
+            "tile_entries": np.asarray(d["tile_entries"]),
+        }, mesh, background=(0.12, 0.12, 0.13, 1.0))
+        return float(np.asarray(img)[0, 0, 3])
+
+    run()                                # compile
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps * 1e3
+
+    tiles = plan.tile_entries.shape[0]
+    chunks = sum(ce.shape[0] for ce, _ in plan.chunk_pools)
+    return {
+        "devices": n,
+        "platform": __import__("jax").devices()[0].platform,
+        "ms_per_frame": round(dt, 2),
+        "tiles_per_device": -(-tiles // n),
+        "chunks_per_device": -(-chunks // n),
+        "collectives": "1 psum over entry coverage (~%d MB)" % (
+            d["entry_backdrop"].shape[0] * plan.tile_h * plan.tile_w * 4 // 2**20),
+    }
+
+
+def main() -> None:
+    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8]
+    if os.environ.get("_VGTPU_MC_CHILD"):
+        print(json.dumps(_measure(int(os.environ["_VGTPU_MC_CHILD"]))))
+        return
+    rows = []
+    for n in ns:
+        env = dict(os.environ)
+        env["_VGTPU_MC_CHILD"] = str(n)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "host_platform_device_count" not in f]
+        flags.append(f"--xla_force_host_platform_device_count={n}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, timeout=1800,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        if out.returncode != 0:
+            print(f"n={n} FAILED:\n{out.stderr[-2000:]}", file=sys.stderr)
+            continue
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        rows.append(r)
+        print(json.dumps(r))
+    if len(rows) >= 2:
+        base = rows[0]["ms_per_frame"]
+        for r in rows[1:]:
+            print(f"# scaling {rows[0]['devices']}->{r['devices']} devices: "
+                  f"{base / r['ms_per_frame']:.2f}x (virtual CPU mesh: validates "
+                  f"sharding layout, not ICI bandwidth)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
