@@ -675,3 +675,163 @@ int vg_bake_path(
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched frame geometry: bake + transform + fill/stroke edge assembly for
+// EVERY deferred draw of a frame in ONE call (the per-path ctypes round-trips
+// measured ~30 ms/frame of marshalling on the 1080p tiger re-record).
+// Mirrors Context.fillPath/strokePath edge assembly exactly; the Python
+// helpers remain the oracle (tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline double shoelace(const float* pts, int64_t n) {
+    double s = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t j = (i + 1 == n) ? 0 : i + 1;
+        s += (double)pts[i*2] * pts[j*2+1] - (double)pts[j*2] * pts[i*2+1];
+    }
+    return 0.5 * s;
+}
+
+// closed-loop edges of polygon pts (n,2), optionally reversed
+inline void emit_loop_edges(std::vector<float>& out, const float* pts,
+                            int64_t n, bool reversed) {
+    if (n < 2) return;
+    if (!reversed) {
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t j = (i + 1 == n) ? 0 : i + 1;
+            out.push_back(pts[i*2]); out.push_back(pts[i*2+1]);
+            out.push_back(pts[j*2]); out.push_back(pts[j*2+1]);
+        }
+    } else {
+        // python reverses the POINT order then emits loops: edge k connects
+        // reversed[k] -> reversed[k+1], i.e. pts[n-1-k] -> pts[n-2-k]
+        for (int64_t i = 0; i < n; ++i) {
+            int64_t a = n - 1 - i;
+            int64_t b = (i + 1 == n) ? n - 1 : a - 1;
+            out.push_back(pts[a*2]); out.push_back(pts[a*2+1]);
+            out.push_back(pts[b*2]); out.push_back(pts[b*2+1]);
+        }
+    }
+}
+
+} // namespace
+
+extern "C" {
+
+struct GeomResult {
+    float*   edges;       // (E,4)
+    int64_t* piece_off;   // (n_pieces+1) edge offsets
+    int32_t* piece_draw;  // (n_pieces) owning draw index
+    int64_t  n_edges;
+    int64_t  n_pieces;
+};
+
+void vg_free_geom(GeomResult* r) {
+    std::free(r->edges); std::free(r->piece_off); std::free(r->piece_draw);
+    std::memset(r, 0, sizeof(*r));
+}
+
+// draw modes
+enum { GM_FILL_NORM = 0, GM_FILL_RAW = 1, GM_STROKE = 2 };
+
+int vg_frame_geom(
+    // paths: concatenated verb streams, offsets in ELEMENT counts
+    const int32_t* verbs, const int64_t* verbs_off,       // (P+1)
+    const double* simple_flat, const int64_t* simple_off, // xy pairs
+    const double* cubic_flat, const int64_t* cubic_off,   // cubics (8 dbl)
+    const double* arc_flat, const int64_t* arc_off,       // arcs (6 dbl)
+    const int64_t* poly_args, const int64_t* poly_off,    // polys (2 i64, abs pool offsets)
+    const float* poly_pool,
+    const float* path_scale, const float* path_tol,
+    int32_t n_paths,
+    // draws
+    const int32_t* draw_path, const int32_t* draw_mode,
+    const float* draw_xform,                              // (D,6) a,b,c,d,e,f
+    const float* draw_width, const int32_t* draw_cap, const int32_t* draw_join,
+    const float* draw_scale,                              // stroke render scale
+    float stroke_tol,
+    int32_t n_draws,
+    GeomResult* out)
+{
+    std::vector<BakeResult> baked((size_t)n_paths);
+    std::memset(baked.data(), 0, sizeof(BakeResult) * n_paths);
+    for (int p = 0; p < n_paths; ++p) {
+        vg_bake_path(
+            verbs + verbs_off[p], (int32_t)(verbs_off[p+1] - verbs_off[p]),
+            simple_flat + simple_off[p]*2, cubic_flat + cubic_off[p]*8,
+            arc_flat + arc_off[p]*6, poly_args + poly_off[p]*2, poly_pool,
+            path_scale[p], path_tol[p], &baked[p]);
+    }
+
+    std::vector<float> edges;
+    std::vector<int64_t> piece_off(1, 0);
+    std::vector<int32_t> piece_draw;
+    std::vector<float> xpts;            // transformed verts scratch
+    edges.reserve(1 << 16);
+
+    for (int d = 0; d < n_draws; ++d) {
+        const BakeResult& B = baked[(size_t)draw_path[d]];
+        const float* X = &draw_xform[(size_t)d*6];
+        xpts.resize((size_t)B.n_verts * 2);
+        for (int64_t k = 0; k < B.n_verts; ++k) {
+            double x = B.verts[k*2], y = B.verts[k*2+1];
+            xpts[k*2]   = (float)(X[0]*x + X[2]*y + X[4]);
+            xpts[k*2+1] = (float)(X[1]*x + X[3]*y + X[5]);
+        }
+        const int mode = draw_mode[d];
+        for (int s = 0; s < B.n_subpaths; ++s) {
+            int64_t first = B.subpaths[s*3], count = B.subpaths[s*3+1];
+            int closed = B.subpaths[s*3+2];
+            const float* sp = &xpts[(size_t)first*2];
+            if (mode == GM_STROKE) {
+                if (count < 2) continue;
+                StrokeResult sr;
+                vg_stroke_outline(sp, count, closed, draw_width[d],
+                                  draw_cap[d], draw_join[d], draw_scale[d],
+                                  stroke_tol, &sr);
+                if (sr.n_contours == 0) { continue; }
+                // orientation normalization across THIS subpath's contours
+                // (_normalize_orientation: dominant |area| decides the flip)
+                double best = 0.0; int flip = 0;
+                for (int c = 0; c < sr.n_contours; ++c) {
+                    int64_t o = sr.contour_off[c], e = sr.contour_off[c+1];
+                    double a = shoelace(sr.pts + o*2, e - o);
+                    if (std::fabs(a) > std::fabs(best)) best = a;
+                }
+                flip = best < 0.0;
+                bool any = false;
+                for (int c = 0; c < sr.n_contours; ++c) {
+                    int64_t o = sr.contour_off[c], e = sr.contour_off[c+1];
+                    if (e - o >= 2) { emit_loop_edges(edges, sr.pts + o*2, e - o, flip); any = true; }
+                }
+                vg_free_stroke(&sr);
+                if (!any) continue;
+            } else {
+                if (count < 3) continue;
+                bool rev = (mode == GM_FILL_NORM) && shoelace(sp, count) < 0.0;
+                emit_loop_edges(edges, sp, count, rev);
+            }
+            piece_off.push_back((int64_t)edges.size() / 4);
+            piece_draw.push_back(d);
+        }
+    }
+
+    for (int p = 0; p < n_paths; ++p) vg_free_bake(&baked[p]);
+
+    int64_t ne = (int64_t)edges.size() / 4;
+    int64_t np_ = (int64_t)piece_draw.size();
+    out->edges = (float*)std::malloc(std::max<int64_t>(ne,1)*4*sizeof(float));
+    std::memcpy(out->edges, edges.data(), (size_t)ne*4*sizeof(float));
+    out->piece_off = (int64_t*)std::malloc((np_+1)*sizeof(int64_t));
+    std::memcpy(out->piece_off, piece_off.data(), (size_t)(np_+1)*sizeof(int64_t));
+    out->piece_draw = (int32_t*)std::malloc(std::max<int64_t>(np_,1)*sizeof(int32_t));
+    std::memcpy(out->piece_draw, piece_draw.data(), (size_t)np_*sizeof(int32_t));
+    out->n_edges = ne;
+    out->n_pieces = np_;
+    return 0;
+}
+
+} // extern "C"

@@ -53,6 +53,7 @@ def _compare(ctx, w, h, bg=(0.1, 0.2, 0.3, 1.0)):
     from vgtpu.raster.binning import bin_frame
     from vgtpu.raster.frame import plan_to_device
 
+    ctx._finalize_ops()
     plan = bin_frame(ctx.ops, w, h)
     ctx._fill_textures(plan)
     d = plan_to_device(plan)
@@ -143,6 +144,7 @@ def test_frame_fb_pallas_fused_parity():
     vg.begin(ctx, 0, 512, 256, 1.0)
     _scene_full(ctx)
     w, h = 512, 256
+    ctx._finalize_ops()
     plan = bin_frame(ctx.ops, w, h)
     ctx._fill_textures(plan)
     d = plan_to_device(plan)

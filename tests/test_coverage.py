@@ -303,6 +303,7 @@ def test_entry_coverage_gather_matches_segment_sum():
         vg.closePath(ctx)
         vg.fillPath(ctx, vg.color4ub(*rng.integers(0, 256, 3), 255),
                     vg.FillFlags.ConcaveNonZeroAA)
+    ctx._finalize_ops()
     plan = bin_frame(ctx.ops, 384, 192)
     ne = plan.entry_backdrop.shape[0]
     pools = tuple((jnp.asarray(ce), jnp.asarray(cent)) for ce, cent in plan.chunk_pools)

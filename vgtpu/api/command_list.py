@@ -211,12 +211,16 @@ def cl_submit(ctx, handle):
                 n_ops_before = len(ctx.ops)
                 if build_cache:
                     # merging would fold this draw into an earlier op and the
-                    # cache slot would come out empty — suppress while caching
+                    # cache slot would come out empty — suppress while caching;
+                    # geometry must also be immediate (the cache captures this
+                    # draw's edges right below)
                     ctx._suppress_merge = True
+                    ctx._immediate_geom = True
                 try:
                     getattr(ctx, name)(*args, **kwargs)
                 finally:
                     ctx._suppress_merge = False
+                    ctx._immediate_geom = False
                 if build_cache:
                     slot = []
                     for op in ctx.ops[n_ops_before:]:

@@ -45,6 +45,7 @@ from vgtpu.raster.binning import (
     K_CLIP_ADD,
     K_CLIP_COMMIT,
     K_CLIP_RESET,
+    K_DRAW,
     P_GRADIENT,
     P_IMAGE,
     P_SOLID,
@@ -466,7 +467,11 @@ class Context:
             and prev.paint is not None
             and op.paint[13] >= 1.0
             and np.array_equal(op.paint, prev.paint)
+            and (op.geom is None) == (prev.geom is None)
         ):
+            if op.geom is not None:
+                prev.geom.extend(op.geom)
+                return
             if not isinstance(prev.edges, list):
                 prev.edges = [prev.edges]
             prev.edges.append(op.edges)
@@ -474,9 +479,92 @@ class Context:
         self.ops.append(op)
 
     def _finalize_ops(self) -> None:
+        self._finalize_geometry()
         for op in self.ops:
             if isinstance(op.edges, list):
                 op.edges = np.concatenate(op.edges, axis=0)
+
+    def _defer_geometry(self) -> bool:
+        """Draws defer bake/stroke/edge assembly to ONE batched native call
+        at end() (vg_frame_geom) — the per-path ctypes round-trips measured
+        ~30 ms/frame of marshalling on the tiger re-record.  Clip recording
+        stays immediate (per-subpath coverage accumulation semantics), as do
+        command-list cache builds (they capture per-draw edges)."""
+        if self._recording_clip or getattr(self, "_immediate_geom", False):
+            return False
+        from vgtpu import native
+
+        return native.available()
+
+    def _finalize_geometry(self) -> None:
+        """Resolve deferred geometry recipes into op edges (idempotent).
+
+        Split rule, mirroring the immediate path's per-subpath emission: a
+        deferred op stays ONE op when it is opaque-solid-NonZero-mergeable
+        (where union winding == sequential blending, exactly the _emit merge
+        precondition) or a concave fill (one winding body by design);
+        otherwise it splits into per-piece ops in place."""
+        import copy as _copy
+
+        from vgtpu import native
+
+        deferred = [op for op in self.ops if op.geom is not None]
+        if not deferred:
+            return
+        snaps: list = []
+        snap_idx: dict = {}
+        draws: list = []
+        owners: list = []     # (op, first_draw, n_draws)
+        for op in deferred:
+            first = len(draws)
+            for (snap, mode, xf, w, cap, join, scale) in op.geom:
+                key = id(snap)
+                pi = snap_idx.get(key)
+                if pi is None:
+                    pi = snap_idx[key] = len(snaps)
+                    snaps.append(snap)
+                draws.append((pi, mode, xf, w, cap, join, scale))
+            owners.append((op, first, len(draws) - first))
+
+        res = native.frame_geom(snaps, draws, self.tess_tol)
+        if res is None:  # pragma: no cover - native gated at defer time
+            raise RuntimeError("deferred geometry without native backend")
+        edges, piece_off, piece_draw = res
+
+        # pieces grouped per draw (draw ids are non-decreasing by build order)
+        split_ops: dict = {}
+        for op, first, nd in owners:
+            sel = np.nonzero((piece_draw >= first) & (piece_draw < first + nd))[0]
+            if len(sel) == 0:
+                op.geom = None
+                op.edges = np.zeros((0, 4), np.float32)
+                continue
+            keep_whole = (
+                op.geom[0][1] == 1      # concave fill: one winding body
+                or (op.mergeable and op.paint_kind == P_SOLID
+                    and op.fill_rule == FillRule.NonZero
+                    and op.paint is not None and op.paint[13] >= 1.0)
+            )
+            op.geom = None
+            if keep_whole:
+                op.edges = edges[piece_off[sel[0]] : piece_off[sel[-1] + 1]]
+            else:
+                op.edges = edges[piece_off[sel[0]] : piece_off[sel[0] + 1]]
+                extra = []
+                for p in sel[1:]:
+                    o2 = _copy.copy(op)
+                    o2.edges = edges[piece_off[p] : piece_off[p + 1]]
+                    extra.append(o2)
+                if extra:
+                    split_ops[id(op)] = extra
+        if split_ops:
+            new_ops = []
+            for op in self.ops:
+                new_ops.append(op)
+                extra = split_ops.get(id(op))
+                if extra:
+                    new_ops.extend(extra)
+            self.ops = new_ops
 
     # -- fills / strokes ----------------------------------------------------
     def fillPath(self, paint_or_color, flags: int, color_modulate=None) -> None:
@@ -490,6 +578,21 @@ class Context:
         aa = (not self.cfg.force_aa_off) and (not self._recording_clip) and fill_flags_aa(flags)
         rule = fill_flags_rule(flags)
         path_type = fill_flags_path_type(flags)
+
+        if self._defer_geometry():
+            if not self.path._verbs:
+                return
+            mode = 0 if path_type == PathType.Convex else 1
+            self._emit(RasterOp(
+                kind=K_DRAW, edges=None, fill_rule=rule, aa=aa,
+                paint_kind=pk, paint=paint, scissor=self._scissor_rect(),
+                image_id=(img.idx if img is not None else -1),
+                mergeable=(path_type == PathType.Convex),
+                geom=[(self.path.snapshot(), mode,
+                       tuple(float(v) for v in self._render_transform()),
+                       0.0, 0, 0, 0.0)],
+            ))
+            return
 
         verts, subs = self._transformed_path()
         if len(subs) == 0:
@@ -575,6 +678,21 @@ class Context:
         aa = (not self.cfg.force_aa_off) and (not self._recording_clip) and stroke_flags_aa(flags)
         cap = stroke_flags_line_cap(flags)
         join = stroke_flags_line_join(flags)
+
+        if self._defer_geometry():
+            if not self.path._verbs:
+                return
+            self._emit(RasterOp(
+                kind=K_DRAW, edges=None, fill_rule=FillRule.NonZero, aa=aa,
+                paint_kind=pk, paint=paint, scissor=self._scissor_rect(),
+                image_id=(img.idx if img is not None else -1),
+                mergeable=True,
+                geom=[(self.path.snapshot(), 2,
+                       tuple(float(v) for v in self._render_transform()),
+                       float(stroke_width), int(cap), int(join),
+                       float(render_scale))],
+            ))
+            return
 
         verts, subs = self._transformed_path()
         sciss = self._scissor_rect()

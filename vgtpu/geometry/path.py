@@ -78,6 +78,7 @@ class PathBuilder:
         self._subpath_open = False      # a subpath exists
         self._subpath_nverts = 0        # vertices in the current subpath
         self._baked: tuple[np.ndarray, np.ndarray] | None = None
+        self._snap = None               # packed copy for deferred geometry
 
     # -- verbs (path.cpp parity) ------------------------------------------
     def move_to(self, x: float, y: float) -> None:
@@ -270,6 +271,29 @@ class PathBuilder:
     def close(self) -> None:
         self._verbs.append(V_CLOSE)
         self._baked = None
+
+    # -- snapshot (deferred batched geometry) -------------------------------
+    def snapshot(self):
+        """Immutable packed copy of the recorded verbs for the batched native
+        frame-geometry call (vg_frame_geom): draws defer edge assembly to
+        end(), where ONE native call bakes/strokes every path of the frame.
+        Cached per edit (verbs only append between resets)."""
+        snap = getattr(self, "_snap", None)
+        if snap is not None and snap["n_verbs"] == len(self._verbs):
+            return snap
+        self._snap = snap = {
+            "n_verbs": len(self._verbs),
+            "verbs": np.asarray(self._verbs, np.int32),
+            "sf": np.asarray(self._simple_flat, np.float64),
+            "cf": np.asarray(self._cubic_flat, np.float64),
+            "af": np.asarray(self._arc_flat, np.float64),
+            "pa": np.asarray(self._poly_args, np.int64).reshape(-1, 2),
+            "pp": (np.concatenate(self._poly_pool, axis=0).astype(np.float32)
+                   if self._poly_pool else np.zeros((0, 2), np.float32)),
+            "scale": self._scale,
+            "tol": self._tol,
+        }
+        return snap
 
     # -- bake --------------------------------------------------------------
     def bake(self, backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:

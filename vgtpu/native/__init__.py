@@ -335,3 +335,119 @@ def bake_path_native(verbs, simple_flat, cubic_flat, arc_flat, poly_args,
     subs = _ptr_to_np(res.subpaths, max(ns, 1) * 3, np.int32).reshape(-1, 3)[:ns]
     lib.vg_free_bake(ctypes.byref(res))
     return verts, subs
+
+
+class _GeomResult(ctypes.Structure):
+    _fields_ = [
+        ("edges", ctypes.POINTER(ctypes.c_float)),
+        ("piece_off", ctypes.POINTER(ctypes.c_int64)),
+        ("piece_draw", ctypes.POINTER(ctypes.c_int32)),
+        ("n_edges", ctypes.c_int64),
+        ("n_pieces", ctypes.c_int64),
+    ]
+
+
+def _bind_geom(lib):
+    if getattr(lib, "_geom_bound", False):
+        return
+    c_f32p = ctypes.POINTER(ctypes.c_float)
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.vg_frame_geom.restype = ctypes.c_int
+    lib.vg_frame_geom.argtypes = [
+        c_i32p, c_i64p, c_f64p, c_i64p, c_f64p, c_i64p, c_f64p, c_i64p,
+        c_i64p, c_i64p, c_f32p,
+        c_f32p, c_f32p, ctypes.c_int32,
+        c_i32p, c_i32p, c_f32p, c_f32p, c_i32p, c_i32p, c_f32p,
+        ctypes.c_float, ctypes.c_int32,
+        ctypes.POINTER(_GeomResult),
+    ]
+    lib.vg_free_geom.argtypes = [ctypes.POINTER(_GeomResult)]
+    lib._geom_bound = True
+
+
+def frame_geom(snaps: list, draws: list, stroke_tol: float):
+    """Batched frame geometry: bake + transform + fill/stroke edge assembly
+    for every deferred draw in ONE native call.
+
+    snaps: list of PathBuilder.snapshot() dicts.
+    draws: list of (snap_idx, mode, xform6 f32[6], width, cap, join, scale).
+    Returns (edges (E,4) f32, piece_off (NP+1) i64, piece_draw (NP,) i32)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    _bind_geom(lib)
+    P = len(snaps)
+    D = len(draws)
+    verbs = np.concatenate([s["verbs"] for s in snaps]) if P else np.zeros(0, np.int32)
+    sf = np.concatenate([s["sf"] for s in snaps]) if P else np.zeros(0, np.float64)
+    cf = np.concatenate([s["cf"] for s in snaps]) if P else np.zeros(0, np.float64)
+    af = np.concatenate([s["af"] for s in snaps]) if P else np.zeros(0, np.float64)
+    pp_parts = [s["pp"] for s in snaps if len(s["pp"])]
+    pp = (np.concatenate(pp_parts, axis=0) if pp_parts else np.zeros((0, 2), np.float32))
+    # poly args carry ABSOLUTE offsets into the shared pool
+    pa_parts = []
+    pool_base = 0
+    for s in snaps:
+        pa = s["pa"]
+        if len(pa):
+            pa = pa.copy()
+            pa[:, 0] += pool_base
+        pa_parts.append(pa)
+        pool_base += len(s["pp"])
+    pa = (np.concatenate(pa_parts, axis=0) if pa_parts else np.zeros((0, 2), np.int64))
+
+    def offs(key, per):
+        o = np.zeros(P + 1, np.int64)
+        for i, s in enumerate(snaps):
+            o[i + 1] = o[i] + len(s[key]) // per if per > 1 else o[i] + len(s[key])
+        return o
+
+    verbs_off = offs("verbs", 1)
+    sf_off = offs("sf", 2)
+    cf_off = offs("cf", 8)
+    af_off = offs("af", 6)
+    pa_off = np.zeros(P + 1, np.int64)
+    for i, s in enumerate(snaps):
+        pa_off[i + 1] = pa_off[i] + len(s["pa"])
+
+    scale = np.asarray([s["scale"] for s in snaps], np.float32)
+    tol = np.asarray([s["tol"] for s in snaps], np.float32)
+
+    dpath = np.asarray([d[0] for d in draws], np.int32)
+    dmode = np.asarray([d[1] for d in draws], np.int32)
+    dxf = np.asarray([d[2] for d in draws], np.float32).reshape(D, 6)
+    dwidth = np.asarray([d[3] for d in draws], np.float32)
+    dcap = np.asarray([d[4] for d in draws], np.int32)
+    djoin = np.asarray([d[5] for d in draws], np.int32)
+    dscale = np.asarray([d[6] for d in draws], np.float32)
+
+    verbs = np.ascontiguousarray(verbs)
+    sf = np.ascontiguousarray(sf)
+    cf = np.ascontiguousarray(cf)
+    af = np.ascontiguousarray(af)
+    pa = np.ascontiguousarray(pa)
+    pp = np.ascontiguousarray(pp)
+
+    res = _GeomResult()
+    rc = lib.vg_frame_geom(
+        _ip(verbs), _lp(verbs_off),
+        sf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _lp(sf_off),
+        cf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _lp(cf_off),
+        af.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), _lp(af_off),
+        _lp(pa), _lp(pa_off), _fp(pp),
+        _fp(scale), _fp(tol), P,
+        _ip(dpath), _ip(dmode), _fp(dxf), _fp(dwidth), _ip(dcap), _ip(djoin),
+        _fp(dscale),
+        ctypes.c_float(stroke_tol), D,
+        ctypes.byref(res),
+    )
+    if rc != 0:
+        return None
+    edges = _ptr_to_np(res.edges, int(res.n_edges) * 4, np.float32).reshape(-1, 4)
+    piece_off = _ptr_to_np(res.piece_off, int(res.n_pieces) + 1, np.int64)
+    piece_draw = _ptr_to_np(res.piece_draw, int(res.n_pieces), np.int32)
+    lib.vg_free_geom(ctypes.byref(res))
+    return edges, piece_off, piece_draw

@@ -59,6 +59,10 @@ class RasterOp:
     # per triangle and tri_paints carries that triangle's paint — the binner
     # expands to K per-triangle pseudo-ops without K python objects
     tri_paints: np.ndarray | None = None     # (K, PAINT_NF) f32
+    # deferred geometry recipes (batched native frame bake, vg_frame_geom):
+    # list of (path_snapshot, mode, xform6, width, cap, join, render_scale);
+    # Context._finalize_geometry resolves these into edges before binning
+    geom: list | None = None
 
 
 def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
