@@ -11,23 +11,39 @@ import numpy as np
 
 import vgtpu as vg
 
-_FONT_CACHE = {}
+_FONT_DATA: list = []    # [bytes | None], loaded once
 
 
 def _font(ctx):
-    key = id(ctx)
-    if key not in _FONT_CACHE:
+    """UI font handle, cached ON the context (id(ctx) keys get reused after
+    GC — a second Context could inherit a stale handle).  Falls back to
+    matplotlib's bundled DejaVuSans; text silently disappears without it, so
+    a missing font WARNS instead of quietly lightening the benchmark."""
+    handle = getattr(ctx, "_demo_ui_font", None)
+    if handle is not None:
+        return handle
+    if not _FONT_DATA:
         import glob
+        import sys
 
         candidates = glob.glob(
             "/root/.cache/uv/**/mpl-data/fonts/ttf/DejaVuSans.ttf", recursive=True
+        ) or glob.glob(
+            "/opt/venv/**/mpl-data/fonts/ttf/DejaVuSans.ttf", recursive=True
         )
         if candidates:
-            data = open(candidates[0], "rb").read()
-            _FONT_CACHE[key] = vg.createFont(ctx, "ui-sans", data, len(data), 0)
+            _FONT_DATA.append(open(candidates[0], "rb").read())
         else:
-            _FONT_CACHE[key] = None
-    return _FONT_CACHE[key]
+            print("[vgtpu.demo_ui] WARNING: no UI font found; benchmark text "
+                  "will be missing (metric measures a lighter scene)",
+                  file=sys.stderr)
+            _FONT_DATA.append(None)
+    data = _FONT_DATA[0]
+    if data is None:
+        ctx._demo_ui_font = None
+        return None
+    ctx._demo_ui_font = vg.createFont(ctx, "ui-sans", data, len(data), 0)
+    return ctx._demo_ui_font
 
 
 def draw_window(ctx, title, x, y, w, h):
