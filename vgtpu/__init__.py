@@ -53,4 +53,7 @@ from vgtpu.api.context import (  # noqa: F401 (explicit for IDEs)
     isValid,
 )
 
+from vgtpu.api.standalone import *  # noqa: F401,F403  (path.h/stroker.h seam)
+from vgtpu.api.standalone import Mesh, Stroker, SubPath  # noqa: F401
+
 __version__ = "0.1.0"

@@ -1319,6 +1319,11 @@ def destroyCommandList(ctx, handle):
     cl_destroy(ctx, handle)
 
 
+def clReset(ctx, handle):
+    """vg.h alias for resetCommandList."""
+    return resetCommandList(ctx, handle)
+
+
 def resetCommandList(ctx, handle):
     from vgtpu.api.command_list import cl_reset
 
