@@ -29,23 +29,27 @@ def chained_frames(
     *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
     num_entries: int, bucket_flags=None,
 ):
-    from vgtpu.raster.frame import frame_fb
+    from vgtpu.raster.frame import _frame_fn
 
-    def one_frame(eps):
-        pools = tuple((ce + eps, cent) for ce, cent in chunk_pools)
-        return frame_fb(
-            pools, entry_backdrop, d, background + eps,
-            num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
-            num_tiles=num_tiles, bucket_flags=bucket_flags,
-        )
+    nty = num_tiles // ntx
+    width, height = ntx * tile_w, nty * tile_h
 
     def body(i, eps):
-        fb = one_frame(eps)
-        # fold one pixel of EVERY tile back into the next frame's inputs: a
-        # single-tile probe lets XLA dead-code-eliminate buckets that tile
-        # does not touch (caught when the pallas composite made bucket DCE
-        # provable) — the sum makes every bucket's output live
-        return jnp.sum(fb[:, 0, 0, 3]) * 1e-9
+        pools = tuple((ce + eps, cent) for ce, cent in chunk_pools)
+        # the PRODUCTION frame program (same branch selection incl. the fused
+        # pallas path + image assembly), not a lookalike
+        img = _frame_fn(
+            pools, entry_backdrop, d, background + eps,
+            num_entries=num_entries, ntx=ntx, nty=nty, tile_h=tile_h,
+            tile_w=tile_w, width=width, height=height,
+            bucket_flags=bucket_flags,
+        )
+        # fold EVERY pixel back into the next frame's inputs: a single-tile
+        # probe lets XLA dead-code-eliminate buckets that tile does not touch
+        # (caught when the pallas composite made bucket DCE provable).  Full
+        # sum, not a strided one — strided slicing measured 1.7 ms of gather
+        # on TPU where the full reduce costs 0.08 ms
+        return jnp.sum(img[..., 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
 
