@@ -96,6 +96,9 @@ def main() -> None:
             capture_output=True, text=True, timeout=1800, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"baseline subprocess rc={out.returncode}: {out.stderr[-800:]}")
         cpu = json.loads(out.stdout.strip().splitlines()[-1])
         print(f"[bench] cpu baseline frame={cpu['frame_ms']:.3f} ms", file=sys.stderr)
         vs = cpu["frame_ms"] / r["frame_ms"]

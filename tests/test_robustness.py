@@ -209,3 +209,89 @@ def test_fuzz_occlusion_clip_buckets():
         img_b = np.asarray(execute_plan(plan_np, background=(1, 1, 1, 1)))
         np.testing.assert_allclose(img_a, img_b, atol=2e-4,
                                    err_msg=f"trial {trial}")
+
+
+def test_create_image_rejects_wrong_size():
+    import pytest
+
+    import vgtpu as vg
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 64, 64, 1.0)
+    bad = np.zeros((8, 8, 4), np.uint8)          # 16x16 claimed below
+    with pytest.raises(ValueError, match="expected 1024"):
+        vg.createImage(ctx, 16, 16, 0, bad)
+    ok = vg.createImage(ctx, 8, 8, 0, bad)       # correct size fine
+    assert vg.isImageValid(ctx, ok)
+
+
+def test_svg_unknown_color_warns(capsys):
+    from vgtpu.scenes.svg import load_svg
+
+    doc = load_svg('<svg width="10" height="10">'
+                   '<path d="M0 0 H9 V9 Z" fill="chartreuse"/></svg>')
+    assert len(doc.paths) == 1
+    err = capsys.readouterr().err
+    assert "unknown color 'chartreuse'" in err
+
+
+def test_dpr2_feature_matrix():
+    """gradients + text + image patterns + clips at devicePixelRatio 2: the
+    framebuffer is dpr-dense and all paints shade in framebuffer space."""
+    import vgtpu as vg
+    from tests.test_text import FONT_DATA
+
+    def scene(ctx):
+        g = vg.createLinearGradient(ctx, 0, 0, 120, 0, vg.Colors.Red, vg.Colors.Blue)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 4, 4, 120, 30)
+        vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+        img = np.zeros((16, 16, 4), np.uint8)
+        img[..., 1] = 200
+        img[..., 3] = 255
+        h = vg.createImage(ctx, 16, 16, 0, img)
+        p = vg.createImagePattern(ctx, 10, 44, 32, 32, 0.0, h)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 4, 40, 60, 20)
+        vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+        f = vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+        cfg = vg.makeTextConfig(ctx, f, 14.0, vg.TextAlign.TopLeft, vg.Colors.White)
+        vg.text(ctx, cfg, 4, 62, "dpr text")
+        vg.beginClip(ctx, vg.ClipRule.In)
+        vg.beginPath(ctx)
+        vg.circle(ctx, 100, 60, 16)
+        vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.Convex)
+        vg.endClip(ctx)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 80, 40, 44, 40)
+        vg.fillPath(ctx, vg.color4ub(255, 200, 0, 255), vg.FillFlags.Convex)
+        vg.resetClip(ctx)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 130, 90, 2.0)
+    scene(ctx)
+    vg.end(ctx, background=(0, 0, 0, 1))
+    img2 = np.asarray(ctx.frame_image)
+    assert img2.shape[:2] == (180, 260)          # dpr-dense framebuffer
+    # gradient: red at left, blue at right (fb coords = 2x logical)
+    assert img2[20, 16, 0] > 0.8 and img2[20, 240, 2] > 0.8
+    # pattern green band
+    assert img2[100, 40, 1] > 0.6
+    # text rendered somewhere in its line
+    assert img2[130:160, 8:120, 3].max() > 0.5
+    # clip: yellow only inside the circle (center (200,120) r=32 in fb)
+    assert img2[120, 200, 0] > 0.9 and img2[120, 200, 1] > 0.7
+    assert img2[84, 244, 0] < 0.1                # clipped corner stays bg-black
+
+    # visual agreement with a dpr=1 render at matched size (content scaled)
+    ctx1 = vg.createContext()
+    vg.begin(ctx1, 0, 260, 180, 1.0)
+    vg.transformScale(ctx1, 2.0, 2.0)
+    scene(ctx1)
+    vg.end(ctx1, background=(0, 0, 0, 1))
+    img1 = np.asarray(ctx1.frame_image)
+    # same macro structure (allowing AA/sampling differences): compare
+    # downsampled 4x4 block means
+    a = img2.reshape(45, 4, 65, 4, 4).mean(axis=(1, 3))
+    b = img1.reshape(45, 4, 65, 4, 4).mean(axis=(1, 3))
+    assert np.abs(a - b).mean() < 0.02

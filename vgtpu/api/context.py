@@ -890,7 +890,14 @@ class Context:
         self._next_image_idx += 1
         arr = np.zeros((h, w, 4), np.uint8)
         if data is not None:
-            arr[:] = np.asarray(data, np.uint8).reshape(h, w, 4)
+            src = np.asarray(data, np.uint8)
+            if src.size != w * h * 4:
+                # the reference copies exactly w*h*4 bytes (vg.cpp:2227);
+                # silently reshaping mismatched data hid caller bugs
+                raise ValueError(
+                    f"createImage: data has {src.size} bytes, expected "
+                    f"{w * h * 4} for a {w}x{h} RGBA8 image")
+            arr[:] = src.reshape(h, w, 4)
         self.images[idx] = _Image(arr, flags)
         return ImageHandle(idx=idx)
 

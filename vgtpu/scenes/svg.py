@@ -50,7 +50,13 @@ def _parse_color(s: str | None, default=None):
         "green": vg.color4ub(0, 128, 0, 255), "blue": vg.Colors.Blue,
         "yellow": vg.color4ub(255, 255, 0, 255), "none": None,
     }
-    return named.get(s.lower(), default)
+    key = s.lower()
+    if key not in named:
+        import sys
+
+        print(f"[vgtpu.svg] WARNING: unknown color {s!r}, using default",
+              file=sys.stderr)
+    return named.get(key, default)
 
 
 def _parse_transform(s: str) -> np.ndarray:
