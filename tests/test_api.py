@@ -246,3 +246,73 @@ def test_indexed_tri_list_batched_10k():
     plan_np = bin_frame(ctx.ops, 256, 256, backend="numpy")
     img_np = np.asarray(execute_plan(plan_np, background=(0, 0, 0, 1)))
     np.testing.assert_allclose(img, img_np, atol=1e-4)
+
+
+def test_frame_memoization():
+    """Re-recording an identical frame reuses the resident device plan (no
+    rebin/upload); any content change, texture update or background change
+    behaves correctly."""
+    import vgtpu as vg
+
+    img8 = np.zeros((8, 8, 4), np.uint8)
+    img8[..., 0] = 255
+    img8[..., 3] = 255
+
+    ctx = vg.createContext()
+
+    def record(r=20.0):
+        vg.begin(ctx, 0, 128, 64, 1.0)
+        h = ctx._memo_img if getattr(ctx, "_memo_img", None) else vg.createImage(ctx, 8, 8, 0, img8)
+        ctx._memo_img = h
+        p = vg.createImagePattern(ctx, 0, 0, 16, 16, 0.0, h)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 4, 4, 30, 30)
+        vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+        vg.beginPath(ctx)
+        vg.circle(ctx, 80, 32, r)
+        vg.fillPath(ctx, vg.Colors.Blue, vg.FillFlags.ConvexAA)
+
+    record()
+    a = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
+    plan1 = ctx.last_plan
+
+    record()
+    b = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
+    assert ctx.last_plan is plan1            # memo hit: plan reused
+    np.testing.assert_allclose(a, b, atol=0)
+
+    # background change on a hit still renders the new background
+    record()
+    c = np.asarray(vg.end(ctx, background=(0, 1, 0, 1)))
+    assert ctx.last_plan is plan1
+    assert c[60, 120, 1] > 0.9               # green bg corner
+
+    # geometry change -> miss
+    record(r=25.0)
+    d = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
+    assert ctx.last_plan is not plan1
+    assert d[32, 56, 2] > 0.5                # bigger circle reaches x=56
+    plan2 = ctx.last_plan
+
+    # texture update -> miss (generation in the fingerprint)
+    img9 = img8.copy(); img9[..., 1] = 255
+    vg.updateImage(ctx, ctx._memo_img, 0, 0, 8, 8, img9)
+    record(r=25.0)
+    e = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
+    assert ctx.last_plan is not plan2
+    assert e[10, 10, 1] > 0.8                # pattern now yellow-ish
+
+    # memo off -> always rebinned
+    from vgtpu.api.config import ContextConfig
+
+    ctx2 = vg.createContext(cfg=ContextConfig(frame_memo=False))
+    vg.begin(ctx2, 0, 64, 64, 1.0)
+    vg.beginPath(ctx2); vg.rect(ctx2, 4, 4, 20, 20)
+    vg.fillPath(ctx2, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.end(ctx2, background=(0, 0, 0, 1))
+    p1 = ctx2.last_plan
+    vg.begin(ctx2, 0, 64, 64, 1.0)
+    vg.beginPath(ctx2); vg.rect(ctx2, 4, 4, 20, 20)
+    vg.fillPath(ctx2, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.end(ctx2, background=(0, 0, 0, 1))
+    assert ctx2.last_plan is not p1

@@ -42,6 +42,8 @@ class ContextConfig:
     use_pallas: bool = True                # Pallas fine raster (False = pure-XLA path)
     device_sampling: bool = True           # textures sampled on device (MXU hat-weight
                                            # matmuls); False = host numpy sampler
+    frame_memo: bool = True                # re-recorded identical frames reuse the
+                                           # resident device plan (skip bin/sample/upload)
     coverage_supersample: int = 1          # y-supersampling factor (1/2/4/8): >1 applies
                                            # the fill rule per sub-row for conflation-free
                                            # self-intersection coverage (the reference's
