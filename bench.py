@@ -46,17 +46,30 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     d = ctx.last_device_arrays
     bg = (0.12, 0.12, 0.13, 1.0)
 
-    # full dynamic frame: re-record + re-bin + re-upload + render (the
-    # reference's analogue is CPU retessellation of non-cached content)
+    # full dynamic frame (CHANGED content per frame -> frame-memo misses):
+    # re-record + re-bin + re-upload + render (the reference's analogue is
+    # CPU retessellation of non-cached content)
     dyn = []
+    for k in range(5):
+        td0 = time.perf_counter()
+        vg.begin(ctx, 0, 1920, 1080, 1.0)
+        draw_benchmark_frame(ctx, 0.05 * (k + 1))
+        img = vg.end(ctx, background=bg)
+        img.block_until_ready()
+        dyn.append((time.perf_counter() - td0) * 1e3)
+    dynamic_ms = sorted(dyn)[len(dyn) // 2]
+
+    # identical-content redraw (frame-memo hits): record + fingerprint +
+    # resident-plan dispatch — the common app pattern
+    rd = []
     for _ in range(5):
         td0 = time.perf_counter()
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.0)
         img = vg.end(ctx, background=bg)
         img.block_until_ready()
-        dyn.append((time.perf_counter() - td0) * 1e3)
-    dynamic_ms = sorted(dyn)[len(dyn) // 2]
+        rd.append((time.perf_counter() - td0) * 1e3)
+    redraw_ms = sorted(rd)[len(rd) // 2]
 
     # chained on-device loop: immune to async-dispatch timing artifacts
     frame_ms = measure_device_ms_per_frame(plan, d, bg, reps_hi=reps, reps_lo=warmup)
@@ -65,6 +78,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "cold_bin_exec_ms": (t2 - t1) * 1e3,
         "frame_ms": frame_ms,
         "dynamic_ms": dynamic_ms,
+        "redraw_ms": redraw_ms,
         "stats": plan.stats,
         "platform": str(__import__("jax").devices()[0].platform),
     }
@@ -82,7 +96,7 @@ def main() -> None:
 
     r = measure()
     print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
-          f"dynamic={r['dynamic_ms']:.1f} ms  "
+          f"dynamic={r['dynamic_ms']:.1f} ms  redraw={r['redraw_ms']:.1f} ms  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
 
