@@ -421,3 +421,34 @@ def test_cached_replay_scissor_culling():
     vg.setScissor(ctx, 0, 0, 40, 64)       # cached rect now outside
     vg.submitCommandList(ctx, cl)          # cached replay
     assert len(ctx.ops) == 0
+
+
+def test_cache_build_never_culls():
+    """A draw culled during the cache-BUILD pass would have no slot, and a
+    later cached replay under a different scissor would fall back to stale
+    transient path state (review finding).  Builds must capture everything;
+    replays cull from cached bounds."""
+    ctx = make_ctx()
+    cl = vg.createCommandList(
+        ctx, vg.CommandListFlags.Cacheable | vg.CommandListFlags.AllowCommandCulling)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 80, 10, 30, 30)          # outside the build-time scissor
+    vg.fillPath(ctx, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+
+    vg.setScissor(ctx, 0, 0, 40, 64)      # scissor excludes the rect
+    vg.submitCommandList(ctx, cl)         # BUILD: must still cache the rect
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 90, 3] == 0.0          # scissor still clips pixels
+
+    vg.begin(ctx, 0, 128, 64, 1.0)        # full scissor now
+    # poison the transient path state: the old fallback would draw THIS
+    vg.beginPath(ctx)
+    vg.circle(ctx, 20, 40, 10)
+    vg.submitCommandList(ctx, cl)         # cached replay
+    vg.end(ctx, background=(0, 0, 0, 0))
+    img = np.asarray(ctx.frame_image)
+    assert img[20, 90, 3] == 1.0          # the RECT renders
+    assert img[40, 20, 3] == 0.0          # the poison circle does NOT

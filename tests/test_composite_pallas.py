@@ -54,7 +54,7 @@ def _compare(ctx, w, h, bg=(0.1, 0.2, 0.3, 1.0)):
     from vgtpu.raster.frame import plan_to_device
 
     ctx._finalize_ops()
-    plan = bin_frame(ctx.ops, w, h)
+    plan = bin_frame(ctx.ops, w, h, tile_h=ctx.cfg.tile_h, tile_w=ctx.cfg.tile_w)
     ctx._fill_textures(plan)
     d = plan_to_device(plan)
     ne = d["entry_backdrop"].shape[0]
@@ -145,7 +145,7 @@ def test_frame_fb_pallas_fused_parity():
     _scene_full(ctx)
     w, h = 512, 256
     ctx._finalize_ops()
-    plan = bin_frame(ctx.ops, w, h)
+    plan = bin_frame(ctx.ops, w, h, tile_h=ctx.cfg.tile_h, tile_w=ctx.cfg.tile_w)
     ctx._fill_textures(plan)
     d = plan_to_device(plan)
     ne = d["entry_backdrop"].shape[0]
@@ -186,3 +186,15 @@ def test_frame_fb_pallas_fused_parity():
     )
     np.testing.assert_allclose(
         np.asarray(fb_fused), np.asarray(fb_xla), atol=2e-6)
+
+
+def test_fused_composite_tile_h16():
+    """tile_h beyond 8 must work through the fused path (params carry
+    tile_h backdrop rows — was fixed at 8; review finding)."""
+    from vgtpu.api.config import ContextConfig
+
+    cfg = ContextConfig(tile_h=16)
+    ctx = vg.createContext(cfg=cfg)
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    _scene_full(ctx)
+    _compare(ctx, 256, 128)

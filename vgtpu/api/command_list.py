@@ -199,14 +199,19 @@ def cl_submit(ctx, handle):
 
             if name in _DRAW_CMDS:
                 s = ctx.state.scissor
-                if culling and (s[2] < 1.0 or s[3] < 1.0):
+                # culling NEVER applies while BUILDING the cache: a draw
+                # skipped during the build would have no cache slot, and a
+                # later (differently-scissored) cached replay would fall back
+                # to drawing whatever transient path state happens to exist.
+                # Cached replays cull per-slot from the cached bounds instead.
+                if culling and not build_cache and (s[2] < 1.0 or s[3] < 1.0):
                     continue
                 args = tuple(xlat(a) for a in args)
                 if use_cache:
                     _replay_cached_draw(ctx, cl, ci, name, args, kwargs,
                                         base_transform, culling=culling)
                     continue
-                if culling and _draw_outside_scissor(ctx, name, args):
+                if culling and not build_cache and _draw_outside_scissor(ctx, name, args):
                     continue
                 n_ops_before = len(ctx.ops)
                 if build_cache:
@@ -274,15 +279,21 @@ def _bbox_outside_scissor(ctx, x0, y0, x1, y1, pad: float) -> bool:
 
 
 def _draw_outside_scissor(ctx, name, args) -> bool:
-    """Per-command scissor culling on the direct replay path: the transformed
-    path bounds (already lazily baked) against the current scissor."""
-    verts, _subs = ctx._transformed_path()
-    if len(verts) == 0:
+    """Per-command scissor culling on the direct replay path: conservative
+    control-hull bounds from the RAW path data (no flattening — a per-path
+    bake here would re-introduce the marshalling the batched vg_frame_geom
+    call removed), transformed corner-wise, against the current scissor."""
+    b = ctx.path.control_bounds()
+    if b is None:
         return False
+    m = ctx._render_transform()
+    xs, ys = [], []
+    for cx, cy in ((b[0], b[1]), (b[2], b[1]), (b[0], b[3]), (b[2], b[3])):
+        x, y = core.xform_point(m, cx, cy)
+        xs.append(x)
+        ys.append(y)
     return _bbox_outside_scissor(
-        ctx, float(verts[:, 0].min()), float(verts[:, 1].min()),
-        float(verts[:, 0].max()), float(verts[:, 1].max()),
-        _stroke_pad_fb(ctx, name, args))
+        ctx, min(xs), min(ys), max(xs), max(ys), _stroke_pad_fb(ctx, name, args))
 
 
 def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,

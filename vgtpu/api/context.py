@@ -1625,3 +1625,21 @@ class CommandListRef:
 
 def makeCommandListRef(ctx, handle) -> CommandListRef:
     return CommandListRef(ctx, handle)
+
+
+# star-import hygiene: export everything defined here (the vg.h surface)
+# but not modules or the geometry/raster internals imported above
+import types as _types  # noqa: E402
+
+__all__ = [
+    _n for _n, _v in list(globals().items())
+    if not _n.startswith("_")
+    and not isinstance(_v, _types.ModuleType)
+    and _n not in {
+        "annotations", "dataclass", "field",
+        "contours_to_edges", "polyline_to_fill_edges", "stroke_outline",
+        "PathBuilder", "RasterOp", "bin_frame",
+        "make_gradient_paint", "make_solid_paint",
+        "execute_plan", "image_to_u8", "plan_to_device",
+    }
+]

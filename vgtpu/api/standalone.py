@@ -20,6 +20,20 @@ import numpy as np
 from vgtpu.geometry.path import PathBuilder
 from vgtpu.geometry.stroker import contours_to_edges, polyline_to_fill_edges, stroke_outline
 
+__all__ = [
+    "SubPath", "Mesh", "Stroker",
+    "createPath", "destroyPath", "pathReset", "pathMoveTo", "pathLineTo",
+    "pathCubicTo", "pathQuadraticTo", "pathArcTo", "pathRect",
+    "pathRoundedRect", "pathRoundedRectVarying", "pathCircle", "pathEllipse",
+    "pathArc", "pathPolyline", "pathClose", "pathGetVertices",
+    "pathGetNumVertices", "pathGetSubPaths", "pathGetNumSubPaths",
+    "createStroker", "destroyStroker", "strokerReset",
+    "strokerPolylineStroke", "strokerPolylineStrokeAA",
+    "strokerPolylineStrokeAAThin", "strokerConvexFill", "strokerConvexFillAA",
+    "strokerConcaveFillBegin", "strokerConcaveFillAddContour",
+    "strokerConcaveFillEnd", "strokerConcaveFillEndAA",
+]
+
 
 @dataclass
 class SubPath:

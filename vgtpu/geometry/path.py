@@ -272,6 +272,32 @@ class PathBuilder:
         self._verbs.append(V_CLOSE)
         self._baked = None
 
+    def control_bounds(self):
+        """Conservative local-space bbox from the RAW verb data (no bake):
+        Bezier curves stay inside their control hull, arcs inside
+        center ± radius.  Returns (x0, y0, x1, y1) or None when empty.
+        Used by command-list scissor culling (the exact bounds would cost a
+        per-path flattening round-trip the deferred pipeline avoids)."""
+        xs: list[float] = []
+        ys: list[float] = []
+        if self._simple_flat:
+            xs += self._simple_flat[0::2]
+            ys += self._simple_flat[1::2]
+        if self._cubic_flat:
+            xs += self._cubic_flat[0::2]
+            ys += self._cubic_flat[1::2]
+        for k in range(0, len(self._arc_flat), 6):
+            cx, cy, rx, ry = self._arc_flat[k : k + 4]
+            xs += (cx - abs(rx), cx + abs(rx))
+            ys += (cy - abs(ry), cy + abs(ry))
+        for p in self._poly_pool:
+            if len(p):
+                xs += (float(p[:, 0].min()), float(p[:, 0].max()))
+                ys += (float(p[:, 1].min()), float(p[:, 1].max()))
+        if not xs:
+            return None
+        return (min(xs), min(ys), max(xs), max(ys))
+
     # -- snapshot (deferred batched geometry) -------------------------------
     def snapshot(self):
         """Immutable packed copy of the recorded verbs for the batched native

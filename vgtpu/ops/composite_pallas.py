@@ -56,7 +56,12 @@ _P_OX = 10
 _P_OY = 11
 _P_PAINT = 12      # 12..29 paint[0:18]
 _P_BD = 32         # 32..32+tile_h  per-row backdrop winding
-_NPP = 40
+
+
+def _npp(tile_h: int) -> int:
+    """params_t row count: 32 metadata rows + tile_h backdrop rows, padded
+    to a sublane multiple (tile_h is configurable beyond 8)."""
+    return -(-(_P_BD + tile_h) // 8) * 8
 
 
 def build_bucket_aux(plan, te_b: np.ndarray, need_ct: bool = False):
@@ -72,7 +77,7 @@ def build_bucket_aux(plan, te_b: np.ndarray, need_ct: bool = False):
     e = np.maximum(te_b, 0)
     valid = (te_b >= 0).astype(np.float32)
 
-    pp = np.zeros((mo, _NPP, nb), np.float32)
+    pp = np.zeros((mo, _npp(th), nb), np.float32)
     pp[:, _P_VALID] = valid.T
     pp[:, _P_KIND] = plan.entry_kind[e].T
     pp[:, _P_RULE] = plan.entry_rule[e].T
@@ -142,7 +147,7 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
             mask_ref[:] = jnp.ones((npx, bt), jnp.float32)
             accum_ref[:] = jnp.zeros((npx, bt), jnp.float32)
 
-    pp = pp_ref[0]                         # (32, BT)
+    pp = pp_ref[0]                         # (NPP, BT)
 
     def row(k):
         return pp[k : k + 1, :]            # (1, BT), static slice
@@ -264,7 +269,7 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 )
 def composite_bucket_pallas(
     ew_t: jax.Array,        # (MO, NPX, Nb)
-    params_t: jax.Array,    # (MO, 40, Nb)
+    params_t: jax.Array,    # (MO, _npp(tile_h), Nb)
     ct_t: jax.Array | None, # (MO, 4*NPX, Nb) or None
     bg_vec: jax.Array,      # (4*NPX, 1)
     *,
@@ -282,7 +287,7 @@ def composite_bucket_pallas(
 
     in_specs = [
         pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, _NPP, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, params_t.shape[1], bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * npx, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [ew_t, params_t, bg_vec]

@@ -145,21 +145,16 @@ def build_cov_gather_map(chunk_pools, num_entries: int) -> dict:
 
 
 def _next_bucket(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while True:
-        if b >= n:
-            return b
-        if (b * 3) // 2 >= n:
-            return (b * 3) // 2
-        b *= 2
+    from vgtpu.raster.binning import _bucket
+
+    return _bucket(n, minimum=minimum)
 
 
-def cov_all_resolved(chunk_pools, cov_map: dict, tile_h: int, tile_w: int) -> jax.Array:
-    """All pools' per-chunk coverage as ONE (NC+1, NPX) array with multi-chunk
-    entries' extra coverage folded into their primary chunk's row (so
-    entry coverage == cov_all[primary[e]] by construction).  Lets the fused
-    composite gather straight from chunk coverage — the (NE, NPX) entry_w
-    array is never materialized."""
+def _cov_all(chunk_pools, tile_h: int, tile_w: int) -> jax.Array:
+    """All pools' per-chunk coverage as ONE (NC+1, NPX) array (last row is
+    the all-zeros 'dead chunk' that chunkless entries index).  Pools with
+    lane-aligned chunk counts take the transposed Pallas kernel on TPU; the
+    backend choice is trace-time (platform is static under jit)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
@@ -176,7 +171,15 @@ def cov_all_resolved(chunk_pools, cov_map: dict, tile_h: int, tile_w: int) -> ja
                 jnp.transpose(coverage_chunks_body(ce, tile_h, tile_w).reshape(-1, npx), (1, 0))
             )
     covs.append(jnp.zeros((npx, 1), jnp.float32))       # dead chunk row
-    cov_all = jnp.transpose(jnp.concatenate(covs, axis=1), (1, 0))  # (NC+1, NPX)
+    return jnp.transpose(jnp.concatenate(covs, axis=1), (1, 0))  # (NC+1, NPX)
+
+
+def cov_all_resolved(chunk_pools, cov_map: dict, tile_h: int, tile_w: int) -> jax.Array:
+    """Chunk coverage with multi-chunk entries' extra coverage folded into
+    their primary chunk's row (so entry coverage == cov_all[primary[e]] by
+    construction).  Lets the fused composite gather straight from chunk
+    coverage — the (NE, NPX) entry_w array is never materialized."""
+    cov_all = _cov_all(chunk_pools, tile_h, tile_w)
     # fold extras into their entry's primary chunk row (primary rows are
     # unique per entry; extra rows are only ever sources)
     return cov_all.at[cov_map["extra_primary"]].add(cov_all[cov_map["extra_chunk"]])
@@ -188,23 +191,7 @@ def entry_coverage_gather(chunk_pools, cov_map: dict, num_entries: int,
     Matches entry_coverage_from_pools up to float reassociation across a
     multi-chunk entry's adds (same chunk order, so identical for the
     single-chunk majority; tests compare both paths pixel-wise)."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # noqa: BLE001
-        on_tpu = False
-    npx = tile_h * tile_w
-    covs = []
-    for ce, _cent in chunk_pools:
-        if on_tpu and ce.shape[0] % 128 == 0 and ce.shape[0] >= 128:
-            from vgtpu.ops.coverage_pallas import coverage_chunks_pallas_t_raw
-
-            covs.append(coverage_chunks_pallas_t_raw(ce, tile_h, tile_w))
-        else:
-            covs.append(
-                jnp.transpose(coverage_chunks_body(ce, tile_h, tile_w).reshape(-1, npx), (1, 0))
-            )
-    covs.append(jnp.zeros((npx, 1), jnp.float32))       # dead chunk row
-    cov_all = jnp.transpose(jnp.concatenate(covs, axis=1), (1, 0))  # (NC+1, NPX)
+    cov_all = _cov_all(chunk_pools, tile_h, tile_w)
     w = cov_all[cov_map["primary"]]
     w = w.at[cov_map["extra_entry"]].add(cov_all[cov_map["extra_chunk"]])
     return w.reshape(num_entries, tile_h, tile_w)

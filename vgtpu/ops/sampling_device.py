@@ -57,13 +57,9 @@ class SamplingPlan:
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
-    b = minimum
-    while True:
-        if b >= n:
-            return b
-        if (b * 3) // 2 >= n:
-            return (b * 3) // 2
-        b *= 2
+    from vgtpu.raster.binning import _bucket as _b
+
+    return _b(n, minimum=minimum)
 
 
 def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
