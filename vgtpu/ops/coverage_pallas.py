@@ -108,20 +108,8 @@ def coverage_backend_default() -> str:
 # lanes from (NPX, 1) — every relayout Mosaic dislikes is gone.
 # ---------------------------------------------------------------------------
 
-def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int):
-    npx = tile_h * tile_w
-    j = pl.program_id(1)
-
-    row = j * 4
-    x0 = edges_ref[pl.ds(row, 1), :]          # (1, BC): lane vector
-    y0 = edges_ref[pl.ds(row + 1, 1), :]
-    x1 = edges_ref[pl.ds(row + 2, 1), :]
-    y1 = edges_ref[pl.ds(row + 3, 1), :]
-
-    flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
-    px = (flat % tile_w).astype(jnp.float32)  # (NPX,1): lane-broadcasts
-    py = (flat // tile_w).astype(jnp.float32)
-
+def _edge_contrib_t(px, py, x0, y0, x1, y1):
+    """Signed area a (1,BC)-lane edge sweeps over each (NPX,1) pixel row."""
     ymin = jnp.minimum(y0, y1)
     ymax = jnp.maximum(y0, y1)
     s = jnp.sign(y1 - y0)
@@ -138,13 +126,33 @@ def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int):
     c1 = jnp.clip(u1, 0.0, 1.0)
     g0 = c0 * (u0 - 0.5 * c0)
     g1 = c1 * (u1 - 0.5 * c1)
-    contrib = jnp.where(steep, (s * h) * c0, (g0 - g1) * s_over_m)
+    return jnp.where(steep, (s * h) * c0, (g0 - g1) * s_over_m)
+
+
+def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int,
+              unroll: int = 1):
+    npx = tile_h * tile_w
+    j = pl.program_id(1)
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
+    px = (flat % tile_w).astype(jnp.float32)  # (NPX,1): lane-broadcasts
+    py = (flat // tile_w).astype(jnp.float32)
+
+    acc = None
+    for k in range(unroll):
+        row = (j * unroll + k) * 4
+        x0 = edges_ref[pl.ds(row, 1), :]      # (1, BC): lane vector
+        y0 = edges_ref[pl.ds(row + 1, 1), :]
+        x1 = edges_ref[pl.ds(row + 2, 1), :]
+        y1 = edges_ref[pl.ds(row + 3, 1), :]
+        c = _edge_contrib_t(px, py, x0, y0, x1, y1)
+        acc = c if acc is None else acc + c
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += contrib
+    out_ref[:] += acc
 
 
 @functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
@@ -157,12 +165,16 @@ def coverage_chunks_pallas_t_raw(
     nc, ch, _ = chunk_edges.shape
     bc = _largest_divisor(nc, 256)
     npx = tile_h * tile_w
+    # Two edges per grid step halve Mosaic's per-step sequencing + output-RMW
+    # overhead (measured -14% on the benchmark chunk pools).
+    unroll = 2 if ch % 2 == 0 else 1
     # (NC, CH, 4) -> (CH*4, NC): per-edge params along lanes
     edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
     return pl.pallas_call(
-        functools.partial(_kernel_t, ch=ch, tile_h=tile_h, tile_w=tile_w),
+        functools.partial(_kernel_t, ch=ch, tile_h=tile_h, tile_w=tile_w,
+                          unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((npx, nc), jnp.float32),
-        grid=(nc // bc, ch),
+        grid=(nc // bc, ch // unroll),
         in_specs=[
             pl.BlockSpec((ch * 4, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
