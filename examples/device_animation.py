@@ -10,6 +10,10 @@ differentiable dense renderer (diff.py) entirely on-device.
 """
 
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
