@@ -46,16 +46,18 @@ def _measure(n: int) -> dict:
         img = render_frame_sharded(plan, {
             "chunk_pools": tuple((np.asarray(ce), np.asarray(cent))
                                  for ce, cent in plan.chunk_pools),
-            "entry_backdrop": np.asarray(d["entry_backdrop"]),
-            "entry_kind": np.asarray(d["entry_kind"]),
-            "entry_rule": np.asarray(d["entry_rule"]),
-            "entry_aa": np.asarray(d["entry_aa"]),
-            "entry_paint_kind": np.asarray(d["entry_paint_kind"]),
-            "entry_paint": np.asarray(d["entry_paint"]),
-            "entry_scissor": np.asarray(d["entry_scissor"]),
-            "entry_color_tile": np.asarray(d["entry_color_tile"]),
+            # dense per-entry arrays come from the host plan (dedup-upload
+            # device dicts ship compact pseudo-op tables instead)
+            "entry_backdrop": plan.entry_backdrop,
+            "entry_kind": plan.entry_kind,
+            "entry_rule": plan.entry_rule,
+            "entry_aa": plan.entry_aa,
+            "entry_paint_kind": plan.entry_paint_kind,
+            "entry_paint": plan.entry_paint,
+            "entry_scissor": plan.entry_scissor,
+            "entry_color_tile": plan.entry_color_tile,
             "color_tiles": np.asarray(d["color_tiles"]),
-            "tile_entries": np.asarray(d["tile_entries"]),
+            "tile_entries": plan.tile_entries,
         }, mesh, background=(0.12, 0.12, 0.13, 1.0))
         return float(np.asarray(img)[0, 0, 3])
 

@@ -198,3 +198,51 @@ def test_fused_composite_tile_h16():
     vg.begin(ctx, 0, 256, 128, 1.0)
     _scene_full(ctx)
     _compare(ctx, 256, 128)
+
+
+def test_bucket_params_device_builder_parity():
+    """build_bucket_params_jnp (in-jit, dedup-upload path) must reproduce
+    build_bucket_aux bit-exactly — pixels depend on it (frame._frame_fn)."""
+    import jax.numpy as jnp
+
+    from vgtpu.ops.composite_pallas import build_bucket_params_jnp
+    from vgtpu.raster.frame import plan_to_device
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 512, 256, 1.0)
+    _scene_full(ctx)
+    vg.end(ctx, background=(0.2, 0.2, 0.2, 1.0))
+    plan = ctx.last_plan
+    plan_to_device(plan)  # ensures tile_buckets
+
+    for te_b, _ids, _fl in plan.tile_buckets:
+        pp_host, _ = build_bucket_aux(plan, te_b, need_ct=False)
+        pp_dev = np.asarray(build_bucket_params_jnp(
+            jnp.asarray(te_b),
+            jnp.asarray(plan.entry_kind), jnp.asarray(plan.entry_rule),
+            jnp.asarray(plan.entry_aa), jnp.asarray(plan.entry_paint_kind),
+            jnp.asarray(plan.entry_scissor), jnp.asarray(plan.entry_paint),
+            jnp.asarray(plan.entry_color_tile), jnp.asarray(plan.entry_tile),
+            jnp.asarray(plan.entry_backdrop),
+            tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx))
+        assert pp_dev.shape == pp_host.shape
+        np.testing.assert_array_equal(pp_dev, pp_host)
+
+
+def test_pop_expansion_matches_dense_entries():
+    """The compact pseudo-op tables gather back to the dense per-entry
+    arrays exactly (native binner plans only)."""
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 512, 256, 1.0)
+    _scene_full(ctx)
+    vg.end(ctx, background=(0.2, 0.2, 0.2, 1.0))
+    plan = ctx.last_plan
+    if plan.pop is None:
+        pytest.skip("numpy binner (no native lib): no compact tables")
+    ep = plan.entry_pop
+    np.testing.assert_array_equal(plan.pop["kind"][ep], plan.entry_kind)
+    np.testing.assert_array_equal(plan.pop["rule"][ep], plan.entry_rule)
+    np.testing.assert_array_equal(plan.pop["aa"][ep], plan.entry_aa)
+    np.testing.assert_array_equal(plan.pop["paint_kind"][ep], plan.entry_paint_kind)
+    np.testing.assert_array_equal(plan.pop["paint"][ep], plan.entry_paint)
+    np.testing.assert_array_equal(plan.pop["scissor"][ep], plan.entry_scissor)

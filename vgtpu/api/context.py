@@ -302,24 +302,38 @@ class Context:
         """Content fingerprint of the recorded frame: per-op scalar fields +
         CRCs of the geometry/paint arrays (zlib.crc32 via the buffer
         protocol, no copies), plus the texture inputs (image generations,
-        atlas revision) and framebuffer/config state.  ~1 ms on the 1080p
-        tiger frame; collisions are not adversarial here."""
+        atlas revision) and framebuffer/config state.  Collisions are not
+        adversarial here.  Hot path: one chained crc per array group, and
+        the per-snapshot crc is cached on the snapshot dict (fill+stroke of
+        the same path share it) — per-call Python overhead dominates actual
+        crc time on typical frames."""
         import zlib
 
-        def crc(a):
+        crc32 = zlib.crc32
+
+        def crc(a, c=0):
             if a is None:
-                return 0
-            a = np.ascontiguousarray(a)
-            return zlib.crc32(a)
+                return c
+            if not a.flags.c_contiguous:
+                a = np.ascontiguousarray(a)
+            return crc32(a, c)
+
+        def snap_crc(s):
+            c = s.get("fp_crc")
+            if c is None:
+                c = 0
+                for k in ("verbs", "sf", "cf", "af", "pa", "pp"):
+                    c = crc(s[k], c)
+                c ^= hash((s["scale"], s["tol"])) & 0xFFFFFFFF
+                s["fp_crc"] = c
+            return c
 
         parts = [self.fb_width, self.fb_height, self.cfg.coverage_supersample,
                  len(self.ops)]
         for op in self.ops:
             if op.geom is not None:
                 g = tuple(
-                    (mode, xf, w, cap, join, scale,
-                     crc(s["verbs"]), crc(s["sf"]), crc(s["cf"]), crc(s["af"]),
-                     crc(s["pa"]), crc(s["pp"]), s["scale"], s["tol"])
+                    (mode, xf, w, cap, join, scale, snap_crc(s))
                     for (s, mode, xf, w, cap, join, scale) in op.geom
                 )
             elif isinstance(op.edges, list):
@@ -328,8 +342,8 @@ class Context:
                 g = crc(op.edges)
             parts.append((
                 op.kind, op.fill_rule, op.aa, op.paint_kind, op.image_id,
-                op.scissor, g, crc(op.paint), crc(op.tex_quads),
-                crc(op.tri_paints),
+                op.scissor, g,
+                crc(op.tri_paints, crc(op.tex_quads, crc(op.paint))),
             ))
         parts.append(tuple(sorted(
             (idx, img.generation) for idx, img in self.images.items())))

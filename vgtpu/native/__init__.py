@@ -246,6 +246,12 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
         "tile_entries": arr(res.tile_entries, (T, mo), np.int32),
         "n_entries": ne,
         "max_ops": mo,
+        # compact per-pseudo-op tables (raw entry_op indexes these): the
+        # device upload ships these instead of the dense per-entry expansions
+        "pop": {
+            "kind": kind, "rule": rule, "aa": aa, "paint_kind": pk,
+            "paint": paint, "scissor": sciss,
+        },
     }
     lib.vg_free_result(ctypes.byref(res))
     return out

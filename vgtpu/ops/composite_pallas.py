@@ -104,6 +104,40 @@ def build_bucket_aux(plan, te_b: np.ndarray, need_ct: bool = False):
     return pp, ct_t
 
 
+def build_bucket_params_jnp(
+    te_b, entry_kind, entry_rule, entry_aa, entry_pk, entry_scissor,
+    entry_paint, entry_ctile, entry_tile, entry_backdrop,
+    *, tile_h: int, tile_w: int, ntx: int,
+):
+    """Device-side build_bucket_aux (identical row layout, bit-exact): runs
+    inside the jitted frame program so per-bucket params never cross the
+    host->device link — only the compact per-pseudo-op tables upload."""
+    nb0, mo = te_b.shape
+    nbp = _pad_tiles(nb0)
+    te = jnp.pad(te_b, ((0, nbp - nb0), (0, 0)), constant_values=-1)
+    e = jnp.maximum(te, 0)                                   # (NbP, MO)
+    valid = (te >= 0).astype(jnp.float32)
+    f32 = jnp.float32
+
+    def row(x):                                              # (NbP, MO) -> (MO,1,NbP)
+        return x.astype(f32).T[:, None, :]
+
+    tile = entry_tile[e]
+    sc = jnp.transpose(entry_scissor[e], (1, 2, 0)).astype(f32)    # (MO,4,NbP)
+    paint = jnp.transpose(entry_paint[e], (1, 2, 0)).astype(f32)   # (MO,18,NbP)
+    bd = jnp.transpose(entry_backdrop[e] * valid[:, :, None],
+                       (1, 2, 0)).astype(f32)                      # (MO,th,NbP)
+    npp = _npp(tile_h)
+    zeros2 = jnp.zeros((mo, 2, nbp), f32)                    # rows 30,31 unused
+    tail = jnp.zeros((mo, npp - (_P_BD + tile_h), nbp), f32)
+    return jnp.concatenate([
+        row(valid), row(entry_kind[e]), row(entry_rule[e]), row(entry_aa[e]),
+        row(entry_pk[e]), sc, row(entry_ctile[e] >= 0),
+        row((tile % ntx) * tile_w), row((tile // ntx) * tile_h),
+        paint, zeros2, bd, tail,
+    ], axis=1)
+
+
 @jax.jit
 def ct_t_from_color_tiles(ct_flat: jax.Array, ctile_ids: jax.Array) -> jax.Array:
     """(NCT+1, 4*NPX) channel-major flat tiles + (NbP, MO) tile-slot ids

@@ -107,6 +107,16 @@ def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int,
 def render_frame_sharded(plan, device_arrays: dict, mesh: Mesh, background=(1, 1, 1, 1)):
     """Full sharded frame -> (H, W, 4) premultiplied image (gathered)."""
     n = mesh.devices.size
+    if "entry_kind" not in device_arrays:
+        # dedup-upload plans (frame.plan_to_device on TPU) ship compact
+        # pseudo-op tables instead of the dense per-entry arrays; the plan
+        # keeps the dense host copies — use those here
+        device_arrays = {
+            **device_arrays,
+            "entry_kind": plan.entry_kind, "entry_rule": plan.entry_rule,
+            "entry_aa": plan.entry_aa, "entry_paint_kind": plan.entry_paint_kind,
+            "entry_paint": plan.entry_paint, "entry_scissor": plan.entry_scissor,
+        }
     d, t_pad = pad_plan_for_mesh(device_arrays, plan, n)
     num_entries = d["entry_backdrop"].shape[0]
     fn = make_sharded_frame_fn(mesh, plan, num_entries, t_pad,

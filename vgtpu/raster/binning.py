@@ -109,6 +109,13 @@ class FramePlan:
     # aux color tiles for textured entries (text/images), premultiplied RGBA
     color_tiles: np.ndarray      # (NCT, tile_h//supersample, tile_w, 4) f32
     tile_buckets: list | None = None  # [(tile_entries_b, tile_ids_b)] by op count
+    # upload dedup (native binner only): per-PSEUDO-op tables + per-entry
+    # pseudo-op index.  Entries of one pseudo-op share kind/rule/aa/paint_kind/
+    # paint/scissor, so the device plan uploads the compact tables and expands
+    # them with gathers inside the jitted frame (plan_to_device/frame._frame_fn)
+    pop: dict | None = None           # {"kind","rule","aa","paint_kind": (P,) i32,
+                                      #  "paint": (P,18) f32, "scissor": (P,4) f32}
+    entry_pop: np.ndarray | None = None  # (NE,) i32 pseudo-op id (pad rows -> pad id)
     n_real_entries: int = 0
     n_real_chunks: int = 0
     # y-supersampling factor: >1 means all y geometry (edges, quads, scissors,
@@ -383,7 +390,16 @@ def _assemble_native(raw, width, height, tile_h, tile_w, color_tiles) -> FramePl
     if color_tiles is None or len(color_tiles) == 0:
         color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
 
+    # compact pseudo-op tables, bucketed so jit signatures stay stable:
+    # row P is the pad pseudo-op (zero paint alpha + empty scissor -> no-op,
+    # matching the dense pad rows below); entry_pop pad rows point at it
+    P = len(raw["pop"]["kind"])
+    NP = _bucket(P + 1)
+    pop = {k: pad(v, NP) for k, v in raw["pop"].items()}
+    entry_pop = pad(raw["entry_op"], NE, fill=P)
+
     return FramePlan(
+        pop=pop, entry_pop=entry_pop,
         width=width, height=height, ntx=ntx, nty=nty,
         tile_h=tile_h, tile_w=tile_w,
         chunk_pools=chunk_pools,

@@ -96,6 +96,28 @@ def _frame_fn(
     ss=1,
 ):
     """The whole device frame in ONE compiled program."""
+    if d.get("pop") is not None:
+        # dedup upload: expand the compact per-pseudo-op tables to the dense
+        # per-entry arrays + per-bucket params with on-device gathers (the
+        # host ships ~3x fewer bytes; bit-identical to the host expansion)
+        pop, ep = d["pop"], d["entry_pop"]
+        d = dict(d)
+        d["entry_kind"] = pop["kind"][ep]
+        d["entry_rule"] = pop["rule"][ep]
+        d["entry_aa"] = pop["aa"][ep]
+        d["entry_paint_kind"] = pop["paint_kind"][ep]
+        d["entry_paint"] = pop["paint"][ep]
+        d["entry_scissor"] = pop["scissor"][ep]
+        if d.get("bucket_pteb") is not None:
+            from vgtpu.ops.composite_pallas import build_bucket_params_jnp
+
+            d["bucket_params"] = tuple(
+                build_bucket_params_jnp(
+                    te, d["entry_kind"], d["entry_rule"], d["entry_aa"],
+                    d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
+                    d["entry_color_tile"], d["entry_tile"], entry_backdrop,
+                    tile_h=tile_h, tile_w=tile_w, ntx=ntx)
+                for te, _ids in d["tile_buckets"])
     fb = frame_fb(
         chunk_pools, entry_backdrop, d, background,
         num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
@@ -109,6 +131,7 @@ _COMPOSITE_KEYS = (
     "tile_buckets", "entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
     "entry_paint", "entry_scissor", "entry_color_tile", "color_tiles",
     "bucket_params", "bucket_cts", "cov_map", "bucket_pteb",
+    "pop", "entry_pop", "entry_tile",
 )
 
 
@@ -158,6 +181,14 @@ def plan_to_device(plan: FramePlan) -> dict:
     }
     aux_host, bucket_ctile = _coverage_composite_aux_host(plan)
     host.update(aux_host)
+    if "pop" in aux_host:
+        # dedup upload: the jitted frame gathers the per-entry expansions +
+        # per-bucket params from these compact tables on device (frame_fb),
+        # so the dense copies never cross the host->device link (~3x fewer
+        # bytes on typical frames)
+        for k in ("entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
+                  "entry_paint", "entry_scissor"):
+            del host[k]
     d = jax.device_put(host)
     d["chunk_entry_num"] = plan.entry_backdrop.shape[0]
     d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
@@ -199,12 +230,16 @@ def _coverage_composite_aux_host(plan: FramePlan):
         return {}, None
     from vgtpu.ops.coverage import build_cov_gather_map
 
+    pop_host = {}
+    if plan.pop is not None:
+        pop_host = {"pop": plan.pop, "entry_pop": plan.entry_pop,
+                    "entry_tile": plan.entry_tile}
     if plan.supersample > 1:
         # supersampled frames take the XLA composite (the Pallas kernel's
         # VMEM/layout budget assumes one sub-row per row); the coverage
         # gather map still applies
         m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
-        return {"cov_map": m}, None
+        return {"cov_map": m, **pop_host}, None
     from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
@@ -212,7 +247,10 @@ def _coverage_composite_aux_host(plan: FramePlan):
     dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
     params, ptebs, ctiles = [], [], []
     for te_b, _ids, flags in plan.tile_buckets:
-        pp, _unused = build_bucket_aux(plan, te_b, need_ct=False)
+        if plan.pop is None:
+            # no compact tables (numpy binner): params build on host
+            pp, _unused = build_bucket_aux(plan, te_b, need_ct=False)
+            params.append(pp)
         nbp = _pad_tiles(te_b.shape[0])
         te_p = te_b
         if nbp != te_b.shape[0]:
@@ -226,13 +264,14 @@ def _coverage_composite_aux_host(plan: FramePlan):
             ctiles.append(np.where(ctile >= 0, ctile, nct).astype(np.int32))
         else:
             ctiles.append(None)
-        params.append(pp)
         ptebs.append(pteb)
     host = {
         "cov_map": m,
-        "bucket_params": tuple(params),
         "bucket_pteb": tuple(ptebs),
+        **pop_host,
     }
+    if params:
+        host["bucket_params"] = tuple(params)
     return host, tuple(ctiles)
 
 
