@@ -230,11 +230,14 @@ def test_indexed_tri_list_batched_10k():
     vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols), idx, len(idx), None)
     assert len(ctx.ops) == 1 and ctx.ops[0].tri_paints.shape[0] == n
 
-    # warm record timing
-    vg.begin(ctx, 0, 256, 256, 1.0)
-    t0 = time.perf_counter()
-    vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols), idx, len(idx), None)
-    dt = (time.perf_counter() - t0) * 1e3
+    # warm record timing: best of 3 (wall-clock asserts lose to suite-load
+    # contention otherwise)
+    dt = float("inf")
+    for _ in range(3):
+        vg.begin(ctx, 0, 256, 256, 1.0)
+        t0 = time.perf_counter()
+        vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols), idx, len(idx), None)
+        dt = min(dt, (time.perf_counter() - t0) * 1e3)
     assert dt < 5.0, f"10k-tri record took {dt:.2f} ms"
     vg.end(ctx, background=(0, 0, 0, 1))
     img = np.asarray(ctx.frame_image)

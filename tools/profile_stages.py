@@ -2,9 +2,12 @@
 """Per-stage device timing of the benchmark frame (chained-loop method, see
 raster/benchloop.py for why naive dispatch timing lies on the axon tunnel).
 
-Stages:
-  coverage   = chunk coverage kernels + segment-sum accumulate (+backdrop)
-  composite  = bucketed painter scan + shading + blending (given entry_w)
+Profiles the PRODUCTION TPU path piecewise (falls back to the XLA stages on
+other platforms):
+  coverage   = chunk coverage kernels + extras fold (cov_all_resolved)
+  gather     = per-bucket ew_t gathers from chunk coverage
+  composite  = fused Pallas painter kernels (given pre-gathered ew_t)
+  scatter    = per-bucket fb untranspose + tile scatter + tiles_to_image
   frame      = the whole pipeline (what bench.py reports)
 
 Run from the repo root: python tools/profile_stages.py
@@ -19,14 +22,28 @@ import time
 import numpy as np
 
 
+def _expand_pop(d):
+    """Dense per-entry arrays from the compact pseudo-op tables (host-side
+    mirror of _frame_fn's device expansion) so stage loops can use them."""
+    import jax.numpy as jnp
+
+    if d.get("pop") is None:
+        return d
+    d = dict(d)
+    pop, ep = d["pop"], d["entry_pop"]
+    for k, dk in (("kind", "entry_kind"), ("rule", "entry_rule"),
+                  ("aa", "entry_aa"), ("paint_kind", "entry_paint_kind"),
+                  ("paint", "entry_paint"), ("scissor", "entry_scissor")):
+        d[dk] = jnp.asarray(pop[k])[ep]
+    return d
+
+
 def main() -> None:
     sys.path.insert(0, ".")
     import jax
     import jax.numpy as jnp
 
     import vgtpu as vg
-    from vgtpu.ops.composite import composite_bucketed_body
-    from vgtpu.ops.coverage import entry_coverage_from_pools
     from vgtpu.scenes.demo_ui import draw_benchmark_frame
 
     ctx = vg.createContext()
@@ -36,36 +53,15 @@ def main() -> None:
     plan = ctx.last_plan
     d = ctx.last_device_arrays
     th, tw = plan.tile_h, plan.tile_w
+    npx = th * tw
     ne = d["entry_backdrop"].shape[0]
     nt = plan.tile_entries.shape[0]
     bg = jnp.asarray(np.array([0.12, 0.12, 0.13, 1.0], np.float32))
 
-    from vgtpu.raster.frame import composite_arrays, composite_dispatch, coverage_dispatch
+    from vgtpu.raster.frame import composite_arrays
 
-    dd = composite_arrays(d)
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def cov_loop(pools, backdrop, n):
-        def body(i, eps):
-            p = tuple((ce + eps, cent) for ce, cent in pools)
-            w = coverage_dispatch(p, dd, ne, th, tw) + backdrop[:, :, None]
-            return jnp.sum(w[:, 0, 0]) * 1e-9
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    entry_w0 = entry_coverage_from_pools(d["chunk_pools"], ne, th, tw) + d["entry_backdrop"][:, :, None]
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def comp_loop(entry_w, n):
-        def body(i, eps):
-            fb = composite_dispatch(
-                entry_w + eps, dd, bg,
-                ntx=plan.ntx, tile_h=th, tile_w=tw, num_tiles=nt,
-                bucket_flags=d["bucket_flags"],
-            )
-            return jnp.sum(fb[:, 0, 0, 3]) * 1e-9
-
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    dd = _expand_pop(composite_arrays(d))
+    fused = dd.get("bucket_pteb") is not None
 
     def timeit(fn, *args):
         lo, hi = 3, 24
@@ -78,8 +74,107 @@ def main() -> None:
         t2 = time.perf_counter()
         return ((t2 - t1) - (t1 - t0)) / (hi - lo) * 1e3
 
-    cov_ms = timeit(cov_loop, d["chunk_pools"], d["entry_backdrop"])
-    comp_ms = timeit(comp_loop, entry_w0)
+    # ---- stage: coverage (kernels + extras fold) ----
+    from vgtpu.ops.coverage import cov_all_resolved, entry_coverage_from_pools
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def cov_loop(pools, n):
+        def body(i, eps):
+            p = tuple((ce + eps, cent) for ce, cent in pools)
+            if fused:
+                cov = cov_all_resolved(p, dd["cov_map"], th, tw)
+            else:
+                cov = entry_coverage_from_pools(p, ne, th, tw).reshape(-1, npx)
+            return jnp.sum(cov[:, 0]) * 1e-9
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    cov_ms = timeit(cov_loop, d["chunk_pools"])
+
+    gather_ms = comp_ms = scatter_ms = float("nan")
+    if fused:
+        cov_all0 = cov_all_resolved(d["chunk_pools"], dd["cov_map"], th, tw)
+        ptebs = dd["bucket_pteb"]
+
+        # ---- stage: per-bucket ew gathers ----
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def gather_loop(cov_all, n):
+            def body(i, eps):
+                acc = eps
+                for pteb in ptebs:
+                    ew_t = jnp.transpose((cov_all + eps)[pteb], (1, 2, 0))
+                    acc = acc + jnp.sum(ew_t[:, 0, :]) * 1e-9
+                return acc
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        gather_ms = timeit(gather_loop, cov_all0)
+
+        # ---- stage: fused composite kernels (pre-gathered inputs) ----
+        from vgtpu.ops.composite_pallas import composite_bucket_pallas, _pad_tiles
+
+        ew_ts = tuple(
+            jnp.transpose(cov_all0[pteb], (1, 2, 0)) for pteb in ptebs)
+        bg_vec = jnp.repeat(bg, npx)[:, None]
+        params = dd.get("bucket_params")
+        if params is None:
+            from vgtpu.ops.composite_pallas import build_bucket_params_jnp
+
+            params = tuple(
+                build_bucket_params_jnp(
+                    jnp.asarray(te), dd["entry_kind"], dd["entry_rule"],
+                    dd["entry_aa"], dd["entry_paint_kind"], dd["entry_scissor"],
+                    dd["entry_paint"], dd["entry_color_tile"], dd["entry_tile"],
+                    d["entry_backdrop"], tile_h=th, tile_w=tw, ntx=plan.ntx)
+                for te, _ids in dd["tile_buckets"])
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def comp_loop(ew_ts, params, n):
+            def body(i, eps):
+                acc = eps
+                for ew_t, pp, ct, fl in zip(ew_ts, params, dd["bucket_cts"],
+                                            d["bucket_flags"]):
+                    fb_t = composite_bucket_pallas(
+                        ew_t + eps, pp, ct, bg_vec, npx=npx, tile_w=tw,
+                        flags=tuple(fl), add_backdrop=True)
+                    acc = acc + jnp.sum(fb_t[0, :]) * 1e-9
+                return acc
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        comp_ms = timeit(comp_loop, ew_ts, params)
+
+        # ---- stage: fb untranspose + scatter + image assembly ----
+        from vgtpu.ops.composite import tiles_to_image
+
+        fb_ts = tuple(
+            composite_bucket_pallas(ew_t, pp, ct, bg_vec, npx=npx, tile_w=tw,
+                                    flags=tuple(fl), add_backdrop=True)
+            for ew_t, pp, ct, fl in zip(ew_ts, params, dd["bucket_cts"],
+                                        d["bucket_flags"]))
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def scatter_loop(fb_ts, n):
+            def body(i, eps):
+                fb = jnp.broadcast_to(bg, (nt + 1, th, tw, 4)).astype(jnp.float32)
+                for fb_t, (te_b, ids_b) in zip(fb_ts, dd["tile_buckets"]):
+                    nb = fb_t.shape[1]
+                    nbp = _pad_tiles(te_b.shape[0])
+                    ids = ids_b
+                    if nbp != te_b.shape[0]:
+                        ids = jnp.concatenate(
+                            [ids_b, jnp.full((nbp - te_b.shape[0],), nt, ids_b.dtype)])
+                    fb_b = jnp.transpose(
+                        (fb_t + eps).reshape(4, th, tw, nb), (3, 1, 2, 0))
+                    fb = fb.at[ids].set(fb_b)
+                img = tiles_to_image(fb[:nt], ntx=plan.ntx, nty=plan.nty,
+                                     tile_h=th, tile_w=tw,
+                                     width=plan.width, height=plan.height)
+                return jnp.sum(img[..., 3]) * 1e-9
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        scatter_ms = timeit(scatter_loop, fb_ts)
 
     from vgtpu.raster.benchloop import measure_device_ms_per_frame
 
@@ -88,8 +183,11 @@ def main() -> None:
     print(f"platform      : {jax.devices()[0].platform}")
     print(f"stats         : {plan.stats}")
     print(f"buckets       : {[(te.shape, fl) for te, ids, fl in plan.tile_buckets]}")
+    print(f"pools         : {[tuple(ce.shape) for ce, _ in plan.chunk_pools]}")
     print(f"coverage ms   : {cov_ms:.3f}")
+    print(f"gather ms     : {gather_ms:.3f}")
     print(f"composite ms  : {comp_ms:.3f}")
+    print(f"scatter ms    : {scatter_ms:.3f}")
     print(f"frame ms      : {frame_ms:.3f}")
 
 

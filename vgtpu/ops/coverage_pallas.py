@@ -155,23 +155,91 @@ def _kernel_t(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int,
     out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "interpret"))
+def _kernel_t2(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int,
+               unroll: int = 1):
+    """Row-structured variant of _kernel_t: every y-slab quantity (ytop, h,
+    x(ytop), m*h, s*h) depends only on the pixel ROW, so it is computed as a
+    cheap (1, BC) lane vector per row; only the x-ramp clamp/integration runs
+    at full (TW, BC) width.  ~17 full-width VPU ops per edge-slot-pixel vs
+    ~25 for the flat kernel (measured -20% on the benchmark pools).
+    Bit-exact vs _kernel_t: same expressions, same order, per pixel."""
+    j = pl.program_id(1)
+
+    colf = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0).astype(jnp.float32)
+    px1 = colf + 1.0                       # (TW, 1): lane-broadcasts
+
+    # per-edge lane params for the step's unrolled edges (all (1, BC))
+    params = []
+    for k in range(unroll):
+        row = (j * unroll + k) * 4
+        x0 = edges_ref[pl.ds(row, 1), :]
+        y0 = edges_ref[pl.ds(row + 1, 1), :]
+        x1 = edges_ref[pl.ds(row + 2, 1), :]
+        y1 = edges_ref[pl.ds(row + 3, 1), :]
+        ymin = jnp.minimum(y0, y1)
+        ymax = jnp.maximum(y0, y1)
+        s = jnp.sign(y1 - y0)
+        dy = y1 - y0
+        m = (x1 - x0) / jnp.where(jnp.abs(dy) < 1e-6, 1.0, dy)
+        steep = jnp.abs(m) < 0.01
+        b_gen = jnp.where(steep, 0.0, s / jnp.where(steep, 1.0, m))
+        params.append((x0, y0, ymin, ymax, s, m, steep, b_gen))
+
+    for r in range(tile_h):
+        acc = None
+        for (x0, y0, ymin, ymax, s, m, steep, b_gen) in params:
+            # per-(row, edge) lane vectors
+            ytop = jnp.maximum(ymin, float(r))
+            h = jnp.maximum(jnp.minimum(ymax, float(r + 1)) - ytop, 0.0)
+            xr = x0 + m * (ytop - y0)      # x at the slab top
+            mh = m * h
+            a_vert = jnp.where(steep, s * h, 0.0)
+            # full-width (TW, BC) part
+            u0 = px1 - xr
+            u1 = u0 - mh
+            c0 = jnp.clip(u0, 0.0, 1.0)
+            c1 = jnp.clip(u1, 0.0, 1.0)
+            g0 = c0 * (u0 - 0.5 * c0)
+            g1 = c1 * (u1 - 0.5 * c1)
+            contrib = (g0 - g1) * b_gen + a_vert * c0
+            acc = contrib if acc is None else acc + contrib
+
+        sl = pl.ds(r * tile_w, tile_w)
+
+        @pl.when(j == 0)
+        def _(sl=sl, acc=acc):
+            out_ref[sl, :] = acc
+
+        @pl.when(j != 0)
+        def _(sl=sl, acc=acc):
+            out_ref[sl, :] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tile_h", "tile_w", "interpret", "unroll", "variant"))
 def coverage_chunks_pallas_t_raw(
     chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
-    interpret: bool = False,
+    interpret: bool = False, unroll: int = 0, variant: str = "row",
 ) -> jax.Array:
     """Transposed-layout kernel, raw (NPX, NC) output (no relayout — callers
-    fuse the transpose into their reduction)."""
+    fuse the transpose into their reduction).  variant 'row' = row-structured
+    _kernel_t2 (default, fastest), 'flat' = the original _kernel_t."""
     nc, ch, _ = chunk_edges.shape
     bc = _largest_divisor(nc, 256)
     npx = tile_h * tile_w
-    # Two edges per grid step halve Mosaic's per-step sequencing + output-RMW
-    # overhead (measured -14% on the benchmark chunk pools).
-    unroll = 2 if ch % 2 == 0 else 1
+    # Several edges per grid step cut Mosaic's per-step sequencing +
+    # output-RMW overhead.  Measured on the benchmark pools (ms, 2048x24 /
+    # 4096x6 / 8192x2): u4 wins for ch=24 (0.45 vs 0.49 u2 / 0.59 u1), u3~u1
+    # for ch=6 (0.18 vs 0.31 u2), u2 for ch=2 (0.18 vs 0.20 u1); u>=6 loses
+    # everywhere (register pressure).  unroll=0 picks by that table.
+    if unroll == 0:
+        unroll = next((u for u in (4, 3, 2) if ch % u == 0), 1)
+    kern = _kernel_t2 if variant == "row" else _kernel_t
     # (NC, CH, 4) -> (CH*4, NC): per-edge params along lanes
     edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
     return pl.pallas_call(
-        functools.partial(_kernel_t, ch=ch, tile_h=tile_h, tile_w=tile_w,
+        functools.partial(kern, ch=ch, tile_h=tile_h, tile_w=tile_w,
                           unroll=unroll),
         out_shape=jax.ShapeDtypeStruct((npx, nc), jnp.float32),
         grid=(nc // bc, ch // unroll),

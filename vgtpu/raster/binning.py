@@ -143,7 +143,43 @@ def compute_tile_buckets(
     whole tile with an opaque solid NonZero fill (no edges in the tile, every
     backdrop row winding >= 1, full-tile scissor) overwrites everything below
     it, so earlier entries in that tile are dropped.  Deeply stacked opaque
-    artwork (the tiger) collapses to the visible top layers."""
+    artwork (the tiger) collapses to the visible top layers.
+
+    STATIC CLIP resolution (also plan-gated): clip commit/reset are global
+    control entries present in every tile, but in a tile with NO clip-add
+    entry their effect is static — the accumulator is zero, so commit(In)
+    pins the mask to 0 (draws until the next control are fully clipped) and
+    commit(Out)/reset pin it to 1 (no-ops).  Such tiles drop all control
+    entries plus the statically-clipped draws; only tiles actually touched
+    by a clip shape keep the dynamic mask lanes (this is what keeps the
+    fused composite's clip lanes out of ~99% of tiles on clipped frames)."""
+    if plan is not None and tile_entries.size:
+        te0 = tile_entries
+        e0 = np.maximum(te0, 0)
+        v0 = te0 >= 0
+        kind0 = np.where(v0, entry_kind[e0], K_DRAW)
+        rows = ~((kind0 == K_CLIP_ADD) & v0).any(axis=1)
+        if rows.any():
+            k = kind0[rows]
+            v = v0[rows]
+            is_commit = (k == K_CLIP_COMMIT) & v
+            ctrl = is_commit | ((k == K_CLIP_RESET) & v)
+            rule = plan.entry_rule[e0[rows]]
+            # mask value AFTER each control entry: commit(In)=0, else 1
+            setval = np.where(is_commit & (rule == 0), 0, 1)
+            pos = np.broadcast_to(np.arange(te0.shape[1])[None, :], k.shape)
+            last = np.maximum.accumulate(np.where(ctrl, pos, -1), axis=1)
+            mval = np.where(
+                last >= 0,
+                np.take_along_axis(setval, np.maximum(last, 0), axis=1), 1)
+            # mask in effect BEFORE each entry = state set by the prior control
+            mprev = np.concatenate(
+                [np.ones((k.shape[0], 1), mval.dtype), mval[:, :-1]], axis=1)
+            keep = v & (k == K_DRAW) & (mprev == 1)
+            te0 = te0.copy()
+            te0[rows] = np.where(keep, te0[rows], -1)
+            tile_entries = te0
+
     if entry_kind is not None and tile_entries.size:
         te = tile_entries
         kinds = np.where(te >= 0, entry_kind[np.maximum(te, 0)], -1)

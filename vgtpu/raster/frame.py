@@ -99,7 +99,10 @@ def _frame_fn(
     if d.get("pop") is not None:
         # dedup upload: expand the compact per-pseudo-op tables to the dense
         # per-entry arrays + per-bucket params with on-device gathers (the
-        # host ships ~3x fewer bytes; bit-identical to the host expansion)
+        # host ships ~3x fewer bytes; bit-identical to the host expansion).
+        # On the fused TPU path the params were already expanded ONCE at
+        # upload time (_expand_params_on_device); the dense entry arrays
+        # below are then dead code that XLA eliminates at compile.
         pop, ep = d["pop"], d["entry_pop"]
         d = dict(d)
         d["entry_kind"] = pop["kind"][ep]
@@ -108,7 +111,7 @@ def _frame_fn(
         d["entry_paint_kind"] = pop["paint_kind"][ep]
         d["entry_paint"] = pop["paint"][ep]
         d["entry_scissor"] = pop["scissor"][ep]
-        if d.get("bucket_pteb") is not None:
+        if d.get("bucket_pteb") is not None and d.get("bucket_params") is None:
             from vgtpu.ops.composite_pallas import build_bucket_params_jnp
 
             d["bucket_params"] = tuple(
@@ -163,6 +166,7 @@ def plan_to_device(plan: FramePlan) -> dict:
         plan.tile_buckets = compute_tile_buckets(
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
         )
+    _compact_culled_chunks(plan)
     host = {
         "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
         "entry_backdrop": plan.entry_backdrop,
@@ -202,7 +206,64 @@ def plan_to_device(plan: FramePlan) -> dict:
             ct_t_from_color_tiles(ct_flat, jnp.asarray(ids)) if ids is not None else None
             for ids in bucket_ctile
         )
+    if d.get("bucket_pteb") is not None and d.get("pop") is not None:
+        d["bucket_params"] = _expand_params_on_device(
+            d["pop"], d["entry_pop"], d["entry_color_tile"], d["entry_tile"],
+            d["entry_backdrop"], tuple(te for te, _ids in d["tile_buckets"]),
+            tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx)
     return d
+
+
+def _compact_culled_chunks(plan: FramePlan) -> None:
+    """Drop chunks whose entry no bucket references (occlusion / static-clip
+    culled draws): their coverage would be computed and never gathered.
+    Pads pools to 128-chunk multiples (the Pallas kernel's lane constraint);
+    pad chunks are all-zero edges -> exactly zero coverage by the binning
+    invariant, so pointing them at any entry is harmless."""
+    if plan.stats.get("chunks_compacted"):
+        return
+    plan.stats["chunks_compacted"] = True
+    ne = plan.entry_backdrop.shape[0]
+    ref = np.zeros(ne, bool)
+    for te_b, _ids, _fl in plan.tile_buckets:
+        ref[te_b[te_b >= 0]] = True
+    new_pools = []
+    live = 0
+    for ce, cent in plan.chunk_pools:
+        ce = np.asarray(ce)
+        cent = np.asarray(cent)
+        keep = (cent >= 0) & (cent < ne) & ref[np.clip(cent, 0, ne - 1)]
+        ce2, cent2 = ce[keep], cent[keep]
+        live += len(ce2)
+        nc = max(-(-len(ce2) // 128) * 128, 128)
+        cep = np.zeros((nc,) + ce.shape[1:], ce.dtype)
+        cep[: len(ce2)] = ce2
+        centp = np.full(nc, ne - 1, cent.dtype)
+        centp[: len(cent2)] = cent2
+        new_pools.append((cep, centp))
+    plan.stats["chunks_live"] = live
+    plan.chunk_pools = new_pools
+
+
+@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "ntx"))
+def _expand_params_on_device(pop, entry_pop, entry_color_tile, entry_tile,
+                             entry_backdrop, te_list, *, tile_h, tile_w, ntx):
+    """One-time (upload-time) expansion of the compact pseudo-op tables into
+    the fused composite's per-bucket params — keeps the per-frame program
+    free of the ~0.3 ms params rebuild (the arrays are plan-static)."""
+    from vgtpu.ops.composite_pallas import build_bucket_params_jnp
+
+    ek = pop["kind"][entry_pop]
+    er = pop["rule"][entry_pop]
+    ea = pop["aa"][entry_pop]
+    epk = pop["paint_kind"][entry_pop]
+    ep = pop["paint"][entry_pop]
+    esc = pop["scissor"][entry_pop]
+    return tuple(
+        build_bucket_params_jnp(
+            te, ek, er, ea, epk, esc, ep, entry_color_tile, entry_tile,
+            entry_backdrop, tile_h=tile_h, tile_w=tile_w, ntx=ntx)
+        for te in te_list)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))
