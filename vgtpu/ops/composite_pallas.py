@@ -159,6 +159,160 @@ def _block_tiles(nb: int) -> int:
     return 128 if nb % 128 == 0 else nb
 
 
+def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
+                 flags: tuple, add_backdrop: bool = False):
+    """Row-structured painter step (the production TPU variant): the pixel
+    grid is processed one tile row at a time on (TW, BT) slices, so every
+    y-only quantity — the per-row backdrop (no jnp.repeat relayout), the
+    scissor y-test, the gradient/tri-paint y-terms — is a cheap (1, BT) lane
+    vector.  Expression order matches _kernel per pixel, so the output is
+    bit-identical (tests/test_composite_pallas.py compares both)."""
+    has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa, has_scissor = flags
+    if has_tex:
+        ct_ref, out_ref = rest[0], rest[1]
+        scratch = rest[2:]
+    else:
+        out_ref = rest[0]
+        scratch = rest[1:]
+    mask_ref = scratch[0] if has_clip else None
+    accum_ref = scratch[1] if has_clip else None
+
+    j = pl.program_id(1)
+    bt = out_ref.shape[1]
+    th = npx // tile_w
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.broadcast_to(bg_ref[:], (4 * npx, bt))
+        if has_clip:
+            mask_ref[:] = jnp.ones((npx, bt), jnp.float32)
+            accum_ref[:] = jnp.zeros((npx, bt), jnp.float32)
+
+    pp = pp_ref[0]                         # (NPP, BT)
+
+    def row(k):
+        return pp[k : k + 1, :]            # (1, BT), static slice
+
+    valid = row(_P_VALID)
+    kind = row(_P_KIND)
+    rule = row(_P_RULE)
+    aa = row(_P_AA)
+    pk = row(_P_PK)
+
+    colf = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0)
+    pxl = colf.astype(jnp.float32) + 0.5   # tile-local pixel-center columns
+
+    # per-slot lane vectors hoisted out of the row loop
+    inner_r = row(_P_PAINT + 10)
+    inner_g = row(_P_PAINT + 11)
+    inner_b = row(_P_PAINT + 12)
+    inner_a = row(_P_PAINT + 13)
+    if has_tex:
+        is_quad_tex = pk == float(P_TEXTURE)
+        use_ct = (row(_P_CTILE) > 0) & (is_quad_tex | (pk == float(P_IMAGE)))
+    if has_grad:
+        is_grad = pk == float(P_GRADIENT)
+        feather = jnp.maximum(row(_P_PAINT + 9), 1e-6)
+    if has_tri:
+        is_tri = pk == float(P_TRI)
+    if has_clip:
+        is_draw = (valid > 0) & (kind == float(K_DRAW))
+        is_cadd = (valid > 0) & (kind == float(K_CLIP_ADD))
+        is_ccommit = (valid > 0) & (kind == float(K_CLIP_COMMIT))
+        is_creset = (valid > 0) & (kind == float(K_CLIP_RESET))
+
+    for r in range(th):
+        sl = pl.ds(r * tile_w, tile_w)
+        pyl = float(r) + 0.5               # scalar row center
+
+        w = ew_ref[0][r * tile_w : (r + 1) * tile_w, :]   # (TW, BT)
+        if add_backdrop:
+            w = w + row(_P_BD + r)
+        cov = jnp.minimum(jnp.abs(w), 1.0)
+        if has_eo:
+            cov_eo = 1.0 - jnp.abs(jnp.mod(w, 2.0) - 1.0)
+            cov = jnp.where(rule == 0, cov, cov_eo)
+        if has_noaa:
+            cov = jnp.where(aa != 0, cov, (cov >= 0.5).astype(jnp.float32))
+        if has_tex:
+            cov = jnp.where(is_quad_tex, 1.0, cov)
+        if has_scissor:
+            ox = row(_P_OX)
+            oy = row(_P_OY)
+            inside_y = (pyl >= row(_P_SC + 1) - oy) & (pyl < row(_P_SC + 3) - oy)
+            inside = (
+                (pxl >= row(_P_SC) - ox)
+                & inside_y
+                & (pxl < row(_P_SC + 2) - ox)
+            )
+            cov = cov * inside.astype(jnp.float32)
+
+        col_r, col_g, col_b, col_a = inner_r, inner_g, inner_b, inner_a
+        if has_grad or has_tri:
+            ox = row(_P_OX)
+            oy = row(_P_OY)
+            pxc = pxl + ox                 # (TW, BT) screen-space centers
+            pyc = pyl + oy                 # (1, BT)
+        if has_grad:
+            m0, m1, m2 = row(_P_PAINT + 0), row(_P_PAINT + 1), row(_P_PAINT + 2)
+            m3, m4, m5 = row(_P_PAINT + 3), row(_P_PAINT + 4), row(_P_PAINT + 5)
+            ux = m0 * pxc + m2 * pyc + m4
+            uy = m1 * pxc + m3 * pyc + m5
+            ex = row(_P_PAINT + 6)
+            ey = row(_P_PAINT + 7)
+            rad = row(_P_PAINT + 8)
+            dx = jnp.abs(ux) - (ex - rad)
+            dy = jnp.abs(uy) - (ey - rad)
+            mx = jnp.maximum(dx, 0.0)
+            my = jnp.maximum(dy, 0.0)
+            sd = jnp.minimum(jnp.maximum(dx, dy), 0.0) + jnp.sqrt(mx * mx + my * my) - rad
+            d = jnp.clip((sd + feather * 0.5) / feather, 0.0, 1.0)
+            col_r = jnp.where(is_grad, inner_r * (1.0 - d) + row(_P_PAINT + 14) * d, col_r)
+            col_g = jnp.where(is_grad, inner_g * (1.0 - d) + row(_P_PAINT + 15) * d, col_g)
+            col_b = jnp.where(is_grad, inner_b * (1.0 - d) + row(_P_PAINT + 16) * d, col_b)
+            col_a = jnp.where(is_grad, inner_a * (1.0 - d) + row(_P_PAINT + 17) * d, col_a)
+        if has_tri:
+            col_r = jnp.where(is_tri, row(_P_PAINT + 0) * pxc + row(_P_PAINT + 4) * pyc + row(_P_PAINT + 8), col_r)
+            col_g = jnp.where(is_tri, row(_P_PAINT + 1) * pxc + row(_P_PAINT + 5) * pyc + row(_P_PAINT + 9), col_g)
+            col_b = jnp.where(is_tri, row(_P_PAINT + 2) * pxc + row(_P_PAINT + 6) * pyc + row(_P_PAINT + 10), col_b)
+            col_a = jnp.where(is_tri, row(_P_PAINT + 3) * pxc + row(_P_PAINT + 7) * pyc + row(_P_PAINT + 11), col_a)
+
+        if has_tex:
+            ct = ct_ref[0]                 # (4*NPX, BT) channel-major
+            r0 = r * tile_w
+            src_r = jnp.where(use_ct, ct[r0 : r0 + tile_w, :], col_r * col_a)
+            src_g = jnp.where(use_ct, ct[npx + r0 : npx + r0 + tile_w, :], col_g * col_a)
+            src_b = jnp.where(use_ct, ct[2 * npx + r0 : 2 * npx + r0 + tile_w, :], col_b * col_a)
+            src_a = jnp.where(use_ct, ct[3 * npx + r0 : 3 * npx + r0 + tile_w, :], col_a)
+        else:
+            src_r = col_r * col_a
+            src_g = col_g * col_a
+            src_b = col_b * col_a
+            src_a = col_a
+
+        if has_clip:
+            c = jnp.where(is_draw, cov, 0.0) * mask_ref[sl, :]
+        else:
+            c = jnp.where(valid > 0, cov, 0.0)
+        a = src_a * c
+        one_minus_a = 1.0 - a
+        out_ref[sl, :] = src_r * c + out_ref[sl, :] * one_minus_a
+        sg = pl.ds(npx + r * tile_w, tile_w)
+        out_ref[sg, :] = src_g * c + out_ref[sg, :] * one_minus_a
+        sb = pl.ds(2 * npx + r * tile_w, tile_w)
+        out_ref[sb, :] = src_b * c + out_ref[sb, :] * one_minus_a
+        sa = pl.ds(3 * npx + r * tile_w, tile_w)
+        out_ref[sa, :] = a + out_ref[sa, :] * one_minus_a
+
+        if has_clip:
+            accum = jnp.where(is_cadd, accum_ref[sl, :] + cov, accum_ref[sl, :])
+            inside_f = (accum > 0.5).astype(jnp.float32)
+            committed = jnp.where(rule == 0, inside_f, 1.0 - inside_f)
+            mask_ref[sl, :] = jnp.where(
+                is_creset, 1.0, jnp.where(is_ccommit, committed, mask_ref[sl, :]))
+            accum_ref[sl, :] = jnp.where(is_ccommit, 0.0, accum)
+
+
 def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
             flags: tuple, add_backdrop: bool = False):
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa, has_scissor = flags
@@ -299,7 +453,8 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("npx", "tile_w", "flags", "add_backdrop", "interpret"),
+    static_argnames=("npx", "tile_w", "flags", "add_backdrop", "interpret",
+                     "variant"),
 )
 def composite_bucket_pallas(
     ew_t: jax.Array,        # (MO, NPX, Nb)
@@ -312,12 +467,14 @@ def composite_bucket_pallas(
     flags: tuple,
     add_backdrop: bool = False,
     interpret: bool = False,
+    variant: str = "rows",
 ) -> jax.Array:
     """One bucket's painter scan fused in one kernel -> fb_t (4*NPX, Nb)."""
     mo, _, nb = ew_t.shape
     bt = _block_tiles(nb)
     has_tex = flags[2]
     has_clip = flags[3]
+    kern = _kernel_rows if variant == "rows" else _kernel
 
     in_specs = [
         pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
@@ -337,7 +494,7 @@ def composite_bucket_pallas(
             pltpu.VMEM((npx, bt), jnp.float32),
         ]
     return pl.pallas_call(
-        functools.partial(_kernel, npx=npx, tile_w=tile_w, mo=mo, flags=flags,
+        functools.partial(kern, npx=npx, tile_w=tile_w, mo=mo, flags=flags,
                           add_backdrop=add_backdrop),
         out_shape=jax.ShapeDtypeStruct((4 * npx, nb), jnp.float32),
         grid=(nb // bt, mo),

@@ -153,8 +153,9 @@ def _next_bucket(n: int, minimum: int = 8) -> int:
 def _cov_all(chunk_pools, tile_h: int, tile_w: int) -> jax.Array:
     """All pools' per-chunk coverage as ONE (NC+1, NPX) array (last row is
     the all-zeros 'dead chunk' that chunkless entries index).  Pools with
-    lane-aligned chunk counts take the transposed Pallas kernel on TPU; the
-    backend choice is trace-time (platform is static under jit)."""
+    lane-aligned chunk counts take the chunk-major Pallas kernel on TPU
+    (writes (NC, NPX) directly — no HBM transpose pass); the backend choice
+    is trace-time (platform is static under jit)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
@@ -163,15 +164,13 @@ def _cov_all(chunk_pools, tile_h: int, tile_w: int) -> jax.Array:
     covs = []
     for ce, _cent in chunk_pools:
         if on_tpu and ce.shape[0] % 128 == 0 and ce.shape[0] >= 128:
-            from vgtpu.ops.coverage_pallas import coverage_chunks_pallas_t_raw
+            from vgtpu.ops.coverage_pallas import coverage_chunks_pallas_rt_raw
 
-            covs.append(coverage_chunks_pallas_t_raw(ce, tile_h, tile_w))
+            covs.append(coverage_chunks_pallas_rt_raw(ce, tile_h, tile_w))
         else:
-            covs.append(
-                jnp.transpose(coverage_chunks_body(ce, tile_h, tile_w).reshape(-1, npx), (1, 0))
-            )
-    covs.append(jnp.zeros((npx, 1), jnp.float32))       # dead chunk row
-    return jnp.transpose(jnp.concatenate(covs, axis=1), (1, 0))  # (NC+1, NPX)
+            covs.append(coverage_chunks_body(ce, tile_h, tile_w).reshape(-1, npx))
+    covs.append(jnp.zeros((1, npx), jnp.float32))       # dead chunk row
+    return jnp.concatenate(covs, axis=0)                # (NC+1, NPX)
 
 
 def cov_all_resolved(chunk_pools, cov_map: dict, tile_h: int, tile_w: int) -> jax.Array:

@@ -251,6 +251,87 @@ def coverage_chunks_pallas_t_raw(
     )(edges_t)
 
 
+def _kernel_t2_rt(edges_ref, out_ref, *, ch: int, tile_h: int, tile_w: int,
+                  unroll: int = 1):
+    """_kernel_t2 with a transposed OUTPUT layout: each row's (TW, BC)
+    contribution is transposed in VMEM and written to a (BC, NPX) block, so
+    the caller gets chunk-major (NC, NPX) coverage directly — the 53 MB
+    HBM concat+transpose the (NPX, NC) layout needed downstream disappears
+    (measured net -0.15 ms on the benchmark pools)."""
+    j = pl.program_id(1)
+    colf = jax.lax.broadcasted_iota(jnp.int32, (tile_w, 1), 0).astype(jnp.float32)
+    px1 = colf + 1.0
+
+    params = []
+    for k in range(unroll):
+        row = (j * unroll + k) * 4
+        x0 = edges_ref[pl.ds(row, 1), :]
+        y0 = edges_ref[pl.ds(row + 1, 1), :]
+        x1 = edges_ref[pl.ds(row + 2, 1), :]
+        y1 = edges_ref[pl.ds(row + 3, 1), :]
+        ymin = jnp.minimum(y0, y1)
+        ymax = jnp.maximum(y0, y1)
+        s = jnp.sign(y1 - y0)
+        dy = y1 - y0
+        m = (x1 - x0) / jnp.where(jnp.abs(dy) < 1e-6, 1.0, dy)
+        steep = jnp.abs(m) < 0.01
+        b_gen = jnp.where(steep, 0.0, s / jnp.where(steep, 1.0, m))
+        params.append((x0, y0, ymin, ymax, s, m, steep, b_gen))
+
+    for r in range(tile_h):
+        acc = None
+        for (x0, y0, ymin, ymax, s, m, steep, b_gen) in params:
+            ytop = jnp.maximum(ymin, float(r))
+            h = jnp.maximum(jnp.minimum(ymax, float(r + 1)) - ytop, 0.0)
+            xr = x0 + m * (ytop - y0)
+            mh = m * h
+            a_vert = jnp.where(steep, s * h, 0.0)
+            u0 = px1 - xr
+            u1 = u0 - mh
+            c0 = jnp.clip(u0, 0.0, 1.0)
+            c1 = jnp.clip(u1, 0.0, 1.0)
+            g0 = c0 * (u0 - 0.5 * c0)
+            g1 = c1 * (u1 - 0.5 * c1)
+            contrib = (g0 - g1) * b_gen + a_vert * c0
+            acc = contrib if acc is None else acc + contrib
+        accT = jnp.transpose(acc, (1, 0))   # (BC, TW)
+        sl = pl.ds(r * tile_w, tile_w)
+
+        @pl.when(j == 0)
+        def _(sl=sl, accT=accT):
+            out_ref[:, sl] = accT
+
+        @pl.when(j != 0)
+        def _(sl=sl, accT=accT):
+            out_ref[:, sl] += accT
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_h", "tile_w", "interpret", "unroll"))
+def coverage_chunks_pallas_rt_raw(
+    chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
+    interpret: bool = False, unroll: int = 0,
+) -> jax.Array:
+    """Row-structured kernel with chunk-major output: (NC, CH, 4) -> (NC, NPX)."""
+    nc, ch, _ = chunk_edges.shape
+    bc = _largest_divisor(nc, 128)
+    npx = tile_h * tile_w
+    if unroll == 0:
+        unroll = next((u for u in (4, 3, 2) if ch % u == 0), 1)
+    edges_t = jnp.transpose(chunk_edges, (1, 2, 0)).reshape(ch * 4, nc)
+    return pl.pallas_call(
+        functools.partial(_kernel_t2_rt, ch=ch, tile_h=tile_h, tile_w=tile_w,
+                          unroll=unroll),
+        out_shape=jax.ShapeDtypeStruct((nc, npx), jnp.float32),
+        grid=(nc // bc, ch // unroll),
+        in_specs=[
+            pl.BlockSpec((ch * 4, bc), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bc, npx), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(edges_t)
+
+
 def coverage_chunks_pallas_t(
     chunk_edges: jax.Array, tile_h: int = 8, tile_w: int = 128,
     interpret: bool = False,
