@@ -44,6 +44,9 @@ class ContextConfig:
                                            # matmuls); False = host numpy sampler
     frame_memo: bool = True                # re-recorded identical frames reuse the
                                            # resident device plan (skip bin/sample/upload)
+    incremental_bin: bool = True           # per-op bin-piece cache: re-recorded frames
+                                           # re-bin only ops whose content changed
+                                           # (raster/binning.bin_frame_incremental)
     coverage_supersample: int = 1          # y-supersampling factor (1/2/4/8): >1 applies
                                            # the fill rule per sub-row for conflation-free
                                            # self-intersection coverage (the reference's

@@ -272,6 +272,8 @@ class Context:
         with prof.stage("finalize"):
             self._finalize_ops()
         with prof.stage("bin"):
+            if self.cfg.incremental_bin and not hasattr(self, "_bin_cache"):
+                self._bin_cache = {}
             plan = bin_frame(
                 self.ops,
                 self.fb_width,
@@ -281,7 +283,10 @@ class Context:
                 chunk=self.cfg.edges_per_chunk,
                 pools=self.cfg.chunk_pools,
                 supersample=self.cfg.coverage_supersample,
+                bin_cache=self._bin_cache if self.cfg.incremental_bin else None,
             )
+            if self.cfg.incremental_bin:
+                prof.count("bin_hits", self._bin_cache.get("hits", 0))
         with prof.stage("textures"):
             self._fill_textures(plan)
         self.last_plan = plan

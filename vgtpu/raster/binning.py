@@ -351,6 +351,181 @@ def scale_ops_y(ops: list[RasterOp], ss: int) -> list[RasterOp]:
     return out
 
 
+def _op_bin_key(op: RasterOp) -> tuple:
+    """Content key for one op's binning result: everything the native binner
+    reads from the op (geometry, paint rows, scissor, flags).  Frame-level
+    parameters (canvas size, tile shape, pools, supersample) are part of the
+    cache's meta key, not repeated per op."""
+    import zlib
+
+    def crc(a, c=0):
+        if a is None:
+            return c
+        if not a.flags.c_contiguous:
+            a = np.ascontiguousarray(a)
+        return zlib.crc32(a, c)
+
+    return (
+        op.kind, op.fill_rule, bool(op.aa), op.paint_kind, op.image_id,
+        op.scissor,
+        crc(op.edges), crc(op.tex_quads), crc(op.tri_paints), crc(op.paint),
+    )
+
+
+def _raw_op_offsets(raw: dict, ops: list[RasterOp]) -> dict:
+    """Per-op boundaries into a raw bin result: entry, pseudo-op, and
+    per-pool chunk offsets (all op-contiguous by binner construction)."""
+    counts = np.array(
+        [len(op.tri_paints) if op.tri_paints is not None else 1 for op in ops],
+        np.int64)
+    p_off = np.concatenate([[0], np.cumsum(counts)])
+    entry_op = raw["entry_op"]
+    e_off = np.searchsorted(entry_op, p_off)
+    c_offs = []
+    for _ce, cent in raw["chunk_pools"]:
+        c_op = entry_op[cent] if len(cent) else np.zeros(0, np.int64)
+        c_offs.append(np.searchsorted(c_op, p_off))
+    return {"e": e_off, "p": p_off, "c": c_offs}
+
+
+_RAW_ENTRY_KEYS = ("entry_tile", "entry_backdrop", "entry_kind", "entry_rule",
+                   "entry_aa", "entry_paint_kind", "entry_paint",
+                   "entry_scissor", "entry_image")
+_POP_KEYS = ("kind", "rule", "aa", "paint_kind", "paint", "scissor")
+
+
+def bin_frame_incremental(ops, width, height, tile_h, tile_w, pools,
+                          cache: dict):
+    """Native binning with a frame-over-frame run cache: ops positionally
+    identical to the previous frame reuse that frame's binning result as
+    contiguous slices; only changed ops go through the native binner.  The
+    practical retained-scene path (ROUND_NOTES): a mostly-static re-recorded
+    frame re-bins only what moved (~3x cheaper than a full bin at 7% churn
+    on the benchmark scene).  Falls back to a full native bin — while still
+    priming the cache — when the op count changes (scene-graph edits) or the
+    native backend is unavailable (returns None)."""
+    from vgtpu import native
+
+    if not native.available():
+        return None
+    meta = (width, height, tile_h, tile_w, tuple(pools))
+    keys = [_op_bin_key(op) for op in ops]
+    prev_keys = cache.get("keys")
+    match = (np.array([a == b for a, b in zip(keys, prev_keys)], bool)
+             if (cache.get("meta") == meta and prev_keys is not None
+                 and len(prev_keys) == len(ops) and len(ops))
+             else np.zeros(len(ops), bool))
+    cache["hits"] = int(match.sum())
+
+    if not match.any():
+        raw = native.bin_frame_native(ops, width, height, tile_h, tile_w, pools)
+        if raw is None:
+            return None
+    else:
+        prev_raw, prev_off = cache["raw"], cache["off"]
+        misses = np.nonzero(~match)[0]
+        if len(misses):
+            raw_new = native.bin_frame_native(
+                [ops[i] for i in misses], width, height, tile_h, tile_w, pools)
+            if raw_new is None:
+                return None
+            new_off = _raw_op_offsets(raw_new, [ops[i] for i in misses])
+            # position of op i within the miss batch
+            miss_pos = np.full(len(ops), -1, np.int64)
+            miss_pos[misses] = np.arange(len(misses))
+        # segments: maximal runs of same-source ops, each one slice per array
+        segs = []       # (src_raw, src_off, src_i0, src_i1) in op units
+        i = 0
+        while i < len(ops):
+            j = i
+            if match[i]:
+                while j < len(ops) and match[j]:
+                    j += 1
+                segs.append((prev_raw, prev_off, i, j))
+            else:
+                while j < len(ops) and not match[j]:
+                    j += 1
+                segs.append((raw_new, new_off, int(miss_pos[i]),
+                             int(miss_pos[j - 1]) + 1))
+            i = j
+
+        def seg_cat(get_slice, shapes):
+            parts = [get_slice(*s) for s in segs]
+            parts = [p for p in parts if len(p)]
+            if not parts:
+                return np.zeros(shapes[0], shapes[1])
+            return np.concatenate(parts, axis=0)
+
+        raw = {}
+        for k in _RAW_ENTRY_KEYS:
+            tail = {"entry_backdrop": (tile_h,), "entry_paint": (PAINT_NF,),
+                    "entry_scissor": (4,)}.get(k, ())
+            dt = (np.float32 if k in ("entry_backdrop", "entry_paint",
+                                      "entry_scissor") else np.int32)
+            raw[k] = seg_cat(
+                lambda r, o, a, b, k=k: r[k][o["e"][a] : o["e"][b]],
+                ((0,) + tail, dt))
+        # entry_op / pop: rebase each segment by the output pop offset
+        out_p = np.concatenate(
+            [[0], np.cumsum([o["p"][b] - o["p"][a] for _r, o, a, b in segs])])
+        parts = []
+        for si, (r, o, a, b) in enumerate(segs):
+            sl = r["entry_op"][o["e"][a] : o["e"][b]]
+            if len(sl):
+                parts.append(sl + np.int32(out_p[si] - o["p"][a]))
+        raw["entry_op"] = (np.concatenate(parts) if parts
+                           else np.zeros(0, np.int32))
+        raw["pop"] = {}
+        for k in _POP_KEYS:
+            tail = {"paint": (PAINT_NF,), "scissor": (4,)}.get(k, ())
+            dt = np.float32 if k in ("paint", "scissor") else np.int32
+            raw["pop"][k] = seg_cat(
+                lambda r, o, a, b, k=k: r["pop"][k][o["p"][a] : o["p"][b]],
+                ((0,) + tail, dt))
+        # chunk pools: rebase entry ids by the output entry offset
+        out_e = np.concatenate(
+            [[0], np.cumsum([o["e"][b] - o["e"][a] for _r, o, a, b in segs])])
+        raw["chunk_pools"] = []
+        for pi, ch in enumerate(pools):
+            eparts, cparts = [], []
+            for si, (r, o, a, b) in enumerate(segs):
+                c0, c1 = o["c"][pi][a], o["c"][pi][b]
+                if c1 > c0:
+                    ce, cent = r["chunk_pools"][pi]
+                    eparts.append(ce[c0:c1])
+                    cparts.append(cent[c0:c1]
+                                  + np.int32(out_e[si] - o["e"][a]))
+            raw["chunk_pools"].append((
+                np.concatenate(eparts) if eparts
+                else np.zeros((0, int(ch), 4), np.float32),
+                np.concatenate(cparts) if cparts else np.zeros(0, np.int32),
+            ))
+        n_entries = int(out_e[-1])
+        raw["n_entries"] = n_entries
+        # per-tile draw-ordered table (entry index order IS draw order)
+        T = (-(-width // tile_w)) * (-(-height // tile_h))
+        et = raw["entry_tile"].astype(np.int64)
+        max_ops = int(np.bincount(et, minlength=T).max()) if n_entries else 0
+        MO = _bucket_pow2(max(max_ops, 1), minimum=4)
+        tile_entries = np.full((T, MO), -1, np.int32)
+        if n_entries:
+            order = np.lexsort((np.arange(n_entries), et))
+            sorted_tiles = et[order]
+            first = np.concatenate([[True], sorted_tiles[1:] != sorted_tiles[:-1]])
+            firsts_idx = np.nonzero(first)[0]
+            grp = np.cumsum(first) - 1
+            pos = np.arange(n_entries) - firsts_idx[grp]
+            tile_entries[sorted_tiles, pos] = order.astype(np.int32)
+        raw["tile_entries"] = tile_entries
+        raw["max_ops"] = MO
+
+    cache["meta"] = meta
+    cache["keys"] = keys
+    cache["raw"] = raw
+    cache["off"] = _raw_op_offsets(raw, ops)
+    return raw
+
+
 def bin_frame(
     ops: list[RasterOp],
     width: int,
@@ -362,6 +537,7 @@ def bin_frame(
     backend: str = "auto",
     pools: tuple = (2, 6, 24),
     supersample: int = 1,
+    bin_cache: dict | None = None,
 ) -> FramePlan:
     """Coarse-rasterize a frame.  backend: 'auto' uses the native C++ engine
     when built (vgtpu/native), 'numpy' forces the reference implementation
@@ -398,7 +574,12 @@ def bin_frame(
     if backend == "auto":
         from vgtpu import native
 
-        raw = native.bin_frame_native(ops, width, h_ss, th_ss, tile_w, pools)
+        raw = None
+        if bin_cache is not None:
+            raw = bin_frame_incremental(
+                ops, width, h_ss, th_ss, tile_w, pools, bin_cache)
+        if raw is None:
+            raw = native.bin_frame_native(ops, width, h_ss, th_ss, tile_w, pools)
         if raw is not None:
             return remap(_assemble_native(raw, width, h_ss, th_ss, tile_w, color_tiles))
     return remap(bin_frame_numpy(expand_tri_batches(ops), width, h_ss, th_ss,
