@@ -194,3 +194,44 @@ def test_atlas_grow_bumps_generation():
     g0 = atlas.generation
     atlas._grow()
     assert atlas.generation == g0 + 1
+
+
+class _StubFont:
+    """Deterministic rasterizer: size-px square filled with a name hash."""
+
+    def rasterize(self, name, size, pad=1):
+        n = int(size)
+        bm = np.full((n, n), (hash(name) % 200) + 30, np.uint8)
+        return bm, 0, -n, n, n, float(n)
+
+
+def test_atlas_gc_compaction(monkeypatch):
+    """A max-size atlas that overflows compacts: glyphs used this frame or
+    the last keep their pixels (relocated, no re-rasterization), stale ones
+    are evicted, and the generation bump rebakes cached strings (the
+    reference's frame() keeps only the biggest atlas, vg.cpp:1290-1328)."""
+    from vgtpu.fonts import fontstash
+
+    monkeypatch.setattr(fontstash, "ATLAS_INITIAL", 64)
+    monkeypatch.setattr(fontstash, "ATLAS_MAX", 64)
+    at = fontstash.GlyphAtlas()
+    f = _StubFont()
+    hot = at.get_or_bake(0, f, "hot", 1, 16.0)
+    hot_pixels = at.bitmap[hot.atlas_y : hot.atlas_y + 16,
+                           hot.atlas_x : hot.atlas_x + 16].copy()
+    gen0 = at.generation
+
+    gid = 100
+    for _frame in range(6):
+        at.get_or_bake(0, f, "hot", 1, 16.0)      # keep the hot glyph alive
+        for _ in range(4):                        # churn unique stale glyphs
+            at.get_or_bake(0, f, f"g{gid}", gid, 16.0)
+            gid += 1
+        at.end_frame()
+
+    assert at.generation > gen0                   # compaction happened
+    gi = at.glyphs[(0, fontstash.glyph_code(1, 160))]
+    assert np.array_equal(
+        at.bitmap[gi.atlas_y : gi.atlas_y + 16, gi.atlas_x : gi.atlas_x + 16],
+        hot_pixels)
+    assert (0, fontstash.glyph_code(100, 160)) not in at.glyphs  # evicted

@@ -102,6 +102,7 @@ class GlyphInfo:
     xoff: int
     yoff: int
     advance: float
+    last_used: int = 0   # frame counter stamp (atlas GC)
 
 
 def glyph_code(glyph_id: int, size10: int, blur: int = 0) -> int:
@@ -114,8 +115,13 @@ class GlyphAtlas:
 
     def __init__(self) -> None:
         self.revision = 0    # bumped on ANY pixel change (device-upload key)
+        self.frame = 0       # app-frame counter (Context.frame -> end_frame)
         self.reset(ATLAS_INITIAL)
         self.generation = 0
+
+    def end_frame(self) -> None:
+        """Per-app-frame housekeeping hook (vg::frame semantics)."""
+        self.frame += 1
 
     def reset(self, size: int) -> None:
         self.size = size
@@ -143,21 +149,29 @@ class GlyphAtlas:
         key = (font_idx, code)
         gi = self.glyphs.get(key)
         if gi is not None:
+            gi.last_used = self.frame
             return gi
 
         bitmap, x0, y0, w, h, adv = font.rasterize(glyph_name, size_px, pad=GLYPH_PAD)
         if bitmap is None:
-            gi = GlyphInfo(0, 0, 0, 0, 0, 0, adv)
+            gi = GlyphInfo(0, 0, 0, 0, 0, 0, adv, last_used=self.frame)
             self.glyphs[key] = gi
             return gi
 
         spot = self.packer.add_rect(w + 1, h + 1)
+        compacted = False
         while spot is None:
             if self.size * 2 <= ATLAS_MAX:
                 self._grow()
+            elif not compacted:
+                # full at max size: compact — keep recently-used glyph pixels,
+                # evict the stale ones (the reference's frame() keeps the
+                # biggest atlas and drops the rest, vg.cpp:1290-1328; keeping
+                # the hot set avoids a re-rasterization spike)
+                self._compact()
+                compacted = True
             else:
-                # full at max size: reset (fonsResetAtlas) — callers notice
-                # via the generation bump and rebake their strings
+                # hot set alone fills the atlas: full reset (fonsResetAtlas)
                 self.generation += 1
                 self.reset(self.size)
             spot = self.packer.add_rect(w + 1, h + 1)
@@ -166,9 +180,33 @@ class GlyphAtlas:
         ax, ay = spot
         self.bitmap[ay : ay + h, ax : ax + w] = bitmap
         self._mark_dirty(ax, ay, w, h)
-        gi = GlyphInfo(ax, ay, w, h, x0, y0, adv)
+        gi = GlyphInfo(ax, ay, w, h, x0, y0, adv, last_used=self.frame)
         self.glyphs[key] = gi
         return gi
+
+    def _compact(self) -> None:
+        """Repack only glyphs used this frame or the last into a fresh
+        skyline (tallest-first), copying their pixels — stale glyphs are
+        evicted.  Bumps the generation (baked strings rebake: their UVs
+        moved), like the reference's atlas reallocation."""
+        self.generation += 1
+        keep = {k: gi for k, gi in self.glyphs.items()
+                if gi.last_used >= self.frame - 1}
+        old_bitmap = self.bitmap
+        self.reset(self.size)
+        for k, gi in sorted(keep.items(),
+                            key=lambda kv: -kv[1].h):
+            if gi.w == 0:
+                self.glyphs[k] = gi     # metrics-only glyph: no rect
+                continue
+            spot = self.packer.add_rect(gi.w + 1, gi.h + 1)
+            if spot is None:
+                continue                # hot set overflow: drop (rebakes)
+            ax, ay = spot
+            self.bitmap[ay : ay + gi.h, ax : ax + gi.w] = old_bitmap[
+                gi.atlas_y : gi.atlas_y + gi.h, gi.atlas_x : gi.atlas_x + gi.w]
+            gi.atlas_x, gi.atlas_y = ax, ay
+            self.glyphs[k] = gi
 
     def _grow(self) -> None:
         """Double the atlas, keeping content (allocTextAtlas grows the same

@@ -145,8 +145,10 @@ class FontSystem:
                                  self.atlas.revision)}
 
     def end_frame(self) -> None:
-        """frame() housekeeping (reference GCs extra atlases, vg.cpp:1290-1328;
-        a single growing atlas needs none)."""
+        """frame() housekeeping (reference GCs extra atlases keeping the
+        biggest, vg.cpp:1290-1328): advances the atlas frame counter that
+        drives last-use glyph eviction when a max-size atlas overflows."""
+        self.atlas.end_frame()
 
 
 # ---------------------------------------------------------------------------
