@@ -110,3 +110,54 @@ def test_incremental_end_to_end_pixels():
     _scene(cold, 0.7)
     img_cold = np.asarray(vg.end(cold, background=(1, 1, 1, 1)))
     assert np.array_equal(img_inc, img_cold)
+
+
+def test_incremental_fuzz_random_mutations():
+    """Randomized frame sequences (op moves, paint changes, insertions,
+    deletions — including op-count changes that force the full-bin fallback)
+    stay array-identical to fresh binning."""
+    rng = np.random.default_rng(7)
+    ctx = vg.createContext()
+    cache: dict = {}
+
+    def frame(params):
+        vg.begin(ctx, 0, 256, 128, 1.0)
+        for kind, x, y, r, col in params:
+            vg.beginPath(ctx)
+            if kind == 0:
+                vg.circle(ctx, x, y, r)
+            elif kind == 1:
+                vg.rect(ctx, x, y, r * 2, r)
+            else:
+                vg.moveTo(ctx, x, y)
+                vg.lineTo(ctx, x + r, y + r)
+                vg.lineTo(ctx, x - r, y + r)
+                vg.closePath(ctx)
+            if int(col) % 3 == 0:
+                vg.strokePath(ctx, vg.color4ub(int(col) % 256, 80, 20, 255),
+                              2.0, vg.StrokeFlags.ButtMiterAA)
+            else:
+                vg.fillPath(ctx, vg.color4ub(int(col) % 256, 100, 50, 200),
+                            vg.FillFlags.ConcaveNonZeroAA)
+        ctx._finalize_ops()
+
+    params = [(int(rng.integers(0, 3)), float(rng.uniform(10, 240)),
+               float(rng.uniform(10, 110)), float(rng.uniform(4, 24)),
+               int(rng.integers(0, 999))) for _ in range(12)]
+    for step in range(8):
+        # mutate: move one, recolor one, sometimes insert/delete
+        i = int(rng.integers(0, len(params)))
+        k, x, y, r, c = params[i]
+        params[i] = (k, x + float(rng.uniform(-5, 5)), y, r, c)
+        j = int(rng.integers(0, len(params)))
+        k, x, y, r, c = params[j]
+        params[j] = (k, x, y, r, int(rng.integers(0, 999)))
+        if step == 3:
+            params.append((0, 100.0, 60.0, 15.0, 5))
+        if step == 5:
+            params.pop(2)
+        frame(params)
+        fresh = bin_frame(ctx.ops, ctx.fb_width, ctx.fb_height)
+        inc = bin_frame(ctx.ops, ctx.fb_width, ctx.fb_height, bin_cache=cache)
+        for a, b in zip(_plan_arrays(fresh), _plan_arrays(inc)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), step

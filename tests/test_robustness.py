@@ -295,3 +295,32 @@ def test_dpr2_feature_matrix():
     a = img2.reshape(45, 4, 65, 4, 4).mean(axis=(1, 3))
     b = img1.reshape(45, 4, 65, 4, 4).mean(axis=(1, 3))
     assert np.abs(a - b).mean() < 0.02
+
+
+def test_tile_depth_cap():
+    """Composite depth is capped at ContextConfig.max_ops_per_tile_cap: tiles
+    deeper than the cap keep the LAST cap draws (painter order) and warn."""
+    import warnings
+
+    import numpy as np
+
+    from vgtpu.api.config import ContextConfig
+
+    def draw(ctx, n0, n):
+        vg.begin(ctx, 0, 128, 64, 1.0)
+        for i in range(n0, n):
+            vg.beginPath(ctx)
+            vg.rect(ctx, 0, 0, 128, 64)
+            vg.fillPath(ctx, vg.color4ub(40 + 5 * i, 30, 200 - 9 * i, 60),
+                        vg.FillFlags.ConvexAA)
+        return np.asarray(vg.end(ctx, background=(1, 1, 1, 1)))
+
+    capped_ctx = vg.createContext(cfg=ContextConfig(max_ops_per_tile_cap=8))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        img_capped = draw(capped_ctx, 0, 12)
+    assert any("depth" in str(x.message) for x in w)
+
+    ref_ctx = vg.createContext(cfg=ContextConfig(max_ops_per_tile_cap=8))
+    img_last8 = draw(ref_ctx, 4, 12)   # only the last 8 draws
+    assert np.allclose(img_capped, img_last8, atol=1e-6)

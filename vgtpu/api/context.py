@@ -284,6 +284,7 @@ class Context:
                 pools=self.cfg.chunk_pools,
                 supersample=self.cfg.coverage_supersample,
                 bin_cache=self._bin_cache if self.cfg.incremental_bin else None,
+                depth_cap=self.cfg.max_ops_per_tile_cap,
             )
             if self.cfg.incremental_bin:
                 prof.count("bin_hits", self._bin_cache.get("hits", 0))

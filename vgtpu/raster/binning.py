@@ -118,6 +118,8 @@ class FramePlan:
     entry_pop: np.ndarray | None = None  # (NE,) i32 pseudo-op id (pad rows -> pad id)
     n_real_entries: int = 0
     n_real_chunks: int = 0
+    depth_cap: int = 256     # max composite painter slots per tile (see
+                             # ContextConfig.max_ops_per_tile_cap)
     # y-supersampling factor: >1 means all y geometry (edges, quads, scissors,
     # backdrops, tile_h) is in sub-row units; height stays in real pixels and
     # the composite averages ss sub-rows per output row after rule application
@@ -233,6 +235,28 @@ def compute_tile_buckets(
             order = np.argsort(tile_entries < 0, axis=1, kind="stable")
             tile_entries = np.take_along_axis(tile_entries, order, axis=1)
     counts = (tile_entries >= 0).sum(axis=1)
+    cap = plan.depth_cap if plan is not None else 0
+    if cap and (counts > cap).any():
+        # hard safety cap on composite depth (ContextConfig.max_ops_per_tile_cap):
+        # keep the LAST cap entries per overflowing tile — later draws paint
+        # over earlier ones, so the dropped tail is the most-occluded content.
+        # The reference has no depth limit (it draws triangles), but unbounded
+        # painter depth here means unbounded kernel slots; degrade loudly.
+        import warnings
+
+        warnings.warn(
+            f"tile op depth {int(counts.max())} exceeds cap {cap}; "
+            f"dropping oldest entries in {int((counts > cap).sum())} tiles",
+            RuntimeWarning, stacklevel=2)
+        pos = np.arange(tile_entries.shape[1])[None, :]
+        keep = (tile_entries >= 0) & (pos >= (counts - cap)[:, None])
+        tile_entries = np.where(keep, tile_entries, -1)
+        order = np.argsort(tile_entries < 0, axis=1, kind="stable")
+        tile_entries = np.take_along_axis(tile_entries, order, axis=1)
+        tile_entries = tile_entries[:, :cap]
+        counts = (tile_entries >= 0).sum(axis=1)
+        if plan is not None:
+            plan.stats["depth_capped_tiles"] = int((counts >= cap).sum())
     width = tile_entries.shape[1]
 
     # per-tile feature signature: tiles whose entries are all simple
@@ -538,6 +562,7 @@ def bin_frame(
     pools: tuple = (2, 6, 24),
     supersample: int = 1,
     bin_cache: dict | None = None,
+    depth_cap: int = 256,
 ) -> FramePlan:
     """Coarse-rasterize a frame.  backend: 'auto' uses the native C++ engine
     when built (vgtpu/native), 'numpy' forces the reference implementation
@@ -567,6 +592,7 @@ def bin_frame(
                 valid, orig_of[np.maximum(plan.entry_op, 0)], plan.entry_op)
         plan.height = height
         plan.supersample = ss
+        plan.depth_cap = depth_cap
         if ss > 1 and plan.color_tiles.shape[1] != tile_h:
             plan.color_tiles = np.zeros((1, tile_h, tile_w, 4), np.float32)
         return plan
