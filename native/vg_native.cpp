@@ -34,7 +34,7 @@ struct ChunkSOA {
     size_t size() const { return entry.size(); }
 };
 
-static const int MAX_POOLS = 4;
+static const int MAX_POOLS = 6;
 
 inline int ifloordiv(double a, double b) { return (int)std::floor(a / b); }
 
@@ -44,9 +44,9 @@ extern "C" {
 
 struct BinResult {
     // chunk pools (one per chunk size; see vg_bin_frame pool_sizes)
-    float*   chunk_edges[4]; // n_chunks[p] * pool_sizes[p] * 4
-    int32_t* chunk_entry[4]; // n_chunks[p]
-    int64_t  n_chunks[4];
+    float*   chunk_edges[6]; // n_chunks[p] * pool_sizes[p] * 4
+    int32_t* chunk_entry[6]; // n_chunks[p]
+    int64_t  n_chunks[6];
     int32_t  n_pools;
     // entries
     int32_t* entry_tile;
@@ -66,7 +66,7 @@ struct BinResult {
 };
 
 void vg_free_result(BinResult* r) {
-    for (int p = 0; p < 4; ++p) { std::free(r->chunk_edges[p]); std::free(r->chunk_entry[p]); }
+    for (int p = 0; p < MAX_POOLS; ++p) { std::free(r->chunk_edges[p]); std::free(r->chunk_entry[p]); }
     std::free(r->entry_tile); std::free(r->entry_backdrop);
     std::free(r->entry_kind); std::free(r->entry_rule); std::free(r->entry_aa);
     std::free(r->entry_paint_kind); std::free(r->entry_paint);

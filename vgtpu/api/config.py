@@ -35,7 +35,7 @@ class ContextConfig:
     tile_h: int = 8                        # one f32 VPU tile = 8 sublanes
     tile_w: int = 128                      # x 128 lanes
     edges_per_chunk: int = 8               # numpy-oracle chunk size
-    chunk_pools: tuple = (2, 6, 24)        # native binner chunk-size pools
+    chunk_pools: tuple = (2, 4, 8, 24)     # native binner chunk-size pools
     max_ops_per_tile_cap: int = 256        # hard safety cap on composite depth
     tess_tol: float = 0.25                 # tessellation tolerance in px (vg.cpp:763)
     fringe: float = 1.0                    # AA fringe reference width in px (vg.cpp:764)

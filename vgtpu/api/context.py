@@ -1126,6 +1126,13 @@ class Context:
 # ---------------------------------------------------------------------------
 
 def createContext(allocator=None, cfg: ContextConfig | None = None) -> Context:
+    """vg::createContext (vg.cpp:717).  `allocator` exists for signature
+    parity and is unused (JAX owns device memory); passing a ContextConfig
+    positionally is treated as the config rather than silently ignored."""
+    if isinstance(allocator, ContextConfig):
+        if cfg is not None:
+            raise TypeError("createContext got two ContextConfigs")
+        cfg = allocator
     return Context(cfg)
 
 

@@ -23,9 +23,9 @@ _tried = False
 
 class _BinResult(ctypes.Structure):
     _fields_ = [
-        ("chunk_edges", ctypes.POINTER(ctypes.c_float) * 4),
-        ("chunk_entry", ctypes.POINTER(ctypes.c_int32) * 4),
-        ("n_chunks", ctypes.c_int64 * 4),
+        ("chunk_edges", ctypes.POINTER(ctypes.c_float) * 6),
+        ("chunk_entry", ctypes.POINTER(ctypes.c_int32) * 6),
+        ("n_chunks", ctypes.c_int64 * 6),
         ("n_pools", ctypes.c_int32),
         ("entry_tile", ctypes.POINTER(ctypes.c_int32)),
         ("entry_backdrop", ctypes.POINTER(ctypes.c_float)),
@@ -137,7 +137,7 @@ def _lp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
-def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
+def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 4, 8, 24)):
     """Run the native binner; returns raw (unpadded) result dict or None."""
     lib = get_lib()
     if lib is None:
@@ -201,6 +201,9 @@ def bin_frame_native(ops, width, height, tile_h, tile_w, pools=(2, 6, 24)):
 
     res = _BinResult()
     pool_arr = np.asarray(pools, np.int32)
+    if len(pool_arr) > 6:
+        raise ValueError(
+            f"at most 6 chunk pools supported (native MAX_POOLS), got {len(pool_arr)}")
     rc = lib.vg_bin_frame(
         _fp(edges), _lp(edge_off), _fp(tquads), _lp(quad_off),
         _ip(kind), _ip(rule), _ip(aa), _ip(pk),
