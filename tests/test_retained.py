@@ -1,0 +1,115 @@
+"""Device-resident retained-scene panning (raster/retained.py): a baked
+scene rendered at an integer view offset must match re-recording the frame
+with the inverse translate and rendering directly — across whole-tile and
+sub-tile residuals, both signs, fills (both rules), strokes, gradients,
+clip groups, scissors, and tri batches."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import vgtpu as vg
+from vgtpu.raster.retained import RetainedScene
+
+W, H = 384, 160
+
+
+def _scene(ctx):
+    # background card
+    vg.beginPath(ctx)
+    vg.roundedRect(ctx, 8, 8, 200, 120, 12)
+    vg.fillPath(ctx, vg.color4ub(40, 90, 160, 255), vg.FillFlags.ConvexAA)
+    # self-intersecting star, even-odd
+    vg.beginPath(ctx)
+    pts = [(60 + 50 * np.cos(a), 70 + 50 * np.sin(a))
+           for a in np.linspace(-np.pi / 2, 1.5 * np.pi, 6)[:-1][::2].repeat(1)]
+    star = [(60 + 50 * np.cos(-np.pi / 2 + k * 4 * np.pi / 5),
+             70 + 50 * np.sin(-np.pi / 2 + k * 4 * np.pi / 5)) for k in range(5)]
+    vg.moveTo(ctx, *star[0])
+    for p in star[1:]:
+        vg.lineTo(ctx, *p)
+    vg.closePath(ctx)
+    vg.fillPath(ctx, vg.color4ub(250, 200, 40, 200), vg.FillFlags.ConcaveEvenOddAA)
+    # gradient bar
+    g = vg.createLinearGradient(ctx, 220, 20, 360, 20,
+                                vg.color4ub(255, 0, 80, 255),
+                                vg.color4ub(0, 220, 255, 255))
+    vg.beginPath(ctx)
+    vg.rect(ctx, 220, 20, 140, 40)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    # stroked curve
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 230, 90)
+    vg.cubicTo(ctx, 260, 60, 320, 140, 360, 100)
+    vg.strokePath(ctx, vg.color4ub(240, 240, 240, 255), 3.0,
+                  vg.StrokeFlags.RoundRoundAA)
+    # clipped checker under scissor
+    vg.pushState(ctx)
+    vg.setScissor(ctx, 20, 96, 160, 40)
+    vg.beginClip(ctx, vg.ClipRule.In)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 80, 116, 30)
+    vg.endClip(ctx)
+    for i in range(4):
+        vg.beginPath(ctx)
+        vg.rect(ctx, 30 + i * 30, 100, 20, 32)
+        vg.fillPath(ctx, vg.color4ub(30 + 60 * i, 200, 90, 255),
+                    vg.FillFlags.ConvexAA)
+    vg.resetClip(ctx)
+    vg.popState(ctx)
+    # tri batch (color wheel wedge)
+    pos = np.array([[300, 120], [340, 120], [320, 150]], np.float32)
+    col = np.array([vg.color4ub(255, 0, 0, 255), vg.color4ub(0, 255, 0, 255),
+                    vg.color4ub(0, 0, 255, 255)], np.uint32)
+    vg.indexedTriList(ctx, pos, None, 3, col, 3,
+                      np.array([0, 1, 2], np.uint16), 3, None)
+
+
+def _bake(background=(0.1, 0.1, 0.12, 1.0)):
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene(ctx)
+    return RetainedScene.bake(ctx, background=background)
+
+
+def _direct(view, background=(0.1, 0.1, 0.12, 1.0)):
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    vg.pushState(ctx)
+    vg.transformTranslate(ctx, -view[0], -view[1])
+    _scene(ctx)
+    vg.popState(ctx)
+    return np.asarray(vg.end(ctx, background=background))
+
+
+VIEWS = [(0, 0), (37, 5), (128, 8), (129, 9), (-45, -13), (300, 100),
+         (-127, -7), (5, -3)]
+
+
+@pytest.mark.parametrize("view", VIEWS)
+def test_pan_matches_direct(view):
+    scene = _bake()
+    got = np.asarray(scene.render(*view))
+    want = _direct(view)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pan_off_scene_is_background():
+    scene = _bake()
+    img = np.asarray(scene.render(5000, 5000))
+    bg = np.asarray([0.1, 0.1, 0.12, 1.0], np.float32)
+    np.testing.assert_allclose(img, np.broadcast_to(bg, img.shape), atol=1e-6)
+
+
+def test_textured_rejected():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    img_data = np.zeros((8, 8, 4), np.uint8)
+    h = vg.createImage(ctx, 8, 8, 0, img_data)
+    p = vg.createImagePattern(ctx, 0, 0, 8, 8, 0.0, h)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 32, 32)
+    vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+    with pytest.raises(NotImplementedError):
+        RetainedScene.bake(ctx)

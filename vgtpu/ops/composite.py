@@ -73,6 +73,7 @@ def composite_tiles_body(
     max_ops: int,
     lane_flags: tuple = (True, True, True, True, True, True, True),
     ss: int = 1,
+    origin_shift=None,
 ) -> jax.Array:
     """Returns (T, TH_OUT, TW, 4) premultiplied RGBA tiles (TH_OUT =
     tile_h // ss).  Unjitted body so the sharded renderer (vgtpu/parallel)
@@ -86,7 +87,12 @@ def composite_tiles_body(
     ss > 1: winding/coverage/clip live on tile_h SUB-rows; the fill rule,
     AA select, scissor and clip mask apply per sub-row, then coverage
     averages down to output rows before shading + blending — self-
-    intersection pixels get mesh-equivalent (conflation-free) alpha in y."""
+    intersection pixels get mesh-equivalent (conflation-free) alpha in y.
+
+    origin_shift = traced (sx, sy) scalars added to the pixel positions used
+    for scissor / gradient / tri shading — the sub-tile residual of a
+    retained-scene pan (raster/retained.py), where each output tile shows its
+    scene tile's content shifted left/up by (sx, sy)."""
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags[:6]
     has_scissor = lane_flags[6] if len(lane_flags) > 6 else True
     th_out = tile_h // ss
@@ -94,6 +100,9 @@ def composite_tiles_body(
     tid = tile_ids.astype(jnp.int32)
     ox = ((tid % ntx) * tile_w).astype(jnp.float32)
     oy = ((tid // ntx) * tile_h).astype(jnp.float32)
+    if origin_shift is not None:
+        ox = ox + origin_shift[0]
+        oy = oy + origin_shift[1]
     ix = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1)
     iy = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0)
     # sub-row sample centers, scaled space: (T, TH, TW) — scissors are scaled
@@ -263,6 +272,7 @@ def composite_bucketed_body(
     num_tiles: int,
     bucket_flags: tuple | None = None,
     ss: int = 1,
+    origin_shift=None,
 ):
     """Composite with tiles grouped by op-count bucket: each group scans only
     as many painter slots as its busiest tile needs; op-free tiles never run.
@@ -286,7 +296,7 @@ def composite_bucketed_body(
             entry_paint[ef], entry_scissor[ef], entry_color_tile[ef],
             color_tiles, background,
             ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=mo,
-            lane_flags=tuple(flags), ss=ss,
+            lane_flags=tuple(flags), ss=ss, origin_shift=origin_shift,
         )
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]

@@ -38,6 +38,11 @@ P_TRI = 4           # per-vertex-color triangle: linearly interpolated RGBA
 
 PAINT_NF = 18       # mat(6) + params(4) + inner(4) + outer(4)
 
+# Split each composite depth class into plain/fancy tile buckets (cheap vs
+# full shading lanes).  Module-level so experiments can A/B the launch-count
+# vs per-pixel-work trade without re-plumbing configs.
+BUCKET_SPLIT_FANCY = True
+
 
 @dataclass
 class RasterOp:
@@ -116,6 +121,9 @@ class FramePlan:
     pop: dict | None = None           # {"kind","rule","aa","paint_kind": (P,) i32,
                                       #  "paint": (P,18) f32, "scissor": (P,4) f32}
     entry_pop: np.ndarray | None = None  # (NE,) i32 pseudo-op id (pad rows -> pad id)
+    # retained-pan plans (bin_frame_numpy(pan_margin=True)): 2*tile_h backdrop
+    # row window per entry; entry_backdrop is its [0, tile_h) slice
+    entry_backdrop_pan: np.ndarray | None = None  # (NE, 2*tile_h) f32
     n_real_entries: int = 0
     n_real_chunks: int = 0
     depth_cap: int = 256     # max composite painter slots per tile (see
@@ -276,10 +284,14 @@ def compute_tile_buckets(
     while prev < width:
         mo_c = min(mo, width)
         in_class = (counts > prev) & (counts <= mo_c)
-        for sel in (
-            np.nonzero(in_class & ~tile_fancy)[0],
-            np.nonzero(in_class & tile_fancy)[0],
-        ):
+        if BUCKET_SPLIT_FANCY:
+            groups = (
+                np.nonzero(in_class & ~tile_fancy)[0],
+                np.nonzero(in_class & tile_fancy)[0],
+            )
+        else:
+            groups = (np.nonzero(in_class)[0],)
+        for sel in groups:
             if not len(sel):
                 continue
             n_pad = _bucket(len(sel), minimum=8)
@@ -559,7 +571,7 @@ def bin_frame(
     chunk: int = 8,
     color_tiles: np.ndarray | None = None,
     backend: str = "auto",
-    pools: tuple = (2, 6, 24),
+    pools: tuple = (2, 4, 8, 24),
     supersample: int = 1,
     bin_cache: dict | None = None,
     depth_cap: int = 256,
@@ -680,10 +692,22 @@ def bin_frame_numpy(
     tile_w: int = 128,
     chunk: int = 8,
     color_tiles: np.ndarray | None = None,
+    pan_margin: bool = False,
 ) -> FramePlan:
+    """pan_margin=True bins a RETAINED scene for device-resident panning
+    (raster/retained.py): every edge is additionally assigned to the tile
+    column left / tile row above its span (content only ever shifts by a
+    LEFT/UP sub-tile residual in [0, tile) — whole-tile shifts are a tile
+    relabel), and entry backdrops carry a 2*tile_h row window starting at the
+    tile top so a y-residual becomes a dynamic row slice on device.  The
+    zero-shift slice (rows [0, tile_h)) is stored as the regular
+    entry_backdrop, so a pan plan also renders normally."""
     ntx = -(-width // tile_w)
     nty = -(-height // tile_h)
     T = ntx * nty
+    mx = float(tile_w) if pan_margin else 0.0   # leftward x-residual reach
+    my = float(tile_h) if pan_margin else 0.0   # upward y-residual reach
+    bd_rows = 2 * tile_h if pan_margin else tile_h
 
     # accumulators across ops (entry-major)
     ent_tile: list[np.ndarray] = []
@@ -731,8 +755,13 @@ def bin_frame_numpy(
         if op.kind in (K_CLIP_COMMIT, K_CLIP_RESET):
             # global control ops: present in every tile
             tiles = np.arange(T, dtype=np.int64)
-            _append_entries(tiles, np.zeros((T, tile_h), np.float32), op, op_index)
+            _append_entries(tiles, np.zeros((T, bd_rows), np.float32), op, op_index)
             continue
+
+        if pan_margin and op.paint_kind in (P_TEXTURE, P_IMAGE):
+            raise NotImplementedError(
+                "retained pan scenes do not support textured/image paints yet "
+                "(color tiles are tile-local; re-bake per position instead)")
 
         if op.paint_kind == P_TEXTURE:
             # textured quads (parallelograms p0 + a*ex + b*ey): entries for
@@ -761,7 +790,7 @@ def bin_frame_numpy(
                 continue
             tiles = lty * ntx + ltx
             _append_entries(tiles.astype(np.int64),
-                            np.zeros((len(tiles), tile_h), np.float32), op, op_index)
+                            np.zeros((len(tiles), bd_rows), np.float32), op, op_index)
             continue
 
         e = op.edges
@@ -781,11 +810,11 @@ def bin_frame_numpy(
         eymax = np.maximum(ey0, ey1)
 
         sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
-        rx0 = max(0.0, sc[0])
-        ry0 = max(0.0, sc[1])
+        rx0 = max(0.0, sc[0] - mx)
+        ry0 = max(0.0, sc[1] - my)
         rx1 = min(float(width), sc[2], float(np.ceil(exmax.max())))
         ry1 = min(float(height), sc[3], float(np.ceil(eymax.max())))
-        ry0 = max(ry0, float(np.floor(eymin.min())))
+        ry0 = max(ry0, float(np.floor(eymin.min() - my)))
         if rx1 <= rx0 or ry1 <= ry0:
             continue
         tx0 = int(rx0 // tile_w)
@@ -795,10 +824,11 @@ def bin_frame_numpy(
         ntx_op = tx1 - tx0 + 1
         nty_op = ty1 - ty0 + 1
 
-        # per-edge tile ranges
-        ety_lo = np.maximum(np.floor(eymin / tile_h).astype(np.int64), ty0)
+        # per-edge tile ranges (pan margin: also the tile column left / tile
+        # row above the span — residual shifts only move content left/up)
+        ety_lo = np.maximum(np.floor((eymin - my) / tile_h).astype(np.int64), ty0)
         ety_hi = np.minimum(((np.ceil(eymax) - 1) // tile_h).astype(np.int64), ty1)
-        etx_lo = np.maximum(np.floor((exmin - 1.0) / tile_w).astype(np.int64), tx0)
+        etx_lo = np.maximum(np.floor((exmin - 1.0 - mx) / tile_w).astype(np.int64), tx0)
         etx_hi_e = np.minimum(((np.ceil(exmax) - 1) // tile_w).astype(np.int64), tx1)
         ok = (ety_lo <= ety_hi) & (etx_lo <= tx1)
         idx = np.nonzero(ok)[0]
@@ -814,8 +844,9 @@ def bin_frame_numpy(
         loc = np.arange(nty_e.sum(), dtype=np.int64) - np.repeat(base, nty_e)
         pty = ety_lo[idx].repeat(nty_e) + loc            # tile row per pair
 
-        # per-(edge,ty) row overlaps (8-vector) for backdrop use
-        rowy = (pty * tile_h)[:, None] + np.arange(tile_h)[None, :]
+        # per-(edge,ty) row overlaps for backdrop use (pan: 2*tile_h window
+        # rows starting at the tile top, sliced by the y-residual on device)
+        rowy = (pty * tile_h)[:, None] + np.arange(bd_rows)[None, :]
         ov = np.clip(
             np.minimum(eymax[pe][:, None], rowy + 1.0)
             - np.maximum(eymin[pe][:, None], rowy),
@@ -840,7 +871,7 @@ def bin_frame_numpy(
 
         # ---- backdrop accumulation on the op's dense tile grid ----
         # difference-array along tx then cumsum: ov added to [b_lo, tx1]
-        bgrid = np.zeros((nty_op, ntx_op + 1, tile_h), np.float64)
+        bgrid = np.zeros((nty_op, ntx_op + 1, bd_rows), np.float64)
         bsel = b_lo <= tx1
         np.add.at(bgrid, (pty[bsel] - ty0, b_lo[bsel] - tx0), ov[bsel])
         bgrid = np.cumsum(bgrid, axis=1)[:, :-1, :]
@@ -907,7 +938,8 @@ def bin_frame_numpy(
         return out
 
     entry_tile = cat(ent_tile, (), np.int32, fill=0)
-    entry_backdrop = cat(ent_backdrop, (tile_h,), np.float32)
+    bd_full = cat(ent_backdrop, (bd_rows,), np.float32)
+    entry_backdrop = bd_full[:, :tile_h]   # zero-shift rows
     entry_kind = cat(ent_kind, (), np.int32, fill=K_DRAW)
     entry_rule = cat(ent_rule, (), np.int32)
     entry_aa = cat(ent_aa, (), np.int32)
@@ -957,6 +989,7 @@ def bin_frame_numpy(
         chunk_pools=chunk_pools,
         entry_tile=entry_tile,
         entry_backdrop=entry_backdrop,
+        entry_backdrop_pan=bd_full if pan_margin else None,
         entry_kind=entry_kind,
         entry_rule=entry_rule,
         entry_aa=entry_aa,

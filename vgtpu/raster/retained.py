@@ -1,0 +1,218 @@
+"""Device-resident retained scenes with on-device panning.
+
+The reference's retained path is a command list + tessellation cache replayed
+on the CPU each frame (vg.cpp:4273-4637, :5843-6211); every transform change
+re-walks host memory.  Here the analogous retained artifact — the binned
+frame plan — lives ON DEVICE, and a translated view re-renders with ZERO host
+work: no re-record, no re-bin, no upload.
+
+This closes the retained-transform problem (ROUND_NOTES) for the translation
+case.  Binning ties edges to screen tiles, so a general transform needs
+dynamic scatter (GPU rasterizers use atomics; TPU has none).  Translation
+decomposes TPU-friendly:
+
+  view origin (Vx, Vy)  =  whole tiles (vx, vy)  +  residual (rx, ry)
+
+  * whole tiles  -> a RELABEL of the scatter ids: output tile (ty,tx) gathers
+    scene tile (ty+vy, tx+vx).  Pure index arithmetic, traced, no recompile.
+  * residual rx in [0, tile_w), ry in [0, tile_h)  -> content shifts LEFT/UP
+    by less than one tile.  The scene is binned with a pan margin
+    (bin_frame_numpy(pan_margin=True)): every edge is also assigned to the
+    tile column left / row above its span, so after the shift each tile's
+    chunk set still contains every edge that can touch it; the analytic
+    coverage kernel is exact for any edge position, so shifting is ONE
+    elementwise subtract on the chunk-edge array.  Backdrops (winding from
+    far-left edges) are x-shift-invariant by construction and carry a
+    2*tile_h row window so the y-residual is a dynamic row slice.
+  * scissors, gradient/tri paints evaluate in scene space; the composite
+    takes the residual as a traced origin_shift.
+
+Everything per-frame is inside one jit with static shapes: renders at ANY
+integer offset share one compiled program.
+
+Limitations (documented, enforced at bake):
+  * textured/image paints: color tiles are tile-local pre-samples; panning
+    them needs per-position re-bake.  Use immediate mode for those layers.
+  * supersampled coverage (ContextConfig.coverage_supersample > 1).
+  * occlusion culling / static clip resolution are disabled (both depend on
+    the view position).
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vgtpu.raster.binning import (
+    P_GRADIENT,
+    P_TRI,
+    RasterOp,
+    bin_frame_numpy,
+    compute_tile_buckets,
+)
+
+
+def translate_ops(ops: list[RasterOp], dx: float, dy: float) -> list[RasterOp]:
+    """Translate recorded ops by (dx, dy) in screen space: geometry, scissor
+    AND paints move together (unlike scale_ops_y, which keeps paints in pixel
+    space).  Gradient/pattern paints store the INVERSE transform u = M.p + t
+    (vg.cpp:3712-3931), so a scene translate is t -= M.d; tri paints store
+    color planes c(p) = A.x + B.y + C, so C -= A*dx + B*dy."""
+    out = []
+    for op in ops:
+        o = copy.copy(op)
+        if o.edges is not None and len(o.edges):
+            e = np.asarray(o.edges, np.float32).copy()
+            e[:, 0] += dx
+            e[:, 2] += dx
+            e[:, 1] += dy
+            e[:, 3] += dy
+            o.edges = e
+        if o.scissor is not None:
+            s = o.scissor
+            o.scissor = (s[0] + dx, s[1] + dy, s[2] + dx, s[3] + dy)
+
+        def shift_paint(p, kind):
+            p = np.asarray(p, np.float32).copy()
+            if kind == P_GRADIENT:
+                p[4] -= p[0] * dx + p[2] * dy
+                p[5] -= p[1] * dx + p[3] * dy
+            elif kind == P_TRI:
+                p[8:12] -= p[0:4] * dx + p[4:8] * dy
+            return p
+
+        if o.paint is not None:
+            o.paint = shift_paint(o.paint, o.paint_kind)
+        if o.tri_paints is not None and len(o.tri_paints):
+            tp = np.asarray(o.tri_paints, np.float32).copy()
+            tp[:, 8:12] -= tp[:, 0:4] * dx + tp[:, 4:8] * dy
+            o.tri_paints = tp
+        out.append(o)
+    return out
+
+
+class RetainedScene:
+    """A baked, device-resident scene renderable at any integer-pixel view
+    offset without host work.  Build with `bake(ctx)` after recording a frame
+    (begin ... draw calls ... bake instead of end)."""
+
+    def __init__(self, plan, device, out_w: int, out_h: int, background):
+        self.plan = plan
+        self.d = device
+        self.out_w = out_w
+        self.out_h = out_h
+        self.background = jnp.asarray(np.asarray(background, np.float32))
+        self.tile_w = plan.tile_w
+        self.tile_h = plan.tile_h
+
+    @staticmethod
+    def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
+             background=(1.0, 1.0, 1.0, 1.0)) -> "RetainedScene":
+        """Bin the recorded frame over the scene bounds with pan margins and
+        upload.  The scene may be larger than the viewport (content scrolled
+        into view must be binned); view offsets beyond it show background."""
+        from vgtpu.ops.coverage import build_cov_gather_map
+        from vgtpu.raster.binning import expand_tri_batches
+
+        if ctx.cfg.coverage_supersample != 1:
+            raise NotImplementedError(
+                "retained pan scenes require coverage_supersample == 1")
+        ctx._finalize_ops()
+        scene_w = int(scene_width or ctx.fb_width)
+        scene_h = int(scene_height or ctx.fb_height)
+        tw, th = ctx.cfg.tile_w, ctx.cfg.tile_h
+        # 1-tile border so windows with negative residual reach (scene tiles
+        # -1) still have binned content; all scene coords shift by (tw, th)
+        ops = translate_ops(expand_tri_batches(ctx.ops), float(tw), float(th))
+        plan = bin_frame_numpy(
+            ops, scene_w + tw, scene_h + th, tile_h=th, tile_w=tw,
+            chunk=ctx.cfg.edges_per_chunk, pan_margin=True)
+        # culling/static-clip stay off (view-dependent); trailing-control
+        # pruning is per-tile draw-order only, which panning preserves
+        plan.tile_buckets = compute_tile_buckets(
+            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind,
+            plan=None)
+        ne = plan.entry_backdrop.shape[0]
+        cov_map = build_cov_gather_map(plan.chunk_pools, ne)
+        host = {
+            "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
+            "entry_backdrop_pan": plan.entry_backdrop_pan,
+            "entry_kind": plan.entry_kind,
+            "entry_rule": plan.entry_rule,
+            "entry_aa": plan.entry_aa,
+            "entry_paint_kind": plan.entry_paint_kind,
+            "entry_paint": plan.entry_paint,
+            "entry_scissor": plan.entry_scissor,
+            "entry_color_tile": plan.entry_color_tile,
+            "color_tiles": plan.color_tiles,
+            "cov_map": cov_map,
+            "tile_buckets": tuple(
+                (te, ids) for te, ids, _fl in plan.tile_buckets),
+        }
+        d = jax.device_put(host)
+        d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
+        return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background)
+
+    def render(self, view_x: int = 0, view_y: int = 0) -> jax.Array:
+        """Premultiplied (out_h, out_w, 4) of the scene viewed at integer
+        offset (view_x, view_y): output pixel (x, y) shows scene point
+        (view_x + x, view_y + y).  All device work; one compiled program
+        serves every offset."""
+        tw, th = self.tile_w, self.tile_h
+        # +1 tile border baked into scene coords
+        vx, rx = divmod(int(view_x) + tw, tw)
+        vy, ry = divmod(int(view_y) + th, th)
+        return _render_pan(
+            self.d, self.background,
+            np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
+            NTX=self.plan.ntx, NTY=self.plan.nty, th=th, tw=tw,
+            ntx_o=-(-self.out_w // tw), nty_o=-(-self.out_h // th),
+            out_w=self.out_w, out_h=self.out_h,
+            bucket_flags=self.d["bucket_flags"],
+            ne=self.plan.entry_backdrop.shape[0],
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
+                     "out_w", "out_h", "bucket_flags", "ne"),
+)
+def _render_pan(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
+                out_w, out_h, bucket_flags, ne):
+    from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
+    from vgtpu.ops.coverage import entry_coverage_gather
+
+    rxf = rx.astype(jnp.float32)
+    ryf = ry.astype(jnp.float32)
+    shift = jnp.stack([rxf, ryf, rxf, ryf])
+    # residual: content moves left/up by (rx, ry) — pad rows keep y0 == y1,
+    # so they still contribute exactly zero
+    pools = tuple((ce - shift, cent) for ce, cent in d["chunk_pools"])
+    cov = entry_coverage_gather(pools, d["cov_map"], ne, th, tw)
+    bd = jax.lax.dynamic_slice_in_dim(d["entry_backdrop_pan"], ry, th, axis=1)
+    entry_w = cov + bd[:, :, None]
+    nt = NTX * NTY
+    fb = composite_bucketed_body(
+        entry_w, d["tile_buckets"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
+        d["color_tiles"], bg,
+        ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
+        bucket_flags=bucket_flags, origin_shift=(rxf, ryf),
+    )
+    # viewport window: whole-tile part of the pan is a gather relabel;
+    # off-scene tiles read the appended background row
+    bg_tile = jnp.broadcast_to(bg.astype(jnp.float32), (1, th, tw, 4))
+    fb = jnp.concatenate([fb, bg_tile], axis=0)
+    ty = jnp.arange(nty_o, dtype=jnp.int32)[:, None] + vy
+    tx = jnp.arange(ntx_o, dtype=jnp.int32)[None, :] + vx
+    valid = (ty >= 0) & (ty < NTY) & (tx >= 0) & (tx < NTX)
+    sid = jnp.where(valid, ty * NTX + tx, nt).reshape(-1)
+    return tiles_to_image(fb[sid], ntx=ntx_o, nty=nty_o, tile_h=th, tile_w=tw,
+                          width=out_w, height=out_h)
