@@ -50,6 +50,7 @@ def _scene(ctx):
     vg.beginClip(ctx, vg.ClipRule.In)
     vg.beginPath(ctx)
     vg.circle(ctx, 80, 116, 30)
+    vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.ConvexAA)
     vg.endClip(ctx)
     for i in range(4):
         vg.beginPath(ctx)
@@ -93,6 +94,16 @@ def test_pan_matches_direct(view):
     got = np.asarray(scene.render(*view))
     want = _direct(view)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_pan_pallas_path_matches_direct():
+    """The TPU pan path (fused Pallas composite, in-trace param build) in
+    interpret mode must match the direct render too."""
+    scene = _bake()
+    for view in [(37, 5), (-45, -13)]:
+        got = np.asarray(scene.render(*view, use_pallas=True))
+        want = _direct(view)
+        np.testing.assert_allclose(got, want, atol=2e-4)
 
 
 def test_pan_off_scene_is_background():

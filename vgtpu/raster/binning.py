@@ -42,6 +42,7 @@ PAINT_NF = 18       # mat(6) + params(4) + inner(4) + outer(4)
 # full shading lanes).  Module-level so experiments can A/B the launch-count
 # vs per-pixel-work trade without re-plumbing configs.
 BUCKET_SPLIT_FANCY = True
+STATIC_CLIP_RESOLVE = True   # debug/experiment gate for the static-clip pass
 
 
 @dataclass
@@ -140,6 +141,7 @@ def compute_tile_buckets(
     num_tiles: int,
     entry_kind: np.ndarray | None = None,
     plan: "FramePlan" = None,
+    view_static: bool = False,
 ) -> list:
     """Group tiles by painter-depth: tiles with n ops scan only the smallest
     power-of-two slot count >= n; op-free tiles are skipped entirely.  Padding
@@ -163,7 +165,7 @@ def compute_tile_buckets(
     entries plus the statically-clipped draws; only tiles actually touched
     by a clip shape keep the dynamic mask lanes (this is what keeps the
     fused composite's clip lanes out of ~99% of tiles on clipped frames)."""
-    if plan is not None and tile_entries.size:
+    if plan is not None and tile_entries.size and STATIC_CLIP_RESOLVE:
         te0 = tile_entries
         e0 = np.maximum(te0, 0)
         v0 = te0 >= 0
@@ -188,7 +190,10 @@ def compute_tile_buckets(
             keep = v & (k == K_DRAW) & (mprev == 1)
             te0 = te0.copy()
             te0[rows] = np.where(keep, te0[rows], -1)
-            tile_entries = te0
+            # compact the holes NOW: bucketing slices leading slots, and the
+            # occlusion block's compaction doesn't run under view_static
+            order = np.argsort(te0 < 0, axis=1, kind="stable")
+            tile_entries = np.take_along_axis(te0, order, axis=1)
 
     if entry_kind is not None and tile_entries.size:
         te = tile_entries
@@ -197,7 +202,9 @@ def compute_tile_buckets(
         rev_any = np.cumsum(is_draw[:, ::-1], axis=1)[:, ::-1]  # draws at/after pos
         tile_entries = np.where(rev_any > 0, te, -1)
 
-        if plan is not None:
+        if plan is not None and not view_static:
+            # occlusion culling is VIEW-DEPENDENT (backdrop rows + scissor vs
+            # tile position); retained-pan plans pass view_static=True.
             # per-entry full-opaque-cover flag (conservative)
             ne = plan.entry_backdrop.shape[0]
             has_edges = np.zeros(ne, bool)

@@ -34,8 +34,10 @@ Limitations (documented, enforced at bake):
   * textured/image paints: color tiles are tile-local pre-samples; panning
     them needs per-position re-bake.  Use immediate mode for those layers.
   * supersampled coverage (ContextConfig.coverage_supersample > 1).
-  * occlusion culling / static clip resolution are disabled (both depend on
-    the view position).
+  * occlusion culling is disabled (it depends on backdrop rows and
+    tile-vs-scissor positions, which move with the view); static clip
+    resolution and trailing-control pruning stay on (per-tile draw-order
+    facts, which panning preserves).
 """
 
 from __future__ import annotations
@@ -132,11 +134,14 @@ class RetainedScene:
         plan = bin_frame_numpy(
             ops, scene_w + tw, scene_h + th, tile_h=th, tile_w=tw,
             chunk=ctx.cfg.edges_per_chunk, pan_margin=True)
-        # culling/static-clip stay off (view-dependent); trailing-control
-        # pruning is per-tile draw-order only, which panning preserves
+        # view_static: keep the per-bucket lane specialization, static-clip
+        # resolution and trailing-control pruning (all per-tile draw-order
+        # facts, which panning preserves) but disable occlusion culling
+        # (depends on backdrop rows / tile-vs-scissor position, both of
+        # which move with the view)
         plan.tile_buckets = compute_tile_buckets(
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind,
-            plan=None)
+            plan=plan, view_static=True)
         ne = plan.entry_backdrop.shape[0]
         cov_map = build_cov_gather_map(plan.chunk_pools, ne)
         host = {
@@ -149,6 +154,7 @@ class RetainedScene:
             "entry_paint": plan.entry_paint,
             "entry_scissor": plan.entry_scissor,
             "entry_color_tile": plan.entry_color_tile,
+            "entry_tile": plan.entry_tile,
             "color_tiles": plan.color_tiles,
             "cov_map": cov_map,
             "tile_buckets": tuple(
@@ -158,7 +164,8 @@ class RetainedScene:
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
         return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background)
 
-    def render(self, view_x: int = 0, view_y: int = 0) -> jax.Array:
+    def render(self, view_x: int = 0, view_y: int = 0,
+               use_pallas: bool | None = None) -> jax.Array:
         """Premultiplied (out_h, out_w, 4) of the scene viewed at integer
         offset (view_x, view_y): output pixel (x, y) shows scene point
         (view_x + x, view_y + y).  All device work; one compiled program
@@ -174,17 +181,12 @@ class RetainedScene:
             ntx_o=-(-self.out_w // tw), nty_o=-(-self.out_h // th),
             out_w=self.out_w, out_h=self.out_h,
             bucket_flags=self.d["bucket_flags"],
-            ne=self.plan.entry_backdrop.shape[0],
+            ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne"),
-)
-def _render_pan(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
-                out_w, out_h, bucket_flags, ne):
+def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
+                     out_w, out_h, bucket_flags, ne, use_pallas=None):
     from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
     from vgtpu.ops.coverage import entry_coverage_gather
 
@@ -198,14 +200,46 @@ def _render_pan(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     bd = jax.lax.dynamic_slice_in_dim(d["entry_backdrop_pan"], ry, th, axis=1)
     entry_w = cov + bd[:, :, None]
     nt = NTX * NTY
-    fb = composite_bucketed_body(
-        entry_w, d["tile_buckets"],
-        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
-        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
-        d["color_tiles"], bg,
-        ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
-        bucket_flags=bucket_flags, origin_shift=(rxf, ryf),
-    )
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+    if use_pallas is None:
+        use_pallas = on_tpu
+    if use_pallas:
+        # fused Pallas composite: per-bucket params rebuilt in-trace (the
+        # residual lands in the OX/OY rows; scissors/paints are scene-space
+        # and ride along unchanged), backdrop already folded into entry_w
+        from vgtpu.ops.composite_pallas import (
+            _P_OX,
+            build_bucket_params_jnp,
+            composite_bucketed_pallas_body,
+        )
+
+        params = []
+        for te_b, _ids in d["tile_buckets"]:
+            pp = build_bucket_params_jnp(
+                te_b, d["entry_kind"], d["entry_rule"], d["entry_aa"],
+                d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
+                d["entry_color_tile"], d["entry_tile"],
+                jnp.zeros_like(bd), tile_h=th, tile_w=tw, ntx=NTX)
+            pp = pp.at[:, _P_OX].add(rxf).at[:, _P_OX + 1].add(ryf)
+            params.append(pp)
+        fb = composite_bucketed_pallas_body(
+            entry_w, d["tile_buckets"], tuple(params),
+            (None,) * len(params), bg,
+            tile_h=th, tile_w=tw, num_tiles=nt, bucket_flags=bucket_flags,
+            interpret=not on_tpu,
+        )
+    else:
+        fb = composite_bucketed_body(
+            entry_w, d["tile_buckets"],
+            d["entry_kind"], d["entry_rule"], d["entry_aa"],
+            d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
+            d["entry_color_tile"], d["color_tiles"], bg,
+            ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
+            bucket_flags=bucket_flags, origin_shift=(rxf, ryf),
+        )
     # viewport window: whole-tile part of the pan is a gather relabel;
     # off-scene tiles read the appended background row
     bg_tile = jnp.broadcast_to(bg.astype(jnp.float32), (1, th, tw, 4))
@@ -216,3 +250,66 @@ def _render_pan(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     sid = jnp.where(valid, ty * NTX + tx, nt).reshape(-1)
     return tiles_to_image(fb[sid], ntx=ntx_o, nty=nty_o, tile_h=th, tile_w=tw,
                           width=out_w, height=out_h)
+
+
+_render_pan = jax.jit(
+    _render_pan_body,
+    static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
+                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas"),
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_frames", "NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
+                     "out_w", "out_h", "bucket_flags", "ne"),
+)
+def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
+                  out_w, out_h, bucket_flags, ne):
+    """N pans of a scrolling view inside one fori_loop, serially chained
+    through the pixels (see raster/benchloop.py for why naive dispatch
+    timing lies through the axon tunnel)."""
+    span_x = max(NTX - ntx_o, 1) * tw
+    span_y = max(NTY - nty_o, 1) * th
+
+    def body(i, eps):
+        view_x = (i * 37) % span_x
+        view_y = (i * 23) % span_y
+        vx = view_x // tw + 1          # +1 tile baked border
+        vy = view_y // th + 1
+        img = _render_pan_body(
+            {**d, "chunk_pools": tuple(
+                (ce + eps, cent) for ce, cent in d["chunk_pools"])},
+            bg, vx, vy, (view_x % tw).astype(jnp.float32), view_y % th,
+            NTX=NTX, NTY=NTY, th=th, tw=tw, ntx_o=ntx_o, nty_o=nty_o,
+            out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne)
+        return jnp.sum(img[..., 3]) * 1e-9
+
+    return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
+
+
+def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> float:
+    """Two chained loop lengths, difference out the fixed overhead."""
+    import time
+
+    tw, th = scene.tile_w, scene.tile_h
+    static = dict(
+        NTX=scene.plan.ntx, NTY=scene.plan.nty, th=th, tw=tw,
+        ntx_o=-(-scene.out_w // tw), nty_o=-(-scene.out_h // th),
+        out_w=scene.out_w, out_h=scene.out_h,
+        bucket_flags=scene.d["bucket_flags"],
+        ne=scene.plan.entry_backdrop.shape[0],
+    )
+
+    def run(n):
+        out = _chained_pans(scene.d, scene.background, n_frames=n, **static)
+        return float(np.asarray(out))
+
+    run(reps_lo)
+    run(reps_hi)
+    t0 = time.perf_counter()
+    run(reps_lo)
+    t1 = time.perf_counter()
+    run(reps_hi)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (reps_hi - reps_lo) * 1e3
