@@ -98,6 +98,57 @@ def translate_ops(ops: list[RasterOp], dx: float, dy: float) -> list[RasterOp]:
     return out
 
 
+def _repack_ladder(chunk_pools, num_entries: int, ladder=(2, 4, 8, 24)):
+    """Repack the numpy binner's single fixed-size chunk pool into the
+    finer slot ladder the coverage kernels like (one-time, at bake): each
+    entry's live edges are regrouped greedily into the largest-fitting
+    chunk sizes.  Order within an entry may change — coverage is a sum."""
+    from vgtpu.raster.binning import _bucket
+
+    # per-entry live edges, in (chunk, slot) order
+    per_entry: list[list[np.ndarray]] = [[] for _ in range(num_entries)]
+    for ce, cent in chunk_pools:
+        live = np.abs(ce[:, :, 3] - ce[:, :, 1]) > 1e-12
+        for ci in range(len(ce)):
+            e = int(cent[ci])
+            if 0 <= e < num_entries and live[ci].any():
+                per_entry[e].append(ce[ci][live[ci]])
+    ladder = sorted(ladder)
+    pools: dict[int, tuple[list, list]] = {s: ([], []) for s in ladder}
+
+    def best_size(n):
+        for s in ladder:
+            if n <= s:
+                return s
+        return ladder[-1]
+
+    for e, parts in enumerate(per_entry):
+        if not parts:
+            continue
+        edges = np.concatenate(parts, axis=0)
+        i, n = 0, len(edges)
+        while i < n:
+            rem = n - i
+            s = ladder[-1] if rem > ladder[-1] else best_size(rem)
+            blk = np.zeros((s, 4), np.float32)
+            take = min(s, rem)
+            blk[:take] = edges[i : i + take]
+            pools[s][0].append(blk)
+            pools[s][1].append(e)
+            i += take
+    out = []
+    for s in ladder:
+        blocks, ents = pools[s]
+        nc = _bucket(max(len(blocks), 1))
+        ce = np.zeros((nc, s, 4), np.float32)
+        cent = np.full(nc, num_entries - 1, np.int32)
+        if blocks:
+            ce[: len(blocks)] = np.stack(blocks)
+            cent[: len(ents)] = np.asarray(ents, np.int32)
+        out.append((ce, cent))
+    return out
+
+
 class RetainedScene:
     """A baked, device-resident scene renderable at any integer-pixel view
     offset without host work.  Build with `bake(ctx)` after recording a frame
@@ -143,6 +194,9 @@ class RetainedScene:
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind,
             plan=plan, view_static=True)
         ne = plan.entry_backdrop.shape[0]
+        plan.chunk_pools = _repack_ladder(
+            plan.chunk_pools, ne, ladder=ctx.cfg.chunk_pools)
+        plan.stats["chunks"] = sum(len(ce) for ce, _ in plan.chunk_pools)
         cov_map = build_cov_gather_map(plan.chunk_pools, ne)
         host = {
             "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
