@@ -165,6 +165,18 @@ def cl_submit(ctx, handle):
         build_cache = cacheable and not use_cache
         if build_cache:
             cl.cache_slots.clear()
+        cache_fb = None
+        if use_cache and getattr(cl, "cache_concat", None) is not None:
+            # ONE batched transform of every cached edge for this submit (the
+            # rebase matrix is submit-constant); per-draw replay then slices.
+            # The reference's analogue is batchTransformPositions over the
+            # cached mesh (submitCachedMesh, vg.cpp:6137-6211) — but per mesh.
+            rb = core.xform_multiply(
+                core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
+            cc = cl.cache_concat
+            cache_fb = np.concatenate(
+                [core.xform_points(rb, cc[:, 0:2]),
+                 core.xform_points(rb, cc[:, 2:4])], axis=1).astype(np.float32)
 
         # rebase matrix for cached replay: new_base . old_base^-1 is folded by
         # storing edges in base-local space and applying the current base.
@@ -209,7 +221,8 @@ def cl_submit(ctx, handle):
                 args = tuple(xlat(a) for a in args)
                 if use_cache:
                     _replay_cached_draw(ctx, cl, ci, name, args, kwargs,
-                                        base_transform, culling=culling)
+                                        base_transform, culling=culling,
+                                        cache_fb=cache_fb)
                     continue
                 if culling and not build_cache and _draw_outside_scissor(ctx, name, args):
                     continue
@@ -250,6 +263,23 @@ def cl_submit(ctx, handle):
             cl.cache_valid = True
             cl.cache_avg_scale = base_avg_scale
             cl.cache_dpr = ctx.dpr
+            # concatenated base-local edges + per-(cmd, item) spans for the
+            # batched per-submit transform above
+            parts, spans, off = [], {}, 0
+            for ci2, slot in cl.cache_slots.items():
+                ss = []
+                for item in slot:
+                    if item is None or not len(item[0]):
+                        ss.append(None)
+                    else:
+                        n = len(item[0])
+                        parts.append(item[0])
+                        ss.append((off, n))
+                        off += n
+                spans[ci2] = ss
+            cl.cache_concat = (np.concatenate(parts, axis=0)
+                               if parts else np.zeros((0, 4), np.float32))
+            cl.cache_spans = spans
         if preserve:
             ctx.popState()
             ctx.resetClip()
@@ -297,7 +327,7 @@ def _draw_outside_scissor(ctx, name, args) -> bool:
 
 
 def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,
-                        culling: bool = False):
+                        culling: bool = False, cache_fb=None):
     """Re-emit cached geometry under the current base transform, resolving the
     paint with current state (submitCachedMesh, vg.cpp:6137-6211).
 
@@ -344,32 +374,40 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,
     pk, paint, img = resolved
 
     kind = K_CLIP_ADD if ctx._recording_clip else K_DRAW
-    render_base = core.xform_multiply(
-        core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
     sciss = ctx._scissor_rect()
     # cached edges are the final stroked outline, so only the AA fringe pads
     pad = ctx.fringe * ctx.dpr if culling else 0.0
-    for item in slot:
+    spans = getattr(cl, "cache_spans", {}).get(ci) if cache_fb is not None else None
+    render_base = None
+    if spans is None:
+        render_base = core.xform_multiply(
+            core.xform_scale(ctx.dpr, ctx.dpr), base_transform)
+    for ii, item in enumerate(slot):
         if item is None:
             continue
         edges_local, _built_kind = item
         if not len(edges_local):
             continue
-        p0 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 0:2]))
-        p1 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 2:4]))
+        if spans is not None and spans[ii] is not None:
+            off, n = spans[ii]
+            edges = cache_fb[off : off + n]
+        else:
+            p0 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 0:2]))
+            p1 = core.xform_points(render_base, np.ascontiguousarray(edges_local[:, 2:4]))
+            edges = np.concatenate([p0, p1], axis=1).astype(np.float32)
         if culling and _bbox_outside_scissor(
             ctx,
-            min(float(p0[:, 0].min()), float(p1[:, 0].min())),
-            min(float(p0[:, 1].min()), float(p1[:, 1].min())),
-            max(float(p0[:, 0].max()), float(p1[:, 0].max())),
-            max(float(p0[:, 1].max()), float(p1[:, 1].max())),
+            min(float(edges[:, 0].min()), float(edges[:, 2].min())),
+            min(float(edges[:, 1].min()), float(edges[:, 3].min())),
+            max(float(edges[:, 0].max()), float(edges[:, 2].max())),
+            max(float(edges[:, 1].max()), float(edges[:, 3].max())),
             pad,
         ):
             continue
         ctx._emit(
             RasterOp(
                 kind=kind,
-                edges=np.concatenate([p0, p1], axis=1).astype(np.float32),
+                edges=edges,
                 fill_rule=rule,
                 aa=aa,
                 paint_kind=pk,
