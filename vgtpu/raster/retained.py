@@ -154,7 +154,8 @@ class RetainedScene:
     offset without host work.  Build with `bake(ctx)` after recording a frame
     (begin ... draw calls ... bake instead of end)."""
 
-    def __init__(self, plan, device, out_w: int, out_h: int, background):
+    def __init__(self, plan, device, out_w: int, out_h: int, background,
+                 off=(0, 0)):
         self.plan = plan
         self.d = device
         self.out_w = out_w
@@ -162,6 +163,7 @@ class RetainedScene:
         self.background = jnp.asarray(np.asarray(background, np.float32))
         self.tile_w = plan.tile_w
         self.tile_h = plan.tile_h
+        self.off = off          # baked-grid origin in view coords (tile-multiples)
 
     @staticmethod
     def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
@@ -179,11 +181,39 @@ class RetainedScene:
         scene_w = int(scene_width or ctx.fb_width)
         scene_h = int(scene_height or ctx.fb_height)
         tw, th = ctx.cfg.tile_w, ctx.cfg.tile_h
-        # 1-tile border so windows with negative residual reach (scene tiles
-        # -1) still have binned content; all scene coords shift by (tw, th)
-        ops = translate_ops(expand_tri_batches(ctx.ops), float(tw), float(th))
+        ops = expand_tri_batches(ctx.ops)
+        for op in ops:
+            if isinstance(op.edges, list):
+                op.edges = np.concatenate(op.edges, axis=0)
+        # ops recorded without an explicit scissor carry the bake VIEWPORT as
+        # their scissor.  Baking that into scene space would scroll it with
+        # the content and clip everything that pans into view from outside
+        # the original viewport — but the reference's default scissor is the
+        # screen, which the pan output crop already models.  Drop it.
+        # Explicit setScissor rects are transformed at set time in the
+        # reference (vg.cpp updateScissor) and correctly ride scene space.
+        vp = (0.0, 0.0, float(ctx.fb_width), float(ctx.fb_height))
+        for o in ops:
+            if o.scissor is not None and tuple(o.scissor) == vp:
+                o.scissor = None
+        # the baked grid covers the CONTENT bbox, not just the viewport:
+        # everything recorded is retained and pans into view exactly (plus a
+        # 1-tile border so sub-tile residuals at the edges stay in-grid)
+        xmin = ymin = 0.0
+        xmax, ymax = float(scene_w), float(scene_h)
+        for o in ops:
+            if o.edges is not None and len(o.edges):
+                e = np.asarray(o.edges)
+                xmin = min(xmin, float(e[:, [0, 2]].min()) - 2.0)
+                xmax = max(xmax, float(e[:, [0, 2]].max()) + 2.0)
+                ymin = min(ymin, float(e[:, [1, 3]].min()) - 2.0)
+                ymax = max(ymax, float(e[:, [1, 3]].max()) + 2.0)
+        offx = tw * (1 + int(np.ceil(-xmin / tw)))
+        offy = th * (1 + int(np.ceil(-ymin / th)))
+        ops = translate_ops(ops, float(offx), float(offy))
         plan = bin_frame_numpy(
-            ops, scene_w + tw, scene_h + th, tile_h=th, tile_w=tw,
+            ops, int(np.ceil(xmax)) + offx, int(np.ceil(ymax)) + offy,
+            tile_h=th, tile_w=tw,
             chunk=ctx.cfg.edges_per_chunk, pan_margin=True)
         # view_static: keep the per-bucket lane specialization, static-clip
         # resolution and trailing-control pruning (all per-tile draw-order
@@ -216,7 +246,8 @@ class RetainedScene:
         }
         d = jax.device_put(host)
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
-        return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background)
+        return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
+                             off=(offx, offy))
 
     def render(self, view_x: int = 0, view_y: int = 0,
                use_pallas: bool | None = None) -> jax.Array:
@@ -225,9 +256,9 @@ class RetainedScene:
         (view_x + x, view_y + y).  All device work; one compiled program
         serves every offset."""
         tw, th = self.tile_w, self.tile_h
-        # +1 tile border baked into scene coords
-        vx, rx = divmod(int(view_x) + tw, tw)
-        vy, ry = divmod(int(view_y) + th, th)
+        # baked-grid origin offset (content bbox + 1-tile border)
+        vx, rx = divmod(int(view_x) + self.off[0], tw)
+        vy, ry = divmod(int(view_y) + self.off[1], th)
         return _render_pan(
             self.d, self.background,
             np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
@@ -319,7 +350,7 @@ _render_pan = jax.jit(
                      "out_w", "out_h", "bucket_flags", "ne"),
 )
 def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
-                  out_w, out_h, bucket_flags, ne):
+                  out_w, out_h, bucket_flags, ne, offx_t=1, offy_t=1):
     """N pans of a scrolling view inside one fori_loop, serially chained
     through the pixels (see raster/benchloop.py for why naive dispatch
     timing lies through the axon tunnel)."""
@@ -329,8 +360,8 @@ def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
     def body(i, eps):
         view_x = (i * 37) % span_x
         view_y = (i * 23) % span_y
-        vx = view_x // tw + 1          # +1 tile baked border
-        vy = view_y // th + 1
+        vx = view_x // tw + offx_t     # baked-grid origin (tiles)
+        vy = view_y // th + offy_t
         img = _render_pan_body(
             {**d, "chunk_pools": tuple(
                 (ce + eps, cent) for ce, cent in d["chunk_pools"])},
@@ -353,6 +384,7 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
         out_w=scene.out_w, out_h=scene.out_h,
         bucket_flags=scene.d["bucket_flags"],
         ne=scene.plan.entry_backdrop.shape[0],
+        offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th,
     )
 
     def run(n):
