@@ -202,9 +202,13 @@ def compute_tile_buckets(
         rev_any = np.cumsum(is_draw[:, ::-1], axis=1)[:, ::-1]  # draws at/after pos
         tile_entries = np.where(rev_any > 0, te, -1)
 
-        if plan is not None and not view_static:
-            # occlusion culling is VIEW-DEPENDENT (backdrop rows + scissor vs
-            # tile position); retained-pan plans pass view_static=True.
+        if plan is not None:
+            # occlusion culling.  view_static (retained pan) variant uses
+            # VIEW-INVARIANT tests: full winding over the whole 2*tile_h
+            # backdrop window (any y-residual slice stays >= 1), no edges in
+            # the margin-inflated chunk set (no edge can enter at any
+            # residual), and the scissor containing the tile's whole
+            # reachable sample window [x0, x0+2*tw) x [y0, y0+2*th).
             # per-entry full-opaque-cover flag (conservative)
             ne = plan.entry_backdrop.shape[0]
             has_edges = np.zeros(ne, bool)
@@ -216,23 +220,30 @@ def compute_tile_buckets(
                 & (plan.entry_rule == 0)
                 & (plan.entry_paint[:, 13] >= 1.0)
             )
-            full_wind = (np.abs(plan.entry_backdrop) >= 1.0).all(axis=1)
+            bd_for_cover = (plan.entry_backdrop_pan
+                            if view_static and plan.entry_backdrop_pan is not None
+                            else plan.entry_backdrop)
+            full_wind = (np.abs(bd_for_cover) >= 1.0).all(axis=1)
             covers = solid_opaque & full_wind & ~has_edges
 
             te2 = tile_entries
             e = np.maximum(te2, 0)
             valid = te2 >= 0
-            # scissor must contain the whole tile
+            # scissor must contain the whole (reachable) tile window
             tile_ids = np.arange(te2.shape[0])
             ntx = max(1, int(np.ceil(plan.width / plan.tile_w)))
             tx0 = (tile_ids % ntx) * plan.tile_w
             ty0 = (tile_ids // ntx) * plan.tile_h
+            reach = 2 if view_static else 1
+            tx1 = np.minimum(tx0 + reach * plan.tile_w, plan.width)
+            ty1 = np.minimum(ty0 + reach * plan.tile_h,
+                             plan.height * plan.supersample)
             sc = plan.entry_scissor[e]
             sc_ok = (
                 (sc[:, :, 0] <= tx0[:, None])
                 & (sc[:, :, 1] <= ty0[:, None])
-                & (sc[:, :, 2] >= (tx0 + plan.tile_w)[:, None])
-                & (sc[:, :, 3] >= (ty0 + plan.tile_h)[:, None])
+                & (sc[:, :, 2] >= tx1[:, None])
+                & (sc[:, :, 3] >= ty1[:, None])
             )
             cover_grid = covers[e] & valid & sc_ok
             # clip state is per-tile dynamic; only cull in clip-free tiles
