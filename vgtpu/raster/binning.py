@@ -170,13 +170,27 @@ def compute_tile_buckets(
         e0 = np.maximum(te0, 0)
         v0 = te0 >= 0
         kind0 = np.where(v0, entry_kind[e0], K_DRAW)
-        rows = ~((kind0 == K_CLIP_ADD) & v0).any(axis=1)
+        no_cadd = ~((kind0 == K_CLIP_ADD) & v0).any(axis=1)
+        # commit(In) is the ONLY control whose static resolution drops draws;
+        # rows with just commit(Out)/reset keep every draw and only shed the
+        # no-op controls — a plain mask.  The full state machine runs only on
+        # the (rare) commit(In) rows: ~4x cheaper on typical frames.
+        entry_rule0 = np.where(v0, plan.entry_rule[e0], 0)
+        is_in_commit0 = (kind0 == K_CLIP_COMMIT) & v0 & (entry_rule0 == 0)
+        rows = no_cadd & is_in_commit0.any(axis=1)
+        te0 = te0.copy()
+        changed = False
+        easy = no_cadd & ~rows
+        if easy.any():
+            te0[easy] = np.where((kind0[easy] == K_DRAW) & v0[easy],
+                                 te0[easy], -1)
+            changed = True
         if rows.any():
             k = kind0[rows]
             v = v0[rows]
             is_commit = (k == K_CLIP_COMMIT) & v
             ctrl = is_commit | ((k == K_CLIP_RESET) & v)
-            rule = plan.entry_rule[e0[rows]]
+            rule = entry_rule0[rows]
             # mask value AFTER each control entry: commit(In)=0, else 1
             setval = np.where(is_commit & (rule == 0), 0, 1)
             pos = np.broadcast_to(np.arange(te0.shape[1])[None, :], k.shape)
@@ -188,8 +202,9 @@ def compute_tile_buckets(
             mprev = np.concatenate(
                 [np.ones((k.shape[0], 1), mval.dtype), mval[:, :-1]], axis=1)
             keep = v & (k == K_DRAW) & (mprev == 1)
-            te0 = te0.copy()
             te0[rows] = np.where(keep, te0[rows], -1)
+            changed = True
+        if changed:
             # compact the holes NOW: bucketing slices leading slots, and the
             # occlusion block's compaction doesn't run under view_static
             order = np.argsort(te0 < 0, axis=1, kind="stable")
@@ -226,40 +241,46 @@ def compute_tile_buckets(
             full_wind = (np.abs(bd_for_cover) >= 1.0).all(axis=1)
             covers = solid_opaque & full_wind & ~has_edges
 
-            te2 = tile_entries
-            e = np.maximum(te2, 0)
-            valid = te2 >= 0
-            # scissor must contain the whole (reachable) tile window
-            tile_ids = np.arange(te2.shape[0])
-            ntx = max(1, int(np.ceil(plan.width / plan.tile_w)))
-            tx0 = (tile_ids % ntx) * plan.tile_w
-            ty0 = (tile_ids // ntx) * plan.tile_h
-            reach = 2 if view_static else 1
-            tx1 = np.minimum(tx0 + reach * plan.tile_w, plan.width)
-            ty1 = np.minimum(ty0 + reach * plan.tile_h,
-                             plan.height * plan.supersample)
-            sc = plan.entry_scissor[e]
-            sc_ok = (
-                (sc[:, :, 0] <= tx0[:, None])
-                & (sc[:, :, 1] <= ty0[:, None])
-                & (sc[:, :, 2] >= tx1[:, None])
-                & (sc[:, :, 3] >= ty1[:, None])
-            )
-            cover_grid = covers[e] & valid & sc_ok
-            # clip state is per-tile dynamic; only cull in clip-free tiles
-            has_clip = ((plan.entry_kind[e] != K_DRAW) & valid).any(axis=1)
-            cover_grid &= ~has_clip[:, None]
-            # keep from the LAST covering entry onward
-            pos = np.arange(te2.shape[1])
-            last_cover = np.where(
-                cover_grid.any(axis=1),
-                te2.shape[1] - 1 - np.argmax(cover_grid[:, ::-1], axis=1),
-                0,
-            )
-            tile_entries = np.where(pos[None, :] >= last_cover[:, None], te2, -1)
-            # compact: culling leaves -1 prefixes; buckets slice leading slots
-            order = np.argsort(tile_entries < 0, axis=1, kind="stable")
-            tile_entries = np.take_along_axis(tile_entries, order, axis=1)
+            # restrict the heavy per-slot work (scissor gather, state tests,
+            # compaction) to rows that contain a covering candidate at all —
+            # typically the densely-stacked artwork tiles, a fraction of T
+            cand = covers[np.maximum(tile_entries, 0)] & (tile_entries >= 0)
+            rows2 = np.nonzero(cand.any(axis=1))[0]
+            if len(rows2):
+                te2 = tile_entries[rows2]
+                e = np.maximum(te2, 0)
+                valid = te2 >= 0
+                # scissor must contain the whole (reachable) tile window
+                ntx = max(1, int(np.ceil(plan.width / plan.tile_w)))
+                tx0 = (rows2 % ntx) * plan.tile_w
+                ty0 = (rows2 // ntx) * plan.tile_h
+                reach = 2 if view_static else 1
+                tx1 = np.minimum(tx0 + reach * plan.tile_w, plan.width)
+                ty1 = np.minimum(ty0 + reach * plan.tile_h,
+                                 plan.height * plan.supersample)
+                sc = plan.entry_scissor[e]
+                sc_ok = (
+                    (sc[:, :, 0] <= tx0[:, None])
+                    & (sc[:, :, 1] <= ty0[:, None])
+                    & (sc[:, :, 2] >= tx1[:, None])
+                    & (sc[:, :, 3] >= ty1[:, None])
+                )
+                cover_grid = cand[rows2] & sc_ok
+                # clip state is per-tile dynamic; only cull in clip-free tiles
+                has_clip = ((plan.entry_kind[e] != K_DRAW) & valid).any(axis=1)
+                cover_grid &= ~has_clip[:, None]
+                # keep from the LAST covering entry onward
+                pos = np.arange(te2.shape[1])
+                last_cover = np.where(
+                    cover_grid.any(axis=1),
+                    te2.shape[1] - 1 - np.argmax(cover_grid[:, ::-1], axis=1),
+                    0,
+                )
+                te2 = np.where(pos[None, :] >= last_cover[:, None], te2, -1)
+                # compact: culling leaves -1 prefixes; buckets slice leading
+                order = np.argsort(te2 < 0, axis=1, kind="stable")
+                tile_entries = tile_entries.copy()
+                tile_entries[rows2] = np.take_along_axis(te2, order, axis=1)
     counts = (tile_entries >= 0).sum(axis=1)
     cap = plan.depth_cap if plan is not None else 0
     if cap and (counts > cap).any():
