@@ -452,3 +452,63 @@ def test_cache_build_never_culls():
     img = np.asarray(ctx.frame_image)
     assert img[20, 90, 3] == 1.0          # the RECT renders
     assert img[40, 20, 3] == 0.0          # the poison circle does NOT
+
+
+def test_command_list_save_load_roundtrip(tmp_path):
+    """saveCommandList/loadCommandList: a serialized list (SURVEY §5
+    checkpoint/resume analogue) replays pixel-identically in a FRESH
+    context, and a Cacheable snapshot restores its tessellation cache (no
+    rebuild on first submit)."""
+    import numpy as np
+
+    import vgtpu as vg
+
+    def record(ctx):
+        cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+        vg.beginCommandList(ctx, cl)
+        g = vg.createLinearGradient(ctx, 10, 10, 200, 60,
+                                    vg.color4ub(255, 0, 0, 255),
+                                    vg.color4ub(0, 0, 255, 255))
+        vg.beginPath(ctx)
+        vg.roundedRect(ctx, 10, 10, 190, 60, 9)
+        vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+        vg.beginPath(ctx)
+        vg.moveTo(ctx, 20, 100)
+        vg.cubicTo(ctx, 80, 40, 160, 160, 240, 90)
+        vg.strokePath(ctx, vg.Colors.White, 4.0, vg.StrokeFlags.RoundRoundAA)
+        vg.beginPath(ctx)
+        vg.circle(ctx, 80, 90, 25)
+        vg.fillPath(ctx, vg.color4ub(30, 200, 120, 180),
+                    vg.FillFlags.ConcaveEvenOddAA)
+        vg.endCommandList(ctx)
+        return cl
+
+    bg = (0.1, 0.1, 0.1, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 160, 1.0)
+    cl = record(ctx)
+    vg.submitCommandList(ctx, cl)       # builds the cache
+    want = np.asarray(vg.end(ctx, background=bg))
+
+    path = str(tmp_path / "scene.vgcl")
+    assert vg.saveCommandList(ctx, cl, path)
+
+    ctx2 = vg.createContext()
+    vg.begin(ctx2, 0, 256, 160, 1.0)
+    h2 = vg.loadCommandList(ctx2, path)
+    cl2 = ctx2.command_lists[h2.idx]
+    assert cl2.cache_valid and len(cl2.cache_slots)
+    n_slots_before = len(cl2.cache_slots)
+    vg.submitCommandList(ctx2, h2)      # replays from the restored cache
+    got = np.asarray(vg.end(ctx2, background=bg))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert len(cl2.cache_slots) == n_slots_before
+
+    # translated re-submit reuses the restored cache (avgScale unchanged)
+    vg.begin(ctx2, 0, 256, 160, 1.0)
+    vg.pushState(ctx2)
+    vg.transformTranslate(ctx2, 7, 3)
+    vg.submitCommandList(ctx2, h2)
+    vg.popState(ctx2)
+    moved = np.asarray(vg.end(ctx2, background=bg))
+    assert np.abs(moved[20:150, 20:240] - want[17:147, 13:233]).max() < 3e-3

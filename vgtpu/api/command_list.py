@@ -136,6 +136,73 @@ def cl_end_recording(ctx):
     ctx._active_cl = None
 
 
+_CL_SNAPSHOT_VERSION = 1
+
+
+def cl_save(ctx, handle, path: str) -> bool:
+    """Serialize a command list — commands, local-handle counts, and (when
+    built) the tessellation cache — to `path`.
+
+    This is the checkpoint/resume analogue of the reference's retained
+    byte stream + shape cache (SURVEY §5; vg.cpp:2323-2966, :5674-6211
+    are memory-resident only).  A Cacheable list restored via cl_load
+    renders WITHOUT re-tessellating: the cached base-local edges travel in
+    the snapshot.
+
+    Global resource handles (images, fonts) serialize by VALUE; the loading
+    context must recreate those resources in the same order.  The format is
+    a version-tagged pickle — load only files you saved."""
+    import pickle
+
+    cl = ctx.command_lists.get(handle.idx)
+    if cl is None:
+        return False
+    snap = {
+        "version": _CL_SNAPSHOT_VERSION,
+        "flags": cl.flags,
+        "commands": cl.commands,
+        "n_local_gradients": cl.n_local_gradients,
+        "n_local_patterns": cl.n_local_patterns,
+        "cache_valid": cl.cache_valid,
+        "cache_avg_scale": cl.cache_avg_scale,
+        "cache_dpr": cl.cache_dpr,
+        "cache_slots": cl.cache_slots,
+        "cache_concat": getattr(cl, "cache_concat", None),
+        "cache_spans": getattr(cl, "cache_spans", None),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(snap, f)
+    return True
+
+
+def cl_load(ctx, path: str):
+    """Restore a command list saved by cl_save into this context; returns a
+    fresh CommandListHandle (invalid handle on version mismatch)."""
+    import pickle
+
+    from vgtpu.api.context import CommandListHandle
+
+    with open(path, "rb") as f:
+        snap = pickle.load(f)
+    if snap.get("version") != _CL_SNAPSHOT_VERSION:
+        return CommandListHandle()
+    h = cl_create(ctx, snap["flags"])
+    cl = ctx.command_lists.get(h.idx)
+    if cl is None:
+        return h
+    cl.commands = snap["commands"]
+    cl.n_local_gradients = snap["n_local_gradients"]
+    cl.n_local_patterns = snap["n_local_patterns"]
+    cl.cache_valid = snap["cache_valid"]
+    cl.cache_avg_scale = snap["cache_avg_scale"]
+    cl.cache_dpr = snap["cache_dpr"]
+    cl.cache_slots = snap["cache_slots"]
+    if snap.get("cache_concat") is not None:
+        cl.cache_concat = snap["cache_concat"]
+        cl.cache_spans = snap["cache_spans"]
+    return h
+
+
 def cl_submit(ctx, handle):
     """ctxSubmitCommandList (vg.cpp:4273-4637) + clCacheRender (vg.cpp:5845)."""
     from vgtpu.api.context import GradientHandle, ImagePatternHandle

@@ -1422,6 +1422,23 @@ def clReset(ctx, handle):
     return resetCommandList(ctx, handle)
 
 
+def saveCommandList(ctx, handle, path) -> bool:
+    """Serialize a command list (+ its tessellation cache) to disk — the
+    checkpoint/resume analogue of the reference's retained byte stream
+    (vg.cpp:2323-2966) and shape cache (:5674-6211), which are
+    memory-resident only.  See command_list.cl_save for the format contract."""
+    from vgtpu.api.command_list import cl_save
+
+    return cl_save(ctx, handle, path)
+
+
+def loadCommandList(ctx, path):
+    """Restore a command list saved by saveCommandList; returns a handle."""
+    from vgtpu.api.command_list import cl_load
+
+    return cl_load(ctx, path)
+
+
 def resetCommandList(ctx, handle):
     from vgtpu.api.command_list import cl_reset
 
