@@ -113,6 +113,17 @@ def test_pan_off_scene_is_background():
     np.testing.assert_allclose(img, np.broadcast_to(bg, img.shape), atol=1e-6)
 
 
+def test_empty_scene_renders_background():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 64, 1.0)
+    s = RetainedScene.bake(ctx, background=(0.2, 0.3, 0.4, 1.0))
+    img = np.asarray(s.render(10, -5))
+    assert img.shape == (64, 256, 4)
+    np.testing.assert_allclose(
+        img, np.broadcast_to(np.array([0.2, 0.3, 0.4, 1.0], np.float32),
+                             img.shape), atol=1e-6)
+
+
 def test_textured_rejected():
     ctx = vg.createContext()
     vg.begin(ctx, 0, W, H, 1.0)
