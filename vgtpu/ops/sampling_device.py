@@ -75,63 +75,94 @@ def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
     if len(need) == 0:
         return sp
 
-    raw: dict = {}   # (img, flags, kind, separable) -> lists
-    nct = 0
-    tex_mask = []
-    for ei in need:
-        tile_id = int(plan.entry_tile[ei])
-        ox = float((tile_id % plan.ntx) * tw)
-        oy = float((tile_id // plan.ntx) * th)
-        kind = int(pk[ei])
-        img_id = int(plan.entry_image[ei])
+    # color-tile ids in `need` order (vectorized; same assignment as the old
+    # per-entry loop)
+    nct = len(need)
+    plan.entry_color_tile[need] = np.arange(nct, dtype=np.int32)
+    sp.num_tiles = nct
+    sp.tex_tile_mask = pk[need] == P_TEXTURE
+
+    raw: dict = {}   # (img, flags, kind, separable) -> [(ct, params, color)]
+    tiles = plan.entry_tile[need]
+    oxs = ((tiles % plan.ntx) * tw).astype(np.float64)
+    oys = ((tiles // plan.ntx) * th).astype(np.float64)
+    eop = plan.entry_op[need]
+    # entries are op-major, so one pass per textured OP keeps the original
+    # (entry, quad) row order while vectorizing the per-entry work that made
+    # this pass ~4 ms/frame on text-heavy scenes
+    starts = np.concatenate([[0], np.nonzero(np.diff(eop))[0] + 1, [len(need)]])
+    for si in range(len(starts) - 1):
+        a, b = int(starts[si]), int(starts[si + 1])
+        ei0 = need[a]
+        kind = int(pk[ei0])
+        img_id = int(plan.entry_image[ei0])
         flags = int(images[img_id][1]) if img_id in images else 0
-        paint = plan.entry_paint[ei]
-        op = ops[int(plan.entry_op[ei])]
-        ct_idx = nct
-        plan.entry_color_tile[ei] = ct_idx
-        nct += 1
-        tex_mask.append(kind == P_TEXTURE)
+        paint = plan.entry_paint[ei0]
+        col = np.asarray(paint[10:14], np.float32)
+        cts = np.arange(a, b, dtype=np.int64)
+        ox = oxs[a:b]
+        oy = oys[a:b]
 
         if kind == P_IMAGE:
-            m = paint[0:6]
+            m = np.asarray(paint[0:6], np.float64)
             separable = abs(float(m[1])) < 1e-12 and abs(float(m[2])) < 1e-12
+            pr = np.zeros((b - a, 12), np.float64)
+            pr[:, 0] = ox
+            pr[:, 1] = oy
+            pr[:, 2:8] = m[None, :]
             key = (img_id, flags, P_IMAGE, separable)
             g = raw.setdefault(key, {"ct": [], "params": [], "color": []})
-            g["ct"].append(ct_idx)
-            # params: ox, oy, m0..m5, pad
-            g["params"].append([ox, oy, *[float(x) for x in m], 0, 0, 0, 0])
-            g["color"].append([float(x) for x in paint[10:14]])
-        else:
-            # note: these are the caller's ORIGINAL ops (y unscaled) — only
-            # tile origins needed output-space correction under supersampling
-            q = np.asarray(op.tex_quads, np.float64)
-            cxs = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4], q[:, 0] + q[:, 2] + q[:, 4]])
-            cys = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5], q[:, 1] + q[:, 3] + q[:, 5]])
-            qsel = (
-                (cxs.min(axis=0) < ox + tw + 1) & (cxs.max(axis=0) > ox - 1)
-                & (cys.min(axis=0) < oy + th + 1) & (cys.max(axis=0) > oy - 1)
-            )
-            col = [float(x) for x in paint[10:14]]
-            for p0x, p0y, exx, exy, eyx, eyy, u0, v0, u1, v1, _r0, _r1 in q[qsel]:
-                det = exx * eyy - exy * eyx
-                if abs(det) < 1e-12:
-                    continue
-                separable = abs(exy) < 1e-12 and abs(eyx) < 1e-12
-                key = (img_id, flags, P_TEXTURE, separable)
-                g = raw.setdefault(key, {"ct": [], "params": [], "color": []})
-                g["ct"].append(ct_idx)
-                g["params"].append([ox, oy, p0x, p0y, exx, exy, eyx, eyy, u0, v0, u1, v1])
-                g["color"].append(col)
+            g["ct"].append(cts)
+            g["params"].append(pr)
+            g["color"].append(np.broadcast_to(col, (b - a, 4)))
+            continue
 
-    sp.num_tiles = nct
-    sp.tex_tile_mask = np.asarray(tex_mask, bool)
+        # P_TEXTURE: (entry, quad) pairs by bbox overlap.  note: these are
+        # the caller's ORIGINAL ops (y unscaled) — only tile origins needed
+        # output-space correction under supersampling
+        q = np.asarray(ops[int(eop[a])].tex_quads, np.float64)
+        cxs = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4],
+                        q[:, 0] + q[:, 2] + q[:, 4]])
+        cys = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5],
+                        q[:, 1] + q[:, 3] + q[:, 5]])
+        qx0, qx1 = cxs.min(axis=0), cxs.max(axis=0)
+        qy0, qy1 = cys.min(axis=0), cys.max(axis=0)
+        exx, exy, eyx, eyy = q[:, 2], q[:, 3], q[:, 4], q[:, 5]
+        q_ok = np.abs(exx * eyy - exy * eyx) >= 1e-12
+        overlap = (
+            (qx0[None, :] < (ox + tw + 1)[:, None])
+            & (qx1[None, :] > (ox - 1)[:, None])
+            & (qy0[None, :] < (oy + th + 1)[:, None])
+            & (qy1[None, :] > (oy - 1)[:, None])
+            & q_ok[None, :]
+        )
+        pe, pq = np.nonzero(overlap)             # row-major = entry-major
+        if not len(pe):
+            continue
+        q_sep = (np.abs(exy) < 1e-12) & (np.abs(eyx) < 1e-12)
+        for separable in (False, True):
+            m2 = q_sep[pq] == separable
+            if not m2.any():
+                continue
+            e2, q2 = pe[m2], pq[m2]
+            pr = np.zeros((len(e2), 12), np.float64)
+            pr[:, 0] = ox[e2]
+            pr[:, 1] = oy[e2]
+            pr[:, 2:12] = q[q2, 0:10]
+            key = (img_id, flags, P_TEXTURE, bool(separable))
+            g = raw.setdefault(key, {"ct": [], "params": [], "color": []})
+            g["ct"].append(cts[e2])
+            g["params"].append(pr)
+            g["color"].append(np.broadcast_to(col, (len(e2), 4)))
+
     for (img_id, flags, kind, separable), g in sorted(raw.items()):
-        k = len(g["ct"])
+        cti = np.concatenate(g["ct"])
+        k = len(cti)
         kp = _bucket(k)
         ct = np.full(kp, nct, np.int32)          # pad -> scratch tile row NCT
-        ct[:k] = g["ct"]
+        ct[:k] = cti
         params = np.zeros((kp, 12), np.float32)
-        params[:k] = np.asarray(g["params"], np.float32)
+        params[:k] = np.concatenate(g["params"]).astype(np.float32)
         if kind == P_TEXTURE:
             params[k:, 4] = 1.0                  # exx/eyy nonzero on pad rows
             params[k:, 7] = 1.0
@@ -139,7 +170,7 @@ def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
             params[k:, 2] = 1.0                  # m0/m3
             params[k:, 5] = 1.0
         color = np.zeros((kp, 4), np.float32)
-        color[:k] = np.asarray(g["color"], np.float32)
+        color[:k] = np.concatenate(g["color"])
         sp.groups.append(SampleGroup(img_id, flags, kind, separable, ct, params, color))
     return sp
 
