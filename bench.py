@@ -39,7 +39,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     draw_benchmark_frame(ctx, 0.0)
     t1 = time.perf_counter()
     img = vg.end(ctx, background=(0.12, 0.12, 0.13, 1.0))
-    img.block_until_ready()
+    np.asarray(img[0, 0])
     t2 = time.perf_counter()
 
     plan = ctx.last_plan
@@ -49,13 +49,17 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     # full dynamic frame (CHANGED content per frame -> frame-memo misses):
     # re-record + re-bin + re-upload + render (the reference's analogue is
     # CPU retessellation of non-cached content)
+    def sync(img):
+        # block_until_ready does NOT synchronize through the axon tunnel
+        # (CLAUDE.md); fetching a value that depends on the frame does
+        np.asarray(img[0, 0])
+
     dyn = []
     for k in range(5):
         td0 = time.perf_counter()
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.05 * (k + 1))
-        img = vg.end(ctx, background=bg)
-        img.block_until_ready()
+        sync(vg.end(ctx, background=bg))
         dyn.append((time.perf_counter() - td0) * 1e3)
     dynamic_ms = sorted(dyn)[len(dyn) // 2]
 
@@ -66,8 +70,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         td0 = time.perf_counter()
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.0)
-        img = vg.end(ctx, background=bg)
-        img.block_until_ready()
+        sync(vg.end(ctx, background=bg))
         rd.append((time.perf_counter() - td0) * 1e3)
     redraw_ms = sorted(rd)[len(rd) // 2]
 

@@ -135,3 +135,31 @@ def test_textured_rejected():
     vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
     with pytest.raises(NotImplementedError):
         RetainedScene.bake(ctx)
+
+
+def test_explicit_viewport_scissor_rides_scene():
+    """An EXPLICIT setScissor exactly equal to the viewport is a real
+    scene-space clip (the reference transforms scissors at set time) —
+    only the implicit default is screen-space."""
+    bg = (0.05, 0.05, 0.05, 1.0)
+
+    def scene(ctx):
+        vg.setScissor(ctx, 0, 0, W, H)
+        vg.beginPath(ctx)
+        vg.rect(ctx, -60, -40, W + 120, H + 80)
+        vg.fillPath(ctx, vg.color4ub(200, 120, 40, 255), vg.FillFlags.ConvexAA)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    scene(ctx)
+    s = RetainedScene.bake(ctx, background=bg)
+    for view in [(-30, -20), (25, 7)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, W, H, 1.0)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0], -view[1])
+        scene(ctx2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=2e-4)

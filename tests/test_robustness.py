@@ -324,3 +324,34 @@ def test_tile_depth_cap():
     ref_ctx = vg.createContext(cfg=ContextConfig(max_ops_per_tile_cap=8))
     img_last8 = draw(ref_ctx, 4, 12)   # only the last 8 draws
     assert np.allclose(img_capped, img_last8, atol=1e-6)
+
+
+def test_depth_cap_preserves_clip_controls():
+    """The composite depth cap drops the oldest DRAWS, never clip controls:
+    a capped tile keeps its clip-add/commit so surviving draws stay
+    correctly clipped (dropping the adds would pin the mask to 0 and erase
+    them; dropping the commit would leak them unclipped)."""
+    import warnings
+
+    import vgtpu as vg
+    from vgtpu.api.config import ContextConfig
+
+    ctx = vg.createContext(ContextConfig(max_ops_per_tile_cap=16))
+    vg.begin(ctx, 0, 128, 8, 1.0)
+    # clip to the left half, then stack 40 translucent draws in one tile
+    vg.beginClip(ctx, vg.ClipRule.In)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 8)
+    vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.Convex)
+    vg.endClip(ctx)
+    for i in range(40):
+        vg.beginPath(ctx)
+        vg.rect(ctx, 2 + (i % 7), 1, 100, 6)
+        vg.fillPath(ctx, vg.color4ub(255, 0, 0, 60), vg.FillFlags.ConvexAA)
+    vg.resetClip(ctx)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        img = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
+    # right half (outside the clip) must stay background; left half red
+    assert img[4, 96, 0] < 1e-3, "clip leaked: draws escaped the clip region"
+    assert img[4, 30, 0] > 0.5, "clipped draws vanished (mask pinned to 0)"

@@ -140,11 +140,15 @@ class _State:
     global_alpha: float = 1.0
     avg_scale: float = 1.0
     font_scale: float = 1.0
+    # False until setScissor/intersectScissor: ops record scissor=None so a
+    # viewport-sized DEFAULT is distinguishable from an explicit rect that
+    # happens to equal it (retained bake keeps explicit rects scene-space)
+    scissor_explicit: bool = False
 
     def copy(self) -> "_State":
         return _State(
             self.transform.copy(), self.scissor.copy(), self.global_alpha,
-            self.avg_scale, self.font_scale,
+            self.avg_scale, self.font_scale, self.scissor_explicit,
         )
 
     def update(self) -> None:
@@ -520,6 +524,14 @@ class Context:
             return None
         return (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
 
+    def _op_scissor(self):
+        """Scissor as recorded on ops: None while the scissor is the untouched
+        viewport default (RasterOp semantics treat None as the full canvas),
+        the explicit framebuffer-space rect otherwise.  The distinction lets
+        retained bakes keep explicit rects scene-space while the default
+        stays screen-space (raster/retained.py)."""
+        return self._scissor_rect() if self.state.scissor_explicit else None
+
     def _scissor_rect(self):
         s = self.state.scissor
         if s[2] <= 0 or s[3] <= 0:
@@ -669,7 +681,7 @@ class Context:
             mode = 0 if path_type == PathType.Convex else 1
             self._emit(RasterOp(
                 kind=K_DRAW, edges=None, fill_rule=rule, aa=aa,
-                paint_kind=pk, paint=paint, scissor=self._scissor_rect(),
+                paint_kind=pk, paint=paint, scissor=self._op_scissor(),
                 image_id=(img.idx if img is not None else -1),
                 mergeable=(path_type == PathType.Convex),
                 geom=[(self.path.snapshot(), mode,
@@ -681,7 +693,7 @@ class Context:
         verts, subs = self._transformed_path()
         if len(subs) == 0:
             return
-        sciss = self._scissor_rect()
+        sciss = self._op_scissor()
         kind = K_CLIP_ADD if self._recording_clip else 0
 
         def mk(edges):
@@ -768,7 +780,7 @@ class Context:
                 return
             self._emit(RasterOp(
                 kind=K_DRAW, edges=None, fill_rule=FillRule.NonZero, aa=aa,
-                paint_kind=pk, paint=paint, scissor=self._scissor_rect(),
+                paint_kind=pk, paint=paint, scissor=self._op_scissor(),
                 image_id=(img.idx if img is not None else -1),
                 mergeable=True,
                 geom=[(self.path.snapshot(), 2,
@@ -779,7 +791,7 @@ class Context:
             return
 
         verts, subs = self._transformed_path()
-        sciss = self._scissor_rect()
+        sciss = self._op_scissor()
         kind = K_CLIP_ADD if self._recording_clip else 0
         for first, count, closed in subs:
             if count < 2:
@@ -894,6 +906,7 @@ class Context:
 
     def resetScissor(self) -> None:
         self.state.scissor[:] = (0.0, 0.0, float(self.canvas_width), float(self.canvas_height))
+        self.state.scissor_explicit = False
 
     def setScissor(self, x, y, w, h) -> None:
         """ctxSetScissor (transform pos + vec, clamp to canvas)."""
@@ -907,6 +920,7 @@ class Context:
         maxx = float(np.clip(px + sx, 0.0, cw))
         maxy = float(np.clip(py + sy, 0.0, chh))
         self.state.scissor[:] = (minx, miny, maxx - minx, maxy - miny)
+        self.state.scissor_explicit = True
 
     def intersectScissor(self, x, y, w, h) -> bool:
         m = self.state.transform
@@ -921,6 +935,7 @@ class Context:
         nw = max(0.0, maxx - minx)
         nh = max(0.0, maxy - miny)
         self.state.scissor[:] = (minx, miny, nw, nh)
+        self.state.scissor_explicit = True
         return nw >= 1.0 and nh >= 1.0
 
     def transformIdentity(self) -> None:
@@ -1023,7 +1038,7 @@ class Context:
         spos = core.xform_points(self._render_transform(), pos)
         idx = np.asarray(indices, np.int64).reshape(-1, 3)
         ga = self.state.global_alpha
-        sciss = self._scissor_rect()
+        sciss = self._op_scissor()
 
         colors = np.atleast_1d(np.asarray(colors, np.uint32))
         col_f = core.colors_to_rgba_f32(colors)

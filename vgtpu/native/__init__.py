@@ -117,12 +117,15 @@ def available() -> bool:
 def _ptr_to_np(ptr, count: int, dtype) -> np.ndarray:
     """Copy `count` items from a ctypes pointer into a fresh numpy array.
     np.ctypeslib.as_array builds a new ctypes array TYPE per call (~10x
-    slower); frombuffer over the raw address is the fast path."""
+    slower); a single memmove into a preallocated array is the fast path
+    (string_at + frombuffer().copy() costs two full copies)."""
     if count == 0:
         return np.zeros(0, dtype)
     dt = np.dtype(dtype)
-    buf = ctypes.string_at(ctypes.addressof(ptr.contents), count * dt.itemsize)
-    return np.frombuffer(buf, dtype=dt).copy()
+    out = np.empty(count, dt)
+    ctypes.memmove(out.ctypes.data, ctypes.addressof(ptr.contents),
+                   count * dt.itemsize)
+    return out
 
 
 def _fp(a: np.ndarray):

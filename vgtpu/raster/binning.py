@@ -293,10 +293,25 @@ def compute_tile_buckets(
 
         warnings.warn(
             f"tile op depth {int(counts.max())} exceeds cap {cap}; "
-            f"dropping oldest entries in {int((counts > cap).sum())} tiles",
+            f"dropping oldest draw entries in {int((counts > cap).sum())} tiles",
             RuntimeWarning, stacklevel=2)
-        pos = np.arange(tile_entries.shape[1])[None, :]
-        keep = (tile_entries >= 0) & (pos >= (counts - cap)[:, None])
+        # drop the oldest DRAW entries only: dropping a clip-add or commit
+        # would silently change the clip state of every surviving draw (a
+        # commit whose adds were dropped pins the mask to 0; a dropped
+        # commit leaks clipped draws).  Control entries are scarce, so
+        # keeping them all still lands at <= cap except in the pathological
+        # >cap-controls case, where the trailing slice below degrades as
+        # before.
+        valid = tile_entries >= 0
+        if entry_kind is not None:
+            is_draw = valid & (entry_kind[np.maximum(tile_entries, 0)] == K_DRAW)
+        else:
+            is_draw = valid
+        n_draws = is_draw.sum(axis=1)
+        to_drop = np.maximum(counts - cap, 0)
+        draw_rank = np.cumsum(is_draw, axis=1) - 1       # 0-based among draws
+        keep = valid & (~is_draw | (draw_rank >= np.minimum(
+            to_drop, n_draws)[:, None]))
         tile_entries = np.where(keep, tile_entries, -1)
         order = np.argsort(tile_entries < 0, axis=1, kind="stable")
         tile_entries = np.take_along_axis(tile_entries, order, axis=1)

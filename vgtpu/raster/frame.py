@@ -214,6 +214,20 @@ def plan_to_device(plan: FramePlan) -> dict:
     return d
 
 
+def _bucket128(n: int) -> int:
+    """128-aligned pool size with PROPORTIONAL quantization: the step grows
+    with the size (128 up to 1k, 256 to 2k, 512 to 4k, then 1024), keeping
+    padding waste <= 12.5% (raw {2^k,1.5*2^k} buckets waste up to 33% of
+    coverage slots — measured +0.4 ms on the benchmark frame) while bounding
+    the number of distinct jit signatures a drifting dynamic scene can mint
+    (raw 128-multiples mint one per boundary crossing)."""
+    n = max(n, 1)
+    step = 128
+    while step * 8 < n:
+        step *= 2
+    return -(-n // step) * step
+
+
 def _compact_culled_chunks(plan: FramePlan) -> None:
     """Drop chunks whose entry no bucket references (occlusion / static-clip
     culled draws): their coverage would be computed and never gathered.
@@ -235,7 +249,11 @@ def _compact_culled_chunks(plan: FramePlan) -> None:
         keep = (cent >= 0) & (cent < ne) & ref[np.clip(cent, 0, ne - 1)]
         ce2, cent2 = ce[keep], cent[keep]
         live += len(ce2)
-        nc = max(-(-len(ce2) // 128) * 128, 128)
+        # pad to the next {2^k, 1.5*2^k} bucket that is ALSO a 128-multiple
+        # (the Pallas lane gate): arbitrary 128-multiples would mint a fresh
+        # jit signature for the whole frame program every time a pool drifts
+        # across a 128 boundary (CLAUDE.md shape-bucket invariant)
+        nc = _bucket128(len(ce2))
         cep = np.zeros((nc,) + ce.shape[1:], ce.dtype)
         cep[: len(ce2)] = ce2
         centp = np.full(nc, ne - 1, cent.dtype)

@@ -34,10 +34,11 @@ Limitations (documented, enforced at bake):
   * textured/image paints: color tiles are tile-local pre-samples; panning
     them needs per-position re-bake.  Use immediate mode for those layers.
   * supersampled coverage (ContextConfig.coverage_supersample > 1).
-  * occlusion culling is disabled (it depends on backdrop rows and
-    tile-vs-scissor positions, which move with the view); static clip
-    resolution and trailing-control pruning stay on (per-tile draw-order
-    facts, which panning preserves).
+  * all per-tile optimizations run in view-invariant form
+    (compute_tile_buckets(view_static=True)): static clip resolution and
+    trailing-control pruning are per-tile draw-order facts; occlusion
+    culling requires opaque cover over the whole backdrop window with no
+    edges in the margin-inflated chunk set.
 """
 
 from __future__ import annotations
@@ -185,17 +186,12 @@ class RetainedScene:
         for op in ops:
             if isinstance(op.edges, list):
                 op.edges = np.concatenate(op.edges, axis=0)
-        # ops recorded without an explicit scissor carry the bake VIEWPORT as
-        # their scissor.  Baking that into scene space would scroll it with
-        # the content and clip everything that pans into view from outside
-        # the original viewport — but the reference's default scissor is the
-        # screen, which the pan output crop already models.  Drop it.
-        # Explicit setScissor rects are transformed at set time in the
-        # reference (vg.cpp updateScissor) and correctly ride scene space.
-        vp = (0.0, 0.0, float(ctx.fb_width), float(ctx.fb_height))
-        for o in ops:
-            if o.scissor is not None and tuple(o.scissor) == vp:
-                o.scissor = None
+        # ops recorded while the scissor was the untouched viewport default
+        # carry scissor=None (Context._op_scissor): the reference's default
+        # scissor is the screen, which the pan output crop models, so those
+        # draws pan freely.  Explicit setScissor rects (even viewport-sized
+        # ones) are transformed at set time in the reference (updateScissor)
+        # and correctly ride scene space here.
         # the baked grid covers the CONTENT bbox, not just the viewport:
         # everything recorded is retained and pans into view exactly (plus a
         # 1-tile border so sub-tile residuals at the edges stay in-grid)
@@ -215,11 +211,11 @@ class RetainedScene:
             ops, int(np.ceil(xmax)) + offx, int(np.ceil(ymax)) + offy,
             tile_h=th, tile_w=tw,
             chunk=ctx.cfg.edges_per_chunk, pan_margin=True)
-        # view_static: keep the per-bucket lane specialization, static-clip
-        # resolution and trailing-control pruning (all per-tile draw-order
-        # facts, which panning preserves) but disable occlusion culling
-        # (depends on backdrop rows / tile-vs-scissor position, both of
-        # which move with the view)
+        # view_static: lane specialization, static-clip resolution and
+        # trailing-control pruning as usual (per-tile draw-order facts, which
+        # panning preserves); occlusion culling switches to its view-invariant
+        # tests (whole backdrop window, margin-inflated edge sets, reach-2
+        # scissor containment — see compute_tile_buckets)
         plan.tile_buckets = compute_tile_buckets(
             plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind,
             plan=plan, view_static=True)
@@ -246,6 +242,18 @@ class RetainedScene:
         }
         d = jax.device_put(host)
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
+        # bake-time base params for the fused composite: everything except
+        # the OX/OY residual rows is view-constant (backdrop rides entry_w)
+        from vgtpu.ops.composite_pallas import build_bucket_params_jnp
+
+        bd0 = jnp.zeros((ne, th), jnp.float32)
+        d["bucket_params_base"] = tuple(
+            build_bucket_params_jnp(
+                te, d["entry_kind"], d["entry_rule"], d["entry_aa"],
+                d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
+                d["entry_color_tile"], d["entry_tile"], bd0,
+                tile_h=th, tile_w=tw, ntx=plan.ntx)
+            for te, _ids in d["tile_buckets"])
         return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
                              off=(offx, offy))
 
@@ -297,19 +305,12 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
         # and ride along unchanged), backdrop already folded into entry_w
         from vgtpu.ops.composite_pallas import (
             _P_OX,
-            build_bucket_params_jnp,
             composite_bucketed_pallas_body,
         )
 
-        params = []
-        for te_b, _ids in d["tile_buckets"]:
-            pp = build_bucket_params_jnp(
-                te_b, d["entry_kind"], d["entry_rule"], d["entry_aa"],
-                d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
-                d["entry_color_tile"], d["entry_tile"],
-                jnp.zeros_like(bd), tile_h=th, tile_w=tw, ntx=NTX)
-            pp = pp.at[:, _P_OX].add(rxf).at[:, _P_OX + 1].add(ryf)
-            params.append(pp)
+        # base params are bake-constant; only the OX/OY rows take the residual
+        params = [pp.at[:, _P_OX].add(rxf).at[:, _P_OX + 1].add(ryf)
+                  for pp in d["bucket_params_base"]]
         fb = composite_bucketed_pallas_body(
             entry_w, d["tile_buckets"], tuple(params),
             (None,) * len(params), bg,
