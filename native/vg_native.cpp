@@ -850,4 +850,126 @@ int vg_frame_geom(
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// per-tile entry resolution (the host side of compute_tile_buckets minus the
+// bucket grouping): static clip resolution, trailing-control pruning,
+// occlusion culling, depth cap, per-tile fancy flag.  Mirrors the numpy
+// implementation in vgtpu/raster/binning.py exactly (parity-tested).
+// Entry kinds/paints as in binning.py: K_DRAW=0 CLIP_ADD=1 COMMIT=2 RESET=3;
+// P_SOLID=0.
+// ---------------------------------------------------------------------------
+
+int vg_resolve_tiles(
+    int32_t* te,                 // (T, MO) in/out
+    int64_t T, int32_t MO,
+    const int32_t* entry_kind, const int32_t* entry_rule,
+    const int32_t* entry_pk, const float* entry_paint,    // (NE,18)
+    const float* entry_scissor,                           // (NE,4)
+    const float* entry_backdrop,                          // (NE, bd_rows)
+    int32_t bd_rows,
+    const uint8_t* entry_has_edges,                       // (NE,)
+    int64_t NE,
+    int32_t width, int32_t height_ss, int32_t tile_w, int32_t tile_h,
+    int32_t ntx, int32_t cap, int32_t view_static, int32_t static_clip,
+    uint8_t* tile_fancy)                                  // (T,) out
+{
+    int capped = 0;
+    // per-entry opaque-full-cover flag
+    std::vector<uint8_t> covers((size_t)NE, 0);
+    for (int64_t e = 0; e < NE; ++e) {
+        if (entry_pk[e] != 0 || entry_kind[e] != 0 || entry_rule[e] != 0) continue;
+        if (entry_paint[e*18 + 13] < 1.0f) continue;
+        if (entry_has_edges[e]) continue;
+        bool full = true;
+        for (int r = 0; r < bd_rows; ++r)
+            if (std::fabs(entry_backdrop[e*bd_rows + r]) < 1.0f) { full = false; break; }
+        if (full) covers[(size_t)e] = 1;
+    }
+    const int reach = view_static ? 2 : 1;
+
+    std::vector<int32_t> row((size_t)MO);
+    for (int64_t t = 0; t < T; ++t) {
+        int32_t* slots = te + t * MO;
+        int n = 0;
+        bool has_cadd = false;
+        for (int s = 0; s < MO; ++s) {
+            int32_t e = slots[s];
+            if (e < 0) break;            // rows are compacted (-1 suffix)
+            row[(size_t)n++] = e;
+            if (entry_kind[e] == 1) has_cadd = true;
+        }
+        if (!n) { tile_fancy[t] = 0; continue; }
+
+        // 1. static clip resolution (clip-add-free tiles only)
+        if (static_clip && !has_cadd) {
+            int m = 0, mask = 1;
+            for (int s = 0; s < n; ++s) {
+                int32_t e = row[(size_t)s];
+                int k = entry_kind[e];
+                if (k == 0) { if (mask) row[(size_t)m++] = e; }
+                else mask = (k == 2 && entry_rule[e] == 0) ? 0 : 1;  // commit(In)=0
+            }
+            n = m;
+        }
+
+        // 2. trailing-control prune: drop everything after the last draw
+        int last_draw = -1;
+        for (int s = n - 1; s >= 0; --s)
+            if (entry_kind[row[(size_t)s]] == 0) { last_draw = s; break; }
+        n = last_draw + 1;
+
+        // 3. occlusion: keep from the LAST covering entry onward (clip-free
+        //    tiles with the scissor containing the reachable window)
+        if (n) {
+            bool tile_has_clip = false;
+            for (int s = 0; s < n; ++s)
+                if (entry_kind[row[(size_t)s]] != 0) { tile_has_clip = true; break; }
+            if (!tile_has_clip) {
+                float tx0 = (float)((t % ntx) * tile_w);
+                float ty0 = (float)((t / ntx) * tile_h);
+                float tx1 = std::min(tx0 + (float)(reach * tile_w), (float)width);
+                float ty1 = std::min(ty0 + (float)(reach * tile_h), (float)height_ss);
+                for (int s = n - 1; s > 0; --s) {
+                    int32_t e = row[(size_t)s];
+                    if (!covers[(size_t)e]) continue;
+                    const float* sc = entry_scissor + e*4;
+                    if (sc[0] <= tx0 && sc[1] <= ty0 && sc[2] >= tx1 && sc[3] >= ty1) {
+                        // drop everything before s
+                        for (int i = s; i < n; ++i) row[(size_t)(i - s)] = row[(size_t)i];
+                        n -= s;
+                        break;
+                    }
+                }
+            }
+        }
+
+        // 4. depth cap: drop the OLDEST draws only (controls preserved)
+        if (cap > 0 && n > cap) {
+            ++capped;
+            int draws = 0;
+            for (int s = 0; s < n; ++s) if (entry_kind[row[(size_t)s]] == 0) ++draws;
+            int to_drop = std::min(n - cap, draws);
+            int m = 0, seen = 0;
+            for (int s = 0; s < n; ++s) {
+                int32_t e = row[(size_t)s];
+                if (entry_kind[e] == 0 && seen < to_drop) { ++seen; continue; }
+                row[(size_t)m++] = e;
+            }
+            n = m;
+            if (n > cap) n = cap;   // pathological: >cap controls
+        }
+
+        // 5. fancy flag + writeback
+        uint8_t fancy = 0;
+        for (int s = 0; s < n; ++s) {
+            int32_t e = row[(size_t)s];
+            slots[s] = e;
+            if (entry_pk[e] != 0 || entry_kind[e] != 0) fancy = 1;
+        }
+        for (int s = n; s < MO; ++s) slots[s] = -1;
+        tile_fancy[t] = fancy;
+    }
+    return capped;
+}
+
 } // extern "C"

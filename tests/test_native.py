@@ -168,3 +168,68 @@ def test_native_binner_tall_tiles():
     img_a = np.asarray(execute_plan(a, background=(1, 1, 1, 1)))
     img_b = np.asarray(execute_plan(b, background=(1, 1, 1, 1)))
     np.testing.assert_allclose(img_a, img_b, atol=1e-4)
+
+
+def test_resolve_tiles_matches_numpy():
+    """Native vg_resolve_tiles (static clip + trailing prune + occlusion +
+    depth cap + fancy flags) must produce byte-identical tile tables and
+    buckets to the numpy oracle passes, across clip groups, scissors,
+    opaque covers and depth-capped tiles."""
+    import numpy as np
+
+    import vgtpu as vg
+    from vgtpu import native
+    from vgtpu.api.config import ContextConfig
+    from vgtpu.raster.binning import bin_frame, compute_tile_buckets
+    from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    assert native.available()
+
+    def buckets_both(plan, view_static=False):
+        import warnings
+
+        te = plan.tile_entries
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            nat = compute_tile_buckets(te, te.shape[0], plan.entry_kind, plan,
+                                       view_static)
+            orig = native.resolve_tiles
+            native.resolve_tiles = lambda *a, **k: None
+            try:
+                ref = compute_tile_buckets(te, te.shape[0], plan.entry_kind,
+                                           plan, view_static)
+            finally:
+                native.resolve_tiles = orig
+        return nat, ref
+
+    def compare(nat, ref):
+        assert len(nat) == len(ref)
+        for (te_a, ids_a, fl_a), (te_b, ids_b, fl_b) in zip(nat, ref):
+            np.testing.assert_array_equal(te_a, te_b)
+            np.testing.assert_array_equal(ids_a, ids_b)
+            assert fl_a == fl_b
+
+    # benchmark frame (clip groups, gradients, text, occluded tiger stack)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 960, 544, 1.0)
+    draw_benchmark_frame(ctx, 0.1)
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, 960, 544)
+    compare(*buckets_both(plan))
+
+    # depth-capped clipped scene
+    ctx = vg.createContext(ContextConfig(max_ops_per_tile_cap=8))
+    vg.begin(ctx, 0, 128, 8, 1.0)
+    vg.beginClip(ctx, vg.ClipRule.In)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 0, 0, 64, 8)
+    vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.Convex)
+    vg.endClip(ctx)
+    for i in range(20):
+        vg.beginPath(ctx)
+        vg.rect(ctx, 2 + (i % 5), 1, 100, 6)
+        vg.fillPath(ctx, vg.color4ub(255, 0, 0, 60), vg.FillFlags.ConvexAA)
+    vg.resetClip(ctx)
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, 128, 8, depth_cap=8)
+    compare(*buckets_both(plan))

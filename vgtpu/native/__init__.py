@@ -106,6 +106,16 @@ def get_lib():
         ctypes.POINTER(_StrokeResult),
     ]
     lib.vg_free_stroke.argtypes = [ctypes.POINTER(_StrokeResult)]
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.vg_resolve_tiles.restype = ctypes.c_int
+    lib.vg_resolve_tiles.argtypes = [
+        c_i32p, ctypes.c_int64, ctypes.c_int32,
+        c_i32p, c_i32p, c_i32p, c_f32p, c_f32p, c_f32p,
+        ctypes.c_int32, c_u8p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        c_u8p,
+    ]
     _lib = lib
     return _lib
 
@@ -463,3 +473,41 @@ def frame_geom(snaps: list, draws: list, stroke_tol: float):
     piece_draw = _ptr_to_np(res.piece_draw, int(res.n_pieces), np.int32)
     lib.vg_free_geom(ctypes.byref(res))
     return edges, piece_off, piece_draw
+
+
+def resolve_tiles(tile_entries, plan, view_static: bool, static_clip: bool):
+    """Native per-tile entry resolution (static clip, trailing prune,
+    occlusion, depth cap) — the host side of compute_tile_buckets minus the
+    bucket grouping.  Returns (resolved tile_entries, tile_fancy u8, capped
+    tile count) or None when the native lib is unavailable.  Mirrors the
+    numpy passes exactly (parity-tested in tests/test_native.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    te = np.ascontiguousarray(tile_entries, np.int32).copy()
+    T, MO = te.shape
+    ne = plan.entry_backdrop.shape[0]
+    bd = (plan.entry_backdrop_pan
+          if view_static and plan.entry_backdrop_pan is not None
+          else plan.entry_backdrop)
+    bd = np.ascontiguousarray(bd, np.float32)
+    has_edges = np.zeros(ne, np.uint8)
+    for _ce, cent in plan.chunk_pools:
+        has_edges[np.asarray(cent)] = 1
+    fancy = np.zeros(T, np.uint8)
+    ek = np.ascontiguousarray(plan.entry_kind, np.int32)
+    er = np.ascontiguousarray(plan.entry_rule, np.int32)
+    epk = np.ascontiguousarray(plan.entry_paint_kind, np.int32)
+    ep = np.ascontiguousarray(plan.entry_paint, np.float32)
+    esc = np.ascontiguousarray(plan.entry_scissor, np.float32)
+    ntx = max(1, -(-plan.width // plan.tile_w))
+    capped = lib.vg_resolve_tiles(
+        _ip(te), T, MO,
+        _ip(ek), _ip(er), _ip(epk), _fp(ep), _fp(esc), _fp(bd),
+        bd.shape[1], has_edges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ne,
+        plan.width, plan.height * plan.supersample, plan.tile_w, plan.tile_h,
+        ntx, int(plan.depth_cap or 0), int(view_static), int(static_clip),
+        fancy.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return te, fancy.astype(bool), int(capped)

@@ -165,7 +165,28 @@ def compute_tile_buckets(
     entries plus the statically-clipped draws; only tiles actually touched
     by a clip shape keep the dynamic mask lanes (this is what keeps the
     fused composite's clip lanes out of ~99% of tiles on clipped frames)."""
-    if plan is not None and tile_entries.size and STATIC_CLIP_RESOLVE:
+    resolved_fancy = None
+    if plan is not None and entry_kind is not None and tile_entries.size:
+        # native fast path: one C pass over the tile table does all four
+        # per-tile resolutions (the numpy passes below are its oracle)
+        from vgtpu import native
+
+        r = (native.resolve_tiles(tile_entries, plan, view_static,
+                                  STATIC_CLIP_RESOLVE)
+             if native.available() else None)
+        if r is not None:
+            tile_entries, resolved_fancy, capped = r
+            if capped:
+                import warnings
+
+                warnings.warn(
+                    f"tile op depth exceeds cap {plan.depth_cap}; dropping "
+                    f"oldest draw entries in {capped} tiles",
+                    RuntimeWarning, stacklevel=2)
+                plan.stats["depth_capped_tiles"] = capped
+
+    if (resolved_fancy is None and plan is not None and tile_entries.size
+            and STATIC_CLIP_RESOLVE):
         te0 = tile_entries
         e0 = np.maximum(te0, 0)
         v0 = te0 >= 0
@@ -210,7 +231,7 @@ def compute_tile_buckets(
             order = np.argsort(te0 < 0, axis=1, kind="stable")
             tile_entries = np.take_along_axis(te0, order, axis=1)
 
-    if entry_kind is not None and tile_entries.size:
+    if entry_kind is not None and tile_entries.size and resolved_fancy is None:
         te = tile_entries
         kinds = np.where(te >= 0, entry_kind[np.maximum(te, 0)], -1)
         is_draw = (kinds == K_DRAW) & (te >= 0)
@@ -324,7 +345,9 @@ def compute_tile_buckets(
     # per-tile feature signature: tiles whose entries are all simple
     # (solid paint, pure draws) compile to a much cheaper composite variant —
     # split each depth class so artwork tiles don't inherit UI tiles' lanes
-    if plan is not None and tile_entries.size:
+    if resolved_fancy is not None:
+        tile_fancy = resolved_fancy
+    elif plan is not None and tile_entries.size:
         e_all = np.maximum(tile_entries, 0)
         v_all = tile_entries >= 0
         fancy_entry = (plan.entry_paint_kind != P_SOLID) | (plan.entry_kind != K_DRAW)
