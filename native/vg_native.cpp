@@ -894,7 +894,7 @@ int vg_resolve_tiles(
         bool has_cadd = false;
         for (int s = 0; s < MO; ++s) {
             int32_t e = slots[s];
-            if (e < 0) break;            // rows are compacted (-1 suffix)
+            if (e < 0) continue;         // hole-tolerant like the numpy oracle
             row[(size_t)n++] = e;
             if (entry_kind[e] == 1) has_cadd = true;
         }

@@ -233,3 +233,41 @@ def test_resolve_tiles_matches_numpy():
     ctx._finalize_ops()
     plan = bin_frame(ctx.ops, 128, 8, depth_cap=8)
     compare(*buckets_both(plan))
+
+
+def test_resolve_tiles_matches_numpy_view_static():
+    """The view_static branch (retained pan: reach-2 scissor windows, pan
+    backdrop windows, view-invariant occlusion) must also match numpy."""
+    import numpy as np
+
+    import vgtpu as vg
+    from vgtpu import native
+    from vgtpu.raster.binning import bin_frame_numpy, compute_tile_buckets
+    from vgtpu.raster.retained import translate_ops
+
+    assert native.available()
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 384, 160, 1.0)
+    import tests.test_retained as tr
+
+    tr._scene(ctx)
+    ctx._finalize_ops()
+    from vgtpu.raster.binning import expand_tri_batches
+
+    ops = translate_ops(expand_tri_batches(ctx.ops), 128.0, 8.0)
+    plan = bin_frame_numpy(ops, 512, 168, tile_h=8, tile_w=128, pan_margin=True)
+    te = plan.tile_entries
+    nat = compute_tile_buckets(te, te.shape[0], plan.entry_kind, plan,
+                               view_static=True)
+    orig = native.resolve_tiles
+    native.resolve_tiles = lambda *a, **k: None
+    try:
+        ref = compute_tile_buckets(te, te.shape[0], plan.entry_kind, plan,
+                                   view_static=True)
+    finally:
+        native.resolve_tiles = orig
+    assert len(nat) == len(ref)
+    for (te_a, ids_a, fl_a), (te_b, ids_b, fl_b) in zip(nat, ref):
+        np.testing.assert_array_equal(te_a, te_b)
+        np.testing.assert_array_equal(ids_a, ids_b)
+        assert fl_a == fl_b

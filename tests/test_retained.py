@@ -163,3 +163,27 @@ def test_explicit_viewport_scissor_rides_scene():
         vg.popState(ctx2)
         want = np.asarray(vg.end(ctx2, background=bg))
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_cached_replay_default_scissor_pans():
+    """Ops emitted by a CACHED command-list replay must also carry the
+    None default scissor (reviewer repro: the replay stamped the viewport
+    rect, clipping panned-in content after bake)."""
+    bg = (0.05, 0.05, 0.05, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 128, 96, 1.0)
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx, cl)
+    vg.beginPath(ctx)
+    vg.rect(ctx, -60, -40, 128 + 120, 96 + 80)
+    vg.fillPath(ctx, vg.color4ub(220, 130, 40, 255), vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+    vg.submitCommandList(ctx, cl)      # builds the cache
+    vg.end(ctx, background=bg)
+    vg.begin(ctx, 0, 128, 96, 1.0)
+    vg.submitCommandList(ctx, cl)      # cached replay
+    assert all(op.scissor is None for op in ctx.ops)
+    scene = RetainedScene.bake(ctx, background=bg)
+    img = np.asarray(scene.render(-30, -20))
+    # panned-in region (was off-viewport) must show the fill, not background
+    assert img[5, 5, 0] > 0.5

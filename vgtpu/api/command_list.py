@@ -177,15 +177,18 @@ def cl_save(ctx, handle, path: str) -> bool:
 
 def cl_load(ctx, path: str):
     """Restore a command list saved by cl_save into this context; returns a
-    fresh CommandListHandle (invalid handle on version mismatch)."""
+    fresh CommandListHandle.  Raises on any unusable file — OSError for a
+    missing/unreadable path, pickle errors for a corrupt file, ValueError
+    for a version mismatch — one loud failure contract rather than a
+    silently-invalid handle."""
     import pickle
-
-    from vgtpu.api.context import CommandListHandle
 
     with open(path, "rb") as f:
         snap = pickle.load(f)
     if snap.get("version") != _CL_SNAPSHOT_VERSION:
-        return CommandListHandle()
+        raise ValueError(
+            f"command-list snapshot version {snap.get('version')} != "
+            f"{_CL_SNAPSHOT_VERSION}")
     h = cl_create(ctx, snap["flags"])
     cl = ctx.command_lists.get(h.idx)
     if cl is None:
@@ -441,7 +444,7 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,
     pk, paint, img = resolved
 
     kind = K_CLIP_ADD if ctx._recording_clip else K_DRAW
-    sciss = ctx._scissor_rect()
+    sciss = ctx._op_scissor()
     # cached edges are the final stroked outline, so only the AA fringe pads
     pad = ctx.fringe * ctx.dpr if culling else 0.0
     spans = getattr(cl, "cache_spans", {}).get(ci) if cache_fb is not None else None

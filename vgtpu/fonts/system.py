@@ -223,7 +223,7 @@ def ctx_text(ctx, cfg, x: float, y: float, s: str) -> None:
         RasterOp(
             paint_kind=P_TEXTURE,
             paint=make_solid_paint(color_to_rgba_f32(col)),
-            scissor=ctx._scissor_rect(),
+            scissor=ctx._op_scissor(),
             image_id=ATLAS_IMAGE_ID,
             tex_quads=tq,
         )

@@ -305,6 +305,7 @@ def compute_tile_buckets(
     counts = (tile_entries >= 0).sum(axis=1)
     cap = plan.depth_cap if plan is not None else 0
     if cap and (counts > cap).any():
+        n_capped = int((counts > cap).sum())
         # hard safety cap on composite depth (ContextConfig.max_ops_per_tile_cap):
         # keep the LAST cap entries per overflowing tile — later draws paint
         # over earlier ones, so the dropped tail is the most-occluded content.
@@ -339,7 +340,8 @@ def compute_tile_buckets(
         tile_entries = tile_entries[:, :cap]
         counts = (tile_entries >= 0).sum(axis=1)
         if plan is not None:
-            plan.stats["depth_capped_tiles"] = int((counts >= cap).sum())
+            # tiles that actually overflowed (same metric as the native path)
+            plan.stats["depth_capped_tiles"] = n_capped
     width = tile_entries.shape[1]
 
     # per-tile feature signature: tiles whose entries are all simple

@@ -216,8 +216,9 @@ def plan_to_device(plan: FramePlan) -> dict:
 
 def _bucket128(n: int) -> int:
     """128-aligned pool size with PROPORTIONAL quantization: the step grows
-    with the size (128 up to 1k, 256 to 2k, 512 to 4k, then 1024), keeping
-    padding waste <= 12.5% (raw {2^k,1.5*2^k} buckets waste up to 33% of
+    with the size (128 up to 1k, 256 to 2k, 512 to 4k, then 1024) — at most
+    8 sizes per octave, padding waste typically a few % (worst ~50% only for
+    tiny pools just over 128; raw {2^k,1.5*2^k} buckets waste up to 33% of
     coverage slots — measured +0.4 ms on the benchmark frame) while bounding
     the number of distinct jit signatures a drifting dynamic scene can mint
     (raw 128-multiples mint one per boundary crossing)."""
@@ -249,10 +250,9 @@ def _compact_culled_chunks(plan: FramePlan) -> None:
         keep = (cent >= 0) & (cent < ne) & ref[np.clip(cent, 0, ne - 1)]
         ce2, cent2 = ce[keep], cent[keep]
         live += len(ce2)
-        # pad to the next {2^k, 1.5*2^k} bucket that is ALSO a 128-multiple
-        # (the Pallas lane gate): arbitrary 128-multiples would mint a fresh
-        # jit signature for the whole frame program every time a pool drifts
-        # across a 128 boundary (CLAUDE.md shape-bucket invariant)
+        # 128-aligned proportional-step padding (see _bucket128): a relaxed
+        # form of the {2^k, 1.5*2^k} invariant for compacted pools only —
+        # raw buckets waste up to 33% of coverage slots here (+0.4 ms)
         nc = _bucket128(len(ce2))
         cep = np.zeros((nc,) + ce.shape[1:], ce.dtype)
         cep[: len(ce2)] = ce2
