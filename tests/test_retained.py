@@ -187,3 +187,34 @@ def test_cached_replay_default_scissor_pans():
     img = np.asarray(scene.render(-30, -20))
     # panned-in region (was off-viewport) must show the fill, not background
     assert img[5, 5, 0] > 0.5
+
+
+def test_pan_dpr2_matches_direct():
+    """Retained panning under devicePixelRatio=2: view offsets are in
+    FRAMEBUFFER pixels (the baked plan's space); the direct equivalent is a
+    logical translate of view/dpr."""
+    bg = (0.1, 0.1, 0.1, 1.0)
+
+    def scene(ctx):
+        vg.beginPath(ctx)
+        vg.circle(ctx, 60, 40, 25)
+        vg.fillPath(ctx, vg.color4ub(200, 80, 40, 255), vg.FillFlags.ConvexAA)
+        vg.beginPath(ctx)
+        vg.moveTo(ctx, 20, 70)
+        vg.lineTo(ctx, 180, 30)
+        vg.strokePath(ctx, vg.Colors.White, 3.0, vg.StrokeFlags.RoundRoundAA)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 200, 100, 2.0)
+    scene(ctx)
+    s = RetainedScene.bake(ctx, background=bg)
+    for view in [(17, 9), (-40, 12)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, 200, 100, 2.0)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0] / 2.0, -view[1] / 2.0)
+        scene(ctx2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=3e-4)
