@@ -122,10 +122,13 @@ def build_cov_gather_map(chunk_pools, num_entries: int) -> dict:
 
     dead_id = total             # index of the appended all-zeros row
     primary = np.full(num_entries, dead_id, np.int32)
-    uniq, first_idx = np.unique(cent_all, return_index=True)
-    keep = (uniq >= 0) & (uniq < num_entries)
-    primary[uniq[keep]] = first_idx[keep].astype(np.int32)
+    # first chunk per entry without a sort: reversed assignment makes the
+    # FIRST occurrence win (np.unique cost ~1 ms/frame on dynamic scenes)
+    valid = (cent_all >= 0) & (cent_all < num_entries)
+    idxs = np.arange(total, dtype=np.int32)
+    primary[cent_all[valid][::-1]] = idxs[valid][::-1]
     is_first = np.zeros(total, bool)
+    first_idx = primary[cent_all[valid]]
     is_first[first_idx] = True
     em = alive & ~is_first
     extra_chunk = np.nonzero(em)[0].astype(np.int32)
