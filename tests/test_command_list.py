@@ -512,3 +512,80 @@ def test_command_list_save_load_roundtrip(tmp_path):
     vg.popState(ctx2)
     moved = np.asarray(vg.end(ctx2, background=bg))
     assert np.abs(moved[20:150, 20:240] - want[17:147, 13:233]).max() < 3e-3
+
+
+def test_ops_memo_same_state_resubmit():
+    """Second same-state submit of a cached list re-emits the SAME RasterOp
+    objects (op-list memoization) and renders identically; any state change
+    (transform, alpha) misses the memo and still renders correctly."""
+    import numpy as np
+
+    import vgtpu as vg
+
+    bg = (0.1, 0.1, 0.1, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx, cl)
+    g = vg.createLinearGradient(ctx, 10, 10, 200, 60,
+                                vg.color4ub(255, 0, 0, 255),
+                                vg.color4ub(0, 0, 255, 255))
+    vg.beginPath(ctx)
+    vg.roundedRect(ctx, 10, 10, 190, 60, 9)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 80, 90, 25)
+    vg.fillPath(ctx, vg.color4ub(30, 200, 120, 255), vg.FillFlags.ConvexAA)
+    vg.endCommandList(ctx)
+
+    vg.submitCommandList(ctx, cl)                   # builds geometry cache
+    img0 = np.asarray(vg.end(ctx, background=bg))
+
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.submitCommandList(ctx, cl)                   # cached replay, memo CAPTURE
+    seg1 = list(ctx.ops)
+    img1 = np.asarray(vg.end(ctx, background=bg))
+
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.submitCommandList(ctx, cl)                   # memo HIT
+    seg2 = list(ctx.ops)
+    img2 = np.asarray(vg.end(ctx, background=bg))
+    assert [id(o) for o in seg2] == [id(o) for o in seg1]
+    np.testing.assert_allclose(img2, img1, atol=1e-6)
+    np.testing.assert_allclose(img1, img0, atol=1e-6)
+
+    # a mergeable solid draw right after the memoized segment must NOT
+    # mutate the shared tail op
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.submitCommandList(ctx, cl)
+    tail = ctx.ops[-1]
+    tail_edges_id = id(tail.edges)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 200, 90, 20)
+    vg.fillPath(ctx, vg.color4ub(30, 200, 120, 255), vg.FillFlags.ConvexAA)
+    assert id(tail.edges) == tail_edges_id and not isinstance(tail.edges, list)
+    vg.end(ctx, background=bg)
+
+    # list alone still renders as before (shared ops unmutated)
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.submitCommandList(ctx, cl)
+    img5 = np.asarray(vg.end(ctx, background=bg))
+    np.testing.assert_allclose(img5, img0, atol=1e-6)
+
+    # translated submit: memo miss, correct placement
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.pushState(ctx)
+    vg.transformTranslate(ctx, 11, 7)
+    vg.submitCommandList(ctx, cl)
+    vg.popState(ctx)
+    moved = np.asarray(vg.end(ctx, background=bg))
+    assert np.abs(moved[20:120, 20:240] - img0[13:113, 9:229]).max() < 3e-3
+
+    # alpha change: memo miss, dimmer output
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.pushState(ctx)
+    vg.setGlobalAlpha(ctx, 0.5)
+    vg.submitCommandList(ctx, cl)
+    vg.popState(ctx)
+    dim = np.asarray(vg.end(ctx, background=bg))
+    assert dim[40, 100, 0] < img0[40, 100, 0] - 0.05

@@ -33,6 +33,40 @@ _DRAW_CMDS = frozenset("fillPath strokePath".split())
 _GRADIENT_CMDS = frozenset(
     "createLinearGradient createBoxGradient createRadialGradient createImagePattern".split()
 )
+# context-state mutators that LEAK out of a submit unless wrapped in a
+# balanced pushState/popState (op-list memoization refuses such lists when
+# command_list_preserve_state is off)
+_STATE_MUT_CMDS = frozenset(
+    "setScissor intersectScissor resetScissor setGlobalAlpha setViewBox "
+    "transformTranslate transformScale transformRotate transformMult "
+    "transformIdentity".split()
+)
+
+
+def _commands_state_clean(cmds) -> bool:
+    """True when replaying `cmds` cannot change observable context state:
+    state mutators only inside balanced pushState/popState, clips balanced,
+    no nested submits."""
+    depth = 0
+    clip = 0
+    for name, _a, _k in cmds:
+        if name == "pushState":
+            depth += 1
+        elif name == "popState":
+            if depth == 0:
+                return False
+            depth -= 1
+        elif name == "beginClip":
+            clip += 1
+        elif name == "endClip":
+            clip -= 1
+            if clip < 0:
+                return False
+        elif name == "submitCommandList":
+            return False
+        elif name in _STATE_MUT_CMDS and depth == 0:
+            return False
+    return depth == 0 and clip == 0
 
 
 @dataclass
@@ -235,6 +269,45 @@ def cl_submit(ctx, handle):
         build_cache = cacheable and not use_cache
         if build_cache:
             cl.cache_slots.clear()
+            cl._ops_memo = None
+
+        # --- op-list memoization -------------------------------------------
+        # A cached-replay submit is a pure function of (commands, base
+        # transform, state, atlas revision): when NOTHING it depends on
+        # changed since the last submit, re-emit the SAME RasterOp objects
+        # instead of re-walking the interpreter (the reference replays a
+        # byte stream in ~µs, vg.cpp:4332; the Python walk costs ~10 ms on
+        # the tiger list).  Shared ops are immutable after their first
+        # frame's finalize; the _block_merge_once fences stop _emit from
+        # merging a neighbour INTO a shared op.
+        memo_ok = (use_cache and not ctx._recording_clip
+                   and (preserve or _commands_state_clean(cl.commands)))
+        memo_key = None
+        if memo_ok:
+            fs = getattr(ctx, "font_system", None)
+            atlas_rev = ((fs.atlas.generation, fs.atlas.revision)
+                         if fs is not None else None)
+            memo_key = (
+                base_transform.tobytes(), float(ctx.dpr),
+                float(ctx.state.global_alpha),
+                tuple(float(x) for x in ctx.state.scissor),
+                bool(ctx.state.scissor_explicit),
+                culling, ctx.fb_width, ctx.fb_height, atlas_rev,
+            )
+            memo = getattr(cl, "_ops_memo", None)
+            if memo is not None and memo[0] == memo_key:
+                ctx.ops.extend(memo[1])
+                ctx._block_merge_once = True   # fence: next _emit must not
+                if preserve:                   # merge into a shared op
+                    ctx.popState()
+                    ctx.resetClip()
+                return
+        n_ops0 = len(ctx.ops)
+        has_nested = False
+        if memo_ok:
+            # fence: the first list op must not merge backward into a
+            # pre-submit op, or the captured segment would be incomplete
+            ctx._block_merge_once = True
         cache_fb = None
         if use_cache and getattr(cl, "cache_concat", None) is not None:
             # ONE batched transform of every cached edge for this submit (the
@@ -322,6 +395,7 @@ def cl_submit(ctx, handle):
                 continue
 
             if name == "submitCommandList":
+                has_nested = True
                 cl_submit(ctx, args[0])
                 continue
 
@@ -329,6 +403,14 @@ def cl_submit(ctx, handle):
             args = tuple(xlat(a) for a in args)
             getattr(ctx, name)(*args, **kwargs)
 
+        if (memo_ok and not has_nested
+                and all(op.geom is None for op in ctx.ops[n_ops0:])):
+            # nested submits' ops depend on the CHILD list's state, which
+            # this key can't see, and ops with unresolved deferred geometry
+            # may SPLIT during finalize — don't memoize either
+            cl._ops_memo = (memo_key, list(ctx.ops[n_ops0:]))
+            ctx._block_merge_once = True   # next op must not merge into the
+                                           # now-shared segment tail
         if build_cache:
             cl.cache_valid = True
             cl.cache_avg_scale = base_avg_scale

@@ -546,6 +546,12 @@ class Context:
         Merging is restricted to opaque solid NonZero draws whose geometry is
         orientation-normalized, where union coverage == sequential blending."""
         prev = self.ops[-1] if self.ops else None
+        if getattr(self, "_block_merge_once", False):
+            # one-shot backward-merge fence: set around memoized command-list
+            # segments whose ops are SHARED across frames — merging into a
+            # shared op would mutate it (command_list.cl_submit)
+            self._block_merge_once = False
+            prev = None
         if (
             prev is not None
             and not getattr(self, "_suppress_merge", False)
