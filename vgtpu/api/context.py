@@ -243,6 +243,7 @@ class Context:
         self._recording_clip = False
         self._submit_depth = 0
         self._active_cl = None
+        self._block_merge_once = False
 
     def end(self, background=None):
         """Bin + execute the frame on device; returns premultiplied (H,W,4).
