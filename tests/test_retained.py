@@ -124,17 +124,73 @@ def test_empty_scene_renders_background():
                              img.shape), atol=1e-6)
 
 
-def test_textured_rejected():
+def test_pan_image_pattern_matches_direct():
+    """Image-pattern fills in a retained scene: color tiles resample
+    in-trace at the shifted view; integer shifts of bilinear sampling are
+    exact, so pan == direct."""
+    bg = (0.08, 0.08, 0.1, 1.0)
+    rng = np.random.default_rng(11)
+    img_data = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    img_data[..., 3] = 255
+
+    def scene(ctx):
+        h = vg.createImage(ctx, 16, 16, 0, img_data)
+        p = vg.createImagePattern(ctx, 40, 20, 64, 64, 0.0, h)
+        vg.beginPath(ctx)
+        vg.roundedRect(ctx, 30, 15, 200, 90, 10)
+        vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+
     ctx = vg.createContext()
     vg.begin(ctx, 0, W, H, 1.0)
-    img_data = np.zeros((8, 8, 4), np.uint8)
-    h = vg.createImage(ctx, 8, 8, 0, img_data)
-    p = vg.createImagePattern(ctx, 0, 0, 8, 8, 0.0, h)
-    vg.beginPath(ctx)
-    vg.rect(ctx, 0, 0, 32, 32)
-    vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
-    with pytest.raises(NotImplementedError):
-        RetainedScene.bake(ctx)
+    scene(ctx)
+    s = RetainedScene.bake(ctx, background=bg)
+    for view in [(0, 0), (41, 6), (-23, -11), (130, 9)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, W, H, 1.0)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0], -view[1])
+        scene(ctx2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=3e-3,
+                                   err_msg=f"view {view}")
+
+
+def test_pan_text_matches_direct():
+    """Text in a retained scene pans exactly (atlas quads resampled at the
+    shifted origins)."""
+    from vgtpu.scenes.demo_ui import _font
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    f = _font(ctx)
+    if f is None:
+        pytest.skip("no UI font available")
+    bg = (0.1, 0.1, 0.12, 1.0)
+
+    def scene(c, fh):
+        cfg = vg.makeTextConfig(c, fh, 20.0, vg.TextAlign.TopLeft,
+                                vg.color4ub(240, 240, 200, 255))
+        vg.text(c, cfg, 24, 40, "Pan me exactly!")
+        vg.beginPath(c)
+        vg.rect(c, 20, 70, 160, 30)
+        vg.fillPath(c, vg.color4ub(40, 80, 160, 255), vg.FillFlags.ConvexAA)
+
+    scene(ctx, f)
+    s = RetainedScene.bake(ctx, background=bg)
+    for view in [(0, 0), (37, 5), (-19, -6)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, W, H, 1.0)
+        f2 = _font(ctx2)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0], -view[1])
+        scene(ctx2, f2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=3e-3,
+                                   err_msg=f"view {view}")
 
 
 def test_explicit_viewport_scissor_rides_scene():

@@ -62,10 +62,16 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return _b(n, minimum=minimum)
 
 
-def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
+def build_sampling_plan(plan: FramePlan, ops, images,
+                        pan_margin: bool = False) -> SamplingPlan:
     """Host pass (no sampling): assigns entry_color_tile and produces padded
     per-group parameter arrays for the device sampler.  `images` maps
-    image id -> (data u8, flags[, generation])."""
+    image id -> (data u8, flags[, generation]).
+
+    pan_margin: generate (entry, quad) pairs for the tile's whole REACHABLE
+    sample window [ox, ox+2*tw) x [oy, oy+2*th) — retained-pan scenes shift
+    content left/up by sub-tile residuals (raster/retained.py), so a quad
+    can enter a tile it does not overlap at rest."""
     ss = plan.supersample
     th, tw = plan.tile_h // ss, plan.tile_w   # OUTPUT-space tile rows
     n = plan.n_real_entries
@@ -129,10 +135,11 @@ def build_sampling_plan(plan: FramePlan, ops, images) -> SamplingPlan:
         qy0, qy1 = cys.min(axis=0), cys.max(axis=0)
         exx, exy, eyx, eyy = q[:, 2], q[:, 3], q[:, 4], q[:, 5]
         q_ok = np.abs(exx * eyy - exy * eyx) >= 1e-12
+        reach = 2 if pan_margin else 1
         overlap = (
-            (qx0[None, :] < (ox + tw + 1)[:, None])
+            (qx0[None, :] < (ox + reach * tw + 1)[:, None])
             & (qx1[None, :] > (ox - 1)[:, None])
-            & (qy0[None, :] < (oy + th + 1)[:, None])
+            & (qy0[None, :] < (oy + reach * th + 1)[:, None])
             & (qy1[None, :] > (oy - 1)[:, None])
             & q_ok[None, :]
         )

@@ -837,23 +837,21 @@ def bin_frame_numpy(
             _append_entries(tiles, np.zeros((T, bd_rows), np.float32), op, op_index)
             continue
 
-        if pan_margin and op.paint_kind in (P_TEXTURE, P_IMAGE):
-            raise NotImplementedError(
-                "retained pan scenes do not support textured/image paints yet "
-                "(color tiles are tile-local; re-bake per position instead)")
-
         if op.paint_kind == P_TEXTURE:
             # textured quads (parallelograms p0 + a*ex + b*ey): entries for
             # every tile a quad bbox overlaps; color tiles are filled by the
-            # sampling pass (raster/sampling.py)
+            # sampling pass (raster/sampling.py).  pan margin: content only
+            # shifts left/up by a sub-tile residual, so the bbox extends one
+            # tile on the min side (the left/upper neighbour tiles need
+            # entries for quads that can shift into them)
             q = np.asarray(op.tex_quads, np.float64)
             if len(q) == 0:
                 continue
             cx = np.stack([q[:, 0], q[:, 0] + q[:, 2], q[:, 0] + q[:, 4], q[:, 0] + q[:, 2] + q[:, 4]])
             cy = np.stack([q[:, 1], q[:, 1] + q[:, 3], q[:, 1] + q[:, 5], q[:, 1] + q[:, 3] + q[:, 5]])
             sc = op.scissor if op.scissor is not None else (0.0, 0.0, float(width), float(height))
-            qx0 = np.maximum(cx.min(axis=0) - 1.0, max(0.0, sc[0]))
-            qy0 = np.maximum(cy.min(axis=0) - 1.0, max(0.0, sc[1]))
+            qx0 = np.maximum(cx.min(axis=0) - 1.0 - mx, max(0.0, sc[0] - mx))
+            qy0 = np.maximum(cy.min(axis=0) - 1.0 - my, max(0.0, sc[1] - my))
             qx1 = np.minimum(cx.max(axis=0) + 1.0, min(float(width), sc[2]))
             qy1 = np.minimum(cy.max(axis=0) + 1.0, min(float(height), sc[3]))
             live = (qx1 > qx0) & (qy1 > qy0)

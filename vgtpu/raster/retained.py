@@ -30,9 +30,15 @@ decomposes TPU-friendly:
 Everything per-frame is inside one jit with static shapes: renders at ANY
 integer offset share one compiled program.
 
+Textured/text layers: color tiles are tile-local pre-samples, so the bake
+uploads the sampling-group params (with reachable-window entry/quad pairs)
+and device textures instead, and each render RESAMPLES the tiles in-trace
+with the residual added to the tile origins — integer shifts of bilinear
+sampling are exact, so panned text/patterns match direct renders bit-close.
+The atlas/textures are snapshot at bake (later glyph bakes don't mutate a
+baked scene).
+
 Limitations (documented, enforced at bake):
-  * textured/image paints: color tiles are tile-local pre-samples; panning
-    them needs per-position re-bake.  Use immediate mode for those layers.
   * supersampled coverage (ContextConfig.coverage_supersample > 1).
   * all per-tile optimizations run in view-invariant form
     (compute_tile_buckets(view_static=True)): static clip resolution and
@@ -53,6 +59,7 @@ import jax.numpy as jnp
 
 from vgtpu.raster.binning import (
     P_GRADIENT,
+    P_IMAGE,
     P_TRI,
     RasterOp,
     bin_frame_numpy,
@@ -79,10 +86,16 @@ def translate_ops(ops: list[RasterOp], dx: float, dy: float) -> list[RasterOp]:
         if o.scissor is not None:
             s = o.scissor
             o.scissor = (s[0] + dx, s[1] + dy, s[2] + dx, s[3] + dy)
+        if o.tex_quads is not None and len(o.tex_quads):
+            q = np.asarray(o.tex_quads, np.float32).copy()
+            q[:, 0] += dx    # p0; ex/ey direction vectors and uvs unchanged
+            q[:, 1] += dy
+            o.tex_quads = q
 
         def shift_paint(p, kind):
             p = np.asarray(p, np.float32).copy()
-            if kind == P_GRADIENT:
+            if kind in (P_GRADIENT, P_IMAGE):
+                # inverse paint transform u = M.p + t  ->  t -= M.d
                 p[4] -= p[0] * dx + p[2] * dy
                 p[5] -= p[1] * dx + p[3] * dy
             elif kind == P_TRI:
@@ -177,6 +190,8 @@ class RetainedScene:
         self.tile_w = plan.tile_w
         self.tile_h = plan.tile_h
         self.off = off          # baked-grid origin in view coords (tile-multiples)
+        self.samp_meta = None   # sampling-group signature (textured scenes)
+        self.samp_nct = 0
 
     @staticmethod
     def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
@@ -216,6 +231,18 @@ class RetainedScene:
                 xmax = max(xmax, float(e[:, [0, 2]].max()) + 2.0)
                 ymin = min(ymin, float(e[:, [1, 3]].min()) - 2.0)
                 ymax = max(ymax, float(e[:, [1, 3]].max()) + 2.0)
+            if o.tex_quads is not None and len(o.tex_quads):
+                q = np.asarray(o.tex_quads, np.float64)
+                cx = np.concatenate([q[:, 0], q[:, 0] + q[:, 2],
+                                     q[:, 0] + q[:, 4],
+                                     q[:, 0] + q[:, 2] + q[:, 4]])
+                cy = np.concatenate([q[:, 1], q[:, 1] + q[:, 3],
+                                     q[:, 1] + q[:, 5],
+                                     q[:, 1] + q[:, 3] + q[:, 5]])
+                xmin = min(xmin, float(cx.min()) - 2.0)
+                xmax = max(xmax, float(cx.max()) + 2.0)
+                ymin = min(ymin, float(cy.min()) - 2.0)
+                ymax = max(ymax, float(cy.max()) + 2.0)
         offx = tw * (1 + int(np.ceil(-xmin / tw)))
         offy = th * (1 + int(np.ceil(-ymin / th)))
         ops = translate_ops(ops, float(offx), float(offy))
@@ -235,6 +262,38 @@ class RetainedScene:
         plan.chunk_pools = _repack_ladder(
             plan.chunk_pools, ne, ladder=ctx.cfg.chunk_pools)
         plan.stats["chunks"] = sum(len(ce) for ce, _ in plan.chunk_pools)
+        # textured/text layers: color tiles must be RESAMPLED per view (they
+        # are tile-local), so bake uploads the sampling-group params (with
+        # the reachable-window pair set) + device textures and the render
+        # samples in-trace with the residual added to the tile origins
+        sp = samp = None
+        n_real = plan.n_real_entries
+        if ((plan.entry_paint_kind[:n_real] == 2).any()
+                or (plan.entry_paint_kind[:n_real] == 3).any()):
+            from vgtpu.ops.sampling_device import build_sampling_plan
+
+            image_map = {
+                idx: (img.data, img.flags, img.generation)
+                for idx, img in ctx.images.items()
+            }
+            if ctx.font_system is not None:
+                image_map.update(ctx.font_system.atlas_image_map())
+            sp = build_sampling_plan(plan, ops, image_map, pan_margin=True)
+            if sp.num_tiles:
+                tex = ctx._device_textures(
+                    image_map, {g.image_id for g in sp.groups})
+                samp = {
+                    "arrs": tuple(
+                        (jnp.asarray(g.params), jnp.asarray(g.color),
+                         jnp.asarray(g.ct)) for g in sp.groups),
+                    "texs": tuple(tex[g.image_id] for g in sp.groups),
+                    "clipmask": (jnp.asarray(np.concatenate(
+                        [sp.tex_tile_mask, [False]]))
+                        if sp.tex_tile_mask is not None else None),
+                    "meta": tuple((g.kind, g.separable, g.flags)
+                                  for g in sp.groups),
+                    "nct": sp.num_tiles,
+                }
         cov_map = build_cov_gather_map(plan.chunk_pools, ne)
         host = {
             "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
@@ -254,6 +313,32 @@ class RetainedScene:
         }
         d = jax.device_put(host)
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
+        if samp is not None:
+            from vgtpu.ops.composite_pallas import _pad_tiles
+
+            d["samp_arrs"] = samp["arrs"]
+            d["samp_texs"] = samp["texs"]
+            d["samp_clipmask"] = samp["clipmask"]
+            # per-bucket color-tile ids for the fused composite's ct inputs
+            # (scratch row = the zeros row _ct_flat appends after the
+            # sampler's own absorb row)
+            scratch = samp["nct"] + 1
+            ctiles = []
+            for te_b, _ids, flags in plan.tile_buckets:
+                if not flags[2]:
+                    ctiles.append(None)
+                    continue
+                nbp = _pad_tiles(te_b.shape[0])
+                te_p = te_b
+                if nbp != te_b.shape[0]:
+                    te_p = np.concatenate(
+                        [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]),
+                                       -1, te_b.dtype)])
+                ct = np.where(te_p >= 0,
+                              plan.entry_color_tile[np.maximum(te_p, 0)], -1)
+                ctiles.append(jnp.asarray(
+                    np.where(ct >= 0, ct, scratch).astype(np.int32)))
+            d["bucket_ctile"] = tuple(ctiles)
         # bake-time base params for the fused composite: everything except
         # the OX/OY residual rows is view-constant (backdrop rides entry_w).
         # ONE jitted call — eager per-bucket builds dispatch hundreds of tiny
@@ -264,8 +349,12 @@ class RetainedScene:
             d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
             d["entry_color_tile"], d["entry_tile"], ne,
             th=th, tw=tw, ntx=plan.ntx)
-        return RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
-                             off=(offx, offy))
+        scene = RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
+                              off=(offx, offy))
+        if samp is not None:
+            scene.samp_meta = samp["meta"]
+            scene.samp_nct = samp["nct"]
+        return scene
 
     def render(self, view_x: int = 0, view_y: int = 0,
                use_pallas: bool | None = None) -> jax.Array:
@@ -285,11 +374,13 @@ class RetainedScene:
             out_w=self.out_w, out_h=self.out_h,
             bucket_flags=self.d["bucket_flags"],
             ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
+            samp_meta=self.samp_meta, samp_nct=self.samp_nct,
         )
 
 
 def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
-                     out_w, out_h, bucket_flags, ne, use_pallas=None):
+                     out_w, out_h, bucket_flags, ne, use_pallas=None,
+                     samp_meta=None, samp_nct=0):
     from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
     from vgtpu.ops.coverage import entry_coverage_gather
 
@@ -303,6 +394,19 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     bd = jax.lax.dynamic_slice_in_dim(d["entry_backdrop_pan"], ry, th, axis=1)
     entry_w = cov + bd[:, :, None]
     nt = NTX * NTY
+    if samp_meta is not None:
+        # resample color tiles at the shifted view: tile origins in the
+        # group params take the residual (quads/paint matrices are
+        # scene-space constants)
+        from vgtpu.ops.sampling_device import _sample_jit
+
+        shift12 = jnp.zeros((12,), jnp.float32).at[0].set(rxf).at[1].set(ryf)
+        arrs = tuple((p + shift12, c, ci) for (p, c, ci) in d["samp_arrs"])
+        color_tiles = _sample_jit(arrs, d["samp_texs"], d["samp_clipmask"],
+                                  meta=samp_meta, th=th, tw=tw,
+                                  num_tiles=samp_nct)
+    else:
+        color_tiles = d["color_tiles"]
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
@@ -321,9 +425,18 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
         # base params are bake-constant; only the OX/OY rows take the residual
         params = [pp.at[:, _P_OX].add(rxf).at[:, _P_OX + 1].add(ryf)
                   for pp in d["bucket_params_base"]]
+        if samp_meta is not None:
+            from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+            from vgtpu.raster.frame import _ct_flat
+
+            ct_flat = _ct_flat(color_tiles, th, tw)
+            cts = tuple(
+                ct_t_from_color_tiles(ct_flat, ids) if ids is not None else None
+                for ids in d["bucket_ctile"])
+        else:
+            cts = (None,) * len(params)
         fb = composite_bucketed_pallas_body(
-            entry_w, d["tile_buckets"], tuple(params),
-            (None,) * len(params), bg,
+            entry_w, d["tile_buckets"], tuple(params), cts, bg,
             tile_h=th, tile_w=tw, num_tiles=nt, bucket_flags=bucket_flags,
             interpret=not on_tpu,
         )
@@ -332,7 +445,7 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
             entry_w, d["tile_buckets"],
             d["entry_kind"], d["entry_rule"], d["entry_aa"],
             d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
-            d["entry_color_tile"], d["color_tiles"], bg,
+            d["entry_color_tile"], color_tiles, bg,
             ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
             bucket_flags=bucket_flags, origin_shift=(rxf, ryf),
         )
@@ -351,17 +464,20 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
 _render_pan = jax.jit(
     _render_pan_body,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas"),
+                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
+                     "samp_meta", "samp_nct"),
 )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_frames", "NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne"),
+                     "out_w", "out_h", "bucket_flags", "ne", "offx_t", "offy_t",
+                     "samp_meta", "samp_nct"),
 )
 def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
-                  out_w, out_h, bucket_flags, ne, offx_t=1, offy_t=1):
+                  out_w, out_h, bucket_flags, ne, offx_t=1, offy_t=1,
+                  samp_meta=None, samp_nct=0):
     """N pans of a scrolling view inside one fori_loop, serially chained
     through the pixels (see raster/benchloop.py for why naive dispatch
     timing lies through the axon tunnel)."""
@@ -378,7 +494,8 @@ def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
                 (ce + eps, cent) for ce, cent in d["chunk_pools"])},
             bg, vx, vy, (view_x % tw).astype(jnp.float32), view_y % th,
             NTX=NTX, NTY=NTY, th=th, tw=tw, ntx_o=ntx_o, nty_o=nty_o,
-            out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne)
+            out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne,
+            samp_meta=samp_meta, samp_nct=samp_nct)
         return jnp.sum(img[..., 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
@@ -396,6 +513,7 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
         bucket_flags=scene.d["bucket_flags"],
         ne=scene.plan.entry_backdrop.shape[0],
         offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th,
+        samp_meta=scene.samp_meta, samp_nct=scene.samp_nct,
     )
 
     def run(n):
