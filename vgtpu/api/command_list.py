@@ -27,7 +27,8 @@ from vgtpu.core import CommandListFlags
 # commands that create/advance path geometry (skippable on cached replay)
 _PATH_CMDS = frozenset(
     "beginPath moveTo lineTo cubicTo quadraticTo arcTo arc rect roundedRect "
-    "roundedRectVarying circle ellipse polyline closePath".split()
+    "roundedRectVarying circle ellipse polyline closePath "
+    "appendPackedPath".split()
 )
 _DRAW_CMDS = frozenset("fillPath strokePath".split())
 _GRADIENT_CMDS = frozenset(

@@ -39,7 +39,7 @@ from vgtpu.core import (
     stroke_flags_line_cap,
     stroke_flags_line_join,
 )
-from vgtpu.geometry.path import PathBuilder
+from vgtpu.geometry.path import PathBuilder, make_path_builder, replay_packed
 from vgtpu.geometry.stroker import contours_to_edges, polyline_to_fill_edges, stroke_outline
 from vgtpu.raster.binning import (
     K_CLIP_ADD,
@@ -144,21 +144,37 @@ class _State:
     # viewport-sized DEFAULT is distinguishable from an explicit rect that
     # happens to equal it (retained bake keeps explicit rects scene-space)
     scissor_explicit: bool = False
+    # lazy cache of tuple(transform) — the per-draw transform tuple was a
+    # measurable slice of the re-record cost (deferred draws ship the
+    # transform as a hashable tuple); invalidated by update()
+    xf_tuple: tuple | None = None
 
     def copy(self) -> "_State":
         return _State(
             self.transform.copy(), self.scissor.copy(), self.global_alpha,
             self.avg_scale, self.font_scale, self.scissor_explicit,
+            self.xf_tuple,
         )
 
     def update(self) -> None:
         """updateState (vg.cpp:4926-4944): avgScale + quantized font scale."""
-        m = self.transform
-        sx = math.sqrt(float(m[0]) ** 2 + float(m[2]) ** 2)
-        sy = math.sqrt(float(m[1]) ** 2 + float(m[3]) ** 2)
+        m0, m1, m2, m3, _m4, _m5 = self.transform.tolist()
+        sx = math.sqrt(m0 * m0 + m2 * m2)
+        sy = math.sqrt(m1 * m1 + m3 * m3)
         self.avg_scale = (sx + sy) * 0.5
         quant = 0.1
         self.font_scale = math.floor((self.avg_scale / quant) + 0.5) * quant
+        self.xf_tuple = None
+
+    def render_xf_tuple(self, dpr: float) -> tuple:
+        """tuple(dpr_scale @ transform) — a uniform dpr scale multiplies all
+        six affine entries, so the cached logical tuple just scales."""
+        t = self.xf_tuple
+        if t is None:
+            t = self.xf_tuple = tuple(self.transform.tolist())
+        if dpr == 1.0:
+            return t
+        return tuple(v * dpr for v in t)
 
 
 @dataclass
@@ -179,8 +195,9 @@ class Context:
         self.fringe = self.cfg.fringe
 
         self.state_stack: list[_State] = [_State()]
-        self.path = PathBuilder()
-        self._path_transformed: np.ndarray | None = None
+        self.path = make_path_builder()
+        self._path_transformed = None   # (path.version, (verts, subs))
+        self._bind_fast_path()
 
         self.gradients: list[np.ndarray] = []
         self.image_patterns: list[tuple[np.ndarray, ImageHandle]] = []
@@ -191,6 +208,16 @@ class Context:
         self._recording_clip = False
         self._clip_shapes_recorded = 0
         self._clip_rule = ClipRule.In
+        self._block_merge_once = False
+        self._suppress_merge = False
+        self._immediate_geom = False
+        # per-draw native.available() lookups were ~5% of a re-record
+        from vgtpu import native as _native
+
+        self._native_geom = _native.available()
+        # solid-paint rows by final u32 color: shared, frozen arrays (draws
+        # never mutate paint rows; gradients copy before modulating)
+        self._solid_paint_cache: dict[int, np.ndarray] = {}
 
         self.frame_image = None      # premultiplied (H,W,4) device array after end()
         self.last_plan = None
@@ -425,61 +452,83 @@ class Context:
         return image_to_u8(self.frame_image)
 
     # -- path building ------------------------------------------------------
+    def _bind_fast_path(self) -> None:
+        """With the C recorder, bind its methods as INSTANCE attributes so a
+        public verb call is one Python frame + one C call (the largest single
+        cost of a dynamic re-record was pure Python call overhead on ~3k verb
+        calls/frame).  Cache invalidation needs no per-verb hook: the
+        transformed-bake cache is keyed on path.version (see
+        _transformed_path)."""
+        impl = getattr(self.path, "_impl", None)
+        if impl is None:
+            return
+        self.moveTo = impl.move_to
+        self.lineTo = impl.line_to
+        self.cubicTo = impl.cubic_to
+        self.quadraticTo = impl.quadratic_to
+        self.arcTo = impl.arc_to
+        self.arc = impl.arc
+        self.rect = impl.rect
+        self.roundedRect = impl.rounded_rect
+        self.roundedRectVarying = impl.rounded_rect_varying
+        self.circle = impl.circle
+        self.ellipse = impl.ellipse
+        self.closePath = impl.close
+
     def beginPath(self) -> None:
         self.path.reset(self.state.avg_scale, self.tess_tol)
-        self._path_transformed = None
 
     def moveTo(self, x, y):
         self.path.move_to(x, y)
-        self._path_transformed = None
 
     def lineTo(self, x, y):
         self.path.line_to(x, y)
-        self._path_transformed = None
 
     def cubicTo(self, c1x, c1y, c2x, c2y, x, y):
         self.path.cubic_to(c1x, c1y, c2x, c2y, x, y)
-        self._path_transformed = None
 
     def quadraticTo(self, cx, cy, x, y):
         self.path.quadratic_to(cx, cy, x, y)
-        self._path_transformed = None
 
     def arcTo(self, x1, y1, x2, y2, r):
         self.path.arc_to(x1, y1, x2, y2, r)
-        self._path_transformed = None
 
     def arc(self, cx, cy, r, a0, a1, direction):
         self.path.arc(cx, cy, r, a0, a1, direction)
-        self._path_transformed = None
 
     def rect(self, x, y, w, h):
         self.path.rect(x, y, w, h)
-        self._path_transformed = None
 
     def roundedRect(self, x, y, w, h, r):
         self.path.rounded_rect(x, y, w, h, r)
-        self._path_transformed = None
 
     def roundedRectVarying(self, x, y, w, h, rtl, rtr, rbr, rbl):
         self.path.rounded_rect_varying(x, y, w, h, rtl, rtr, rbr, rbl)
-        self._path_transformed = None
 
     def circle(self, cx, cy, r):
         self.path.circle(cx, cy, r)
-        self._path_transformed = None
 
     def ellipse(self, cx, cy, rx, ry):
         self.path.ellipse(cx, cy, rx, ry)
-        self._path_transformed = None
 
     def polyline(self, coords):
         self.path.polyline(coords)
-        self._path_transformed = None
 
     def closePath(self):
         self.path.close()
-        self._path_transformed = None
+
+    def appendPackedPath(self, verbs, args) -> None:
+        """Append a packed path program (geometry.path.pack_path_program) to
+        the current path in one call — the analogue of replaying the
+        reference's recorded byte stream through the interpreter
+        (vg.cpp:4332-4625).  Scene loaders use this to feed a pre-compiled
+        path without per-verb Python dispatch."""
+        p = self.path
+        impl = getattr(p, "_impl", None)
+        if impl is not None:
+            impl.replay(verbs, args)
+        else:
+            replay_packed(p, verbs, args)
 
     def _render_transform(self):
         """state transform composed with the dpr viewport scale: logical
@@ -489,13 +538,31 @@ class Context:
         return core.xform_multiply(core.xform_scale(self.dpr, self.dpr), self.state.transform)
 
     def _transformed_path(self):
-        """transformPath (vg.cpp:4957-4975): lazy, cached per path edit."""
-        if self._path_transformed is None:
+        """transformPath (vg.cpp:4957-4975): lazy, cached per path edit (the
+        version key changes on any verb append or beginPath reset)."""
+        cached = self._path_transformed
+        ver = self.path.version
+        if cached is None or cached[0] != ver:
             verts, subs = self.path.bake()
-            self._path_transformed = (core.xform_points(self._render_transform(), verts), subs)
-        return self._path_transformed
+            cached = (ver, (core.xform_points(self._render_transform(), verts), subs))
+            self._path_transformed = cached
+        return cached[1]
 
     # -- paints -------------------------------------------------------------
+    def _solid_paint(self, col: int):
+        """Shared frozen paint row for a final u32 color (draws never mutate
+        paint rows — modulating resolvers copy first, asserted by the
+        read-only flag)."""
+        cache = self._solid_paint_cache
+        paint = cache.get(col)
+        if paint is None:
+            if len(cache) > 4096:
+                cache.clear()
+            paint = make_solid_paint(color_to_rgba_f32(col))
+            paint.flags.writeable = False
+            cache[col] = paint
+        return paint
+
     def _resolve_paint(self, paint_or_color, color_modulate=None):
         """Returns (paint_kind, paint_array, image_handle, alpha_of_solid)."""
         ga = self.state.global_alpha
@@ -519,11 +586,11 @@ class Context:
             return (P_IMAGE, p, img)
         # plain color
         col = int(paint_or_color)
-        a = int(ga * colorGetAlpha(col))
-        col = colorSetAlpha(col, a)
+        if ga != 1.0:
+            col = colorSetAlpha(col, int(ga * colorGetAlpha(col)))
         if colorGetAlpha(col) == 0:
             return None
-        return (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
+        return (P_SOLID, self._solid_paint(col), None)
 
     def _op_scissor(self):
         """Scissor as recorded on ops: None while the scissor is the untouched
@@ -547,7 +614,7 @@ class Context:
         Merging is restricted to opaque solid NonZero draws whose geometry is
         orientation-normalized, where union coverage == sequential blending."""
         prev = self.ops[-1] if self.ops else None
-        if getattr(self, "_block_merge_once", False):
+        if self._block_merge_once:
             # one-shot backward-merge fence: set around memoized command-list
             # segments whose ops are SHARED across frames — merging into a
             # shared op would mutate it (command_list.cl_submit)
@@ -555,7 +622,7 @@ class Context:
             prev = None
         if (
             prev is not None
-            and not getattr(self, "_suppress_merge", False)
+            and not self._suppress_merge
             and op.mergeable
             and prev.mergeable
             and op.kind == 0
@@ -569,7 +636,7 @@ class Context:
             and op.paint is not None
             and prev.paint is not None
             and op.paint[13] >= 1.0
-            and np.array_equal(op.paint, prev.paint)
+            and (op.paint is prev.paint or np.array_equal(op.paint, prev.paint))
             and (op.geom is None) == (prev.geom is None)
         ):
             if op.geom is not None:
@@ -593,11 +660,9 @@ class Context:
         ~30 ms/frame of marshalling on the tiger re-record.  Clip recording
         stays immediate (per-subpath coverage accumulation semantics), as do
         command-list cache builds (they capture per-draw edges)."""
-        if self._recording_clip or getattr(self, "_immediate_geom", False):
+        if self._recording_clip or self._immediate_geom:
             return False
-        from vgtpu import native
-
-        return native.available()
+        return self._native_geom
 
     def _finalize_geometry(self) -> None:
         """Resolve deferred geometry recipes into op edges (idempotent).
@@ -683,7 +748,7 @@ class Context:
         path_type = fill_flags_path_type(flags)
 
         if self._defer_geometry():
-            if not self.path._verbs:
+            if not self.path.n_verbs:
                 return
             mode = 0 if path_type == PathType.Convex else 1
             self._emit(RasterOp(
@@ -692,7 +757,7 @@ class Context:
                 image_id=(img.idx if img is not None else -1),
                 mergeable=(path_type == PathType.Convex),
                 geom=[(self.path.snapshot(), mode,
-                       tuple(float(v) for v in self._render_transform()),
+                       self.state.render_xf_tuple(self.dpr),
                        0.0, 0, 0, 0.0)],
             ))
             return
@@ -739,15 +804,21 @@ class Context:
         at fringe width with alpha scaled by clamp(scaledWidth,0,fringe)^2.
         Returns (resolved_paint_or_None, stroke_width_fb)."""
         st = self.state
-        scaled_width = (
-            width
-            if (flags & core.StrokeFlags.FixedWidth)
-            else float(np.clip(width * st.avg_scale, 0.0, 200.0) * self.dpr)
-        )
+        if flags & core.StrokeFlags.FixedWidth:
+            scaled_width = width
+        else:
+            sw = width * st.avg_scale
+            scaled_width = (0.0 if sw < 0.0 else 200.0 if sw > 200.0 else sw) * self.dpr
         fringe_fb = self.fringe * self.dpr   # = 1 framebuffer pixel
         is_thin = scaled_width <= fringe_fb
-        alpha_scale = 1.0 if not is_thin else float(np.clip(scaled_width / self.dpr, 0.0, self.fringe)) ** 2
-        stroke_width = fringe_fb if is_thin else scaled_width
+        if is_thin:
+            a = scaled_width / self.dpr
+            a = 0.0 if a < 0.0 else self.fringe if a > self.fringe else a
+            alpha_scale = a * a
+            stroke_width = fringe_fb
+        else:
+            alpha_scale = 1.0
+            stroke_width = scaled_width
 
         if self._recording_clip:
             resolved = (P_SOLID, make_solid_paint(np.array([0, 0, 0, 1], np.float32)), None)
@@ -762,11 +833,12 @@ class Context:
                     resolved = (pk_, p_, img_)
             else:
                 col = int(paint_or_color)
-                a = int(alpha_scale * self.state.global_alpha * colorGetAlpha(col))
-                col = colorSetAlpha(col, a)
+                mod = alpha_scale * self.state.global_alpha
+                if mod != 1.0:
+                    col = colorSetAlpha(col, int(mod * colorGetAlpha(col)))
                 if colorGetAlpha(col) == 0:
                     return None, stroke_width
-                resolved = (P_SOLID, make_solid_paint(color_to_rgba_f32(col)), None)
+                resolved = (P_SOLID, self._solid_paint(col), None)
         return resolved, stroke_width
 
     def strokePath(self, paint_or_color, width: float, flags: int, color_modulate=None) -> None:
@@ -783,7 +855,7 @@ class Context:
         join = stroke_flags_line_join(flags)
 
         if self._defer_geometry():
-            if not self.path._verbs:
+            if not self.path.n_verbs:
                 return
             self._emit(RasterOp(
                 kind=K_DRAW, edges=None, fill_rule=FillRule.NonZero, aa=aa,
@@ -791,7 +863,7 @@ class Context:
                 image_id=(img.idx if img is not None else -1),
                 mergeable=True,
                 geom=[(self.path.snapshot(), 2,
-                       tuple(float(v) for v in self._render_transform()),
+                       self.state.render_xf_tuple(self.dpr),
                        float(stroke_width), int(cap), int(join),
                        float(render_scale))],
             ))

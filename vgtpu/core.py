@@ -290,8 +290,10 @@ def xform_multiply(a, b) -> np.ndarray:
     Matches vgutil::multiplyMatrix3(stateTransform, localMtx) usage in the
     reference (vg.cpp:3744): state ∘ local.
     """
-    a0, a1, a2, a3, a4, a5 = a
-    b0, b1, b2, b3, b4, b5 = b
+    # .tolist() yields python floats — scalar math on np.float64 objects
+    # measured ~2x slower on this hot path (one call per svg path per frame)
+    a0, a1, a2, a3, a4, a5 = a.tolist() if isinstance(a, np.ndarray) else a
+    b0, b1, b2, b3, b4, b5 = b.tolist() if isinstance(b, np.ndarray) else b
     return np.array(
         [
             a0 * b0 + a2 * b1,

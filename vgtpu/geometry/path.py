@@ -56,15 +56,30 @@ class PathBuilder:
     .../pathGetVertices/pathGetSubPaths) with identical verb semantics.
     """
 
+    is_native = False
+
     def __init__(self) -> None:
         self._scale = 1.0
         self._tol = 0.25
+        self._gen = 0
         self.reset(1.0, 0.25)
+
+    @property
+    def n_verbs(self) -> int:
+        return len(self._verbs)
+
+    @property
+    def version(self):
+        """Changes whenever recorded content can differ: the stream is
+        append-only within one reset generation, so (generation, verb count)
+        identifies it (Context caches the transformed bake by this)."""
+        return (self._gen, len(self._verbs))
 
     # -- lifecycle ---------------------------------------------------------
     def reset(self, scale: float, tess_tol: float) -> None:
         self._scale = float(scale)
         self._tol = float(tess_tol)
+        self._gen += 1
         self._verbs: list[int] = []
         # flat per-type argument streams (fast C-level np conversion at bake)
         self._simple_flat: list[float] = []   # MOVE/LINE: x,y
@@ -485,6 +500,214 @@ class PathBuilder:
 
         self._baked = _dedupe(out, subs)
         return self._baked
+
+
+# ---------------------------------------------------------------------------
+# packed path programs (the byte-stream analogue of the reference's command
+# list interpreter, vg.cpp:4332-4625, specialized to path verbs): verbs i32
+# (N,), args f64 (N, 8).  Opcodes mirror native/vg_pathrec.c.
+# ---------------------------------------------------------------------------
+
+R_MOVE, R_LINE, R_CUBIC, R_QUAD, R_ARC, R_CLOSE, R_ARCTO = range(7)
+
+_R_NARGS = {R_MOVE: 2, R_LINE: 2, R_CUBIC: 6, R_QUAD: 4, R_ARC: 6,
+            R_CLOSE: 0, R_ARCTO: 5}
+
+
+def pack_path_program(calls) -> tuple[np.ndarray, np.ndarray]:
+    """[(opcode, args...)] -> (verbs i32 (N,), args f64 (N,8)) for
+    PathRec.replay / replay_packed."""
+    n = len(calls)
+    verbs = np.zeros(n, np.int32)
+    args = np.zeros((n, 8), np.float64)
+    for i, c in enumerate(calls):
+        verbs[i] = c[0]
+        a = c[1:]
+        args[i, : len(a)] = a
+    return verbs, np.ascontiguousarray(args)
+
+
+def replay_packed(pb, verbs, args) -> None:
+    """Oracle decode of a packed program into any PathBuilder-like object
+    (the C recorder's .replay does the same loop without Python dispatch;
+    parity-tested in tests/test_pathrec.py)."""
+    fns = (pb.move_to, pb.line_to, pb.cubic_to, pb.quadratic_to, pb.arc,
+           pb.close, pb.arc_to)
+    verbs = np.asarray(verbs, np.int32)
+    args = np.asarray(args, np.float64).reshape(-1, 8)
+    for i in range(len(verbs)):
+        op = int(verbs[i])
+        na = _R_NARGS[op]
+        if op == R_ARC:
+            a = args[i]
+            fns[op](a[0], a[1], a[2], a[3], a[4], int(a[5]))
+        else:
+            fns[op](*args[i, :na])
+
+
+class FastPathBuilder:
+    """PathBuilder with the per-verb recording in C (native/vg_pathrec.c).
+
+    Same seam: identical verb stream, snapshot layout, and bake output as
+    the pure-Python PathBuilder (asserted over fuzzed programs in
+    tests/test_pathrec.py).  Context additionally binds the C methods as
+    instance attributes so public verb calls skip this wrapper entirely."""
+
+    is_native = True
+
+    def __init__(self, rec_mod) -> None:
+        self._impl = rec_mod.PathRec()
+        self._scale = 1.0
+        self._tol = 0.25
+        self._snap = None
+        self._baked = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def reset(self, scale: float, tess_tol: float) -> None:
+        self._scale = float(scale)
+        self._tol = float(tess_tol)
+        self._impl.reset()
+        self._snap = None
+        self._baked = None
+
+    @property
+    def n_verbs(self) -> int:
+        return self._impl.n_verbs
+
+    @property
+    def version(self):
+        return self._impl.version
+
+    # -- verb surface (delegating; Context uses the bound C methods) --------
+    def move_to(self, x, y):
+        self._impl.move_to(x, y)
+
+    def line_to(self, x, y):
+        self._impl.line_to(x, y)
+
+    def cubic_to(self, c1x, c1y, c2x, c2y, x, y):
+        self._impl.cubic_to(c1x, c1y, c2x, c2y, x, y)
+
+    def quadratic_to(self, cx, cy, x, y):
+        self._impl.quadratic_to(cx, cy, x, y)
+
+    def arc_to(self, x1, y1, x2, y2, r):
+        self._impl.arc_to(x1, y1, x2, y2, r)
+
+    def arc(self, cx, cy, r, a0, a1, direction):
+        self._impl.arc(cx, cy, r, a0, a1, direction)
+
+    def rect(self, x, y, w, h):
+        self._impl.rect(x, y, w, h)
+
+    def rounded_rect(self, x, y, w, h, r):
+        self._impl.rounded_rect(x, y, w, h, r)
+
+    def rounded_rect_varying(self, x, y, w, h, rtl, rtr, rbr, rbl):
+        self._impl.rounded_rect_varying(x, y, w, h, rtl, rtr, rbr, rbl)
+
+    def circle(self, cx, cy, r):
+        self._impl.circle(cx, cy, r)
+
+    def ellipse(self, cx, cy, rx, ry):
+        self._impl.ellipse(cx, cy, rx, ry)
+
+    def polyline(self, coords):
+        coords = np.ascontiguousarray(np.asarray(coords, np.float32).reshape(-1, 2))
+        self._impl.polyline(coords)
+
+    def close(self):
+        self._impl.close()
+
+    def replay(self, verbs, args):
+        self._impl.replay(np.ascontiguousarray(verbs, np.int32),
+                          np.ascontiguousarray(args, np.float64))
+
+    # -- snapshot / bake / bounds ------------------------------------------
+    def snapshot(self):
+        snap = self._snap
+        ver = self._impl.version
+        if snap is not None and snap["_ver"] == ver:
+            return snap
+        v, sf, cf, af, pa, pp = self._impl.buffers()
+        self._snap = snap = {
+            "_ver": ver,
+            "n_verbs": len(v) // 4,
+            "verbs": np.frombuffer(v, np.int32),
+            "sf": np.frombuffer(sf, np.float64),
+            "cf": np.frombuffer(cf, np.float64),
+            "af": np.frombuffer(af, np.float64),
+            "pa": np.frombuffer(pa, np.int64).reshape(-1, 2),
+            "pp": np.frombuffer(pp, np.float32).reshape(-1, 2),
+            "scale": self._scale,
+            "tol": self._tol,
+        }
+        return snap
+
+    def bake(self, backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:
+        ver = self._impl.version
+        if self._baked is not None and self._baked[0] == ver:
+            return self._baked[1]
+        s = self.snapshot()
+        res = None
+        if backend == "auto":
+            from vgtpu import native
+
+            res = native.bake_path_native(
+                s["verbs"], s["sf"], s["cf"], s["af"], s["pa"], s["pp"],
+                self._scale, self._tol,
+            )
+        if res is None:
+            # numpy oracle over the same buffers (native lib unavailable)
+            pb = PathBuilder.__new__(PathBuilder)
+            pb._scale = self._scale
+            pb._tol = self._tol
+            pb._gen = 0
+            pb._verbs = s["verbs"].tolist()
+            pb._simple_flat = s["sf"]
+            pb._cubic_flat = s["cf"]
+            pb._arc_flat = s["af"]
+            pb._poly_args = [tuple(r) for r in s["pa"]]
+            pb._poly_pool = [s["pp"][o : o + c] for o, c in pb._poly_args]
+            pb._poly_pool_len = sum(c for _o, c in pb._poly_args)
+            pb._baked = None
+            pb._snap = None
+            res = pb.bake(backend="numpy")
+        self._baked = (ver, res)
+        return res
+
+    def control_bounds(self):
+        """Same conservative hull bounds as PathBuilder.control_bounds."""
+        s = self.snapshot()
+        xs: list[float] = []
+        ys: list[float] = []
+        if len(s["sf"]):
+            xs += (float(s["sf"][0::2].min()), float(s["sf"][0::2].max()))
+            ys += (float(s["sf"][1::2].min()), float(s["sf"][1::2].max()))
+        if len(s["cf"]):
+            xs += (float(s["cf"][0::2].min()), float(s["cf"][0::2].max()))
+            ys += (float(s["cf"][1::2].min()), float(s["cf"][1::2].max()))
+        af = s["af"].reshape(-1, 6)
+        for cx, cy, rx, ry, _a0, _a1 in af:
+            xs += (float(cx - abs(rx)), float(cx + abs(rx)))
+            ys += (float(cy - abs(ry)), float(cy + abs(ry)))
+        if len(s["pp"]):
+            xs += (float(s["pp"][:, 0].min()), float(s["pp"][:, 0].max()))
+            ys += (float(s["pp"][:, 1].min()), float(s["pp"][:, 1].max()))
+        if not xs:
+            return None
+        return (min(xs), min(ys), max(xs), max(ys))
+
+
+def make_path_builder():
+    """The Context's recorder: C-backed when the extension builds, else the
+    pure-Python oracle."""
+    from vgtpu import native
+
+    mod = native.pathrec()
+    if mod is not None:
+        return FastPathBuilder(mod)
+    return PathBuilder()
 
 
 def _dedupe(verts: np.ndarray, subs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -16,9 +16,54 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "vg_native.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "libvgnative.so")
+_REC_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "vg_pathrec.c")
+_REC_LIB = os.path.join(os.path.dirname(__file__), "_vgpathrec.so")
 
 _lib = None
 _tried = False
+_rec_mod = None
+_rec_tried = False
+
+
+def pathrec():
+    """The _vgpathrec CPython extension module (fast path-verb recorder), or
+    None when the toolchain/headers are unavailable.  Built on demand like
+    the ctypes library; VGTPU_NO_NATIVE disables it too (the pure-Python
+    PathBuilder is the oracle)."""
+    global _rec_mod, _rec_tried
+    if _rec_mod is not None or _rec_tried:
+        return _rec_mod
+    _rec_tried = True
+    if os.environ.get("VGTPU_NO_NATIVE") or os.environ.get("VGTPU_NO_PATHREC"):
+        return None
+    src = os.path.abspath(_REC_SRC)
+    if not os.path.exists(src):
+        return None
+    src_mtime = os.path.getmtime(src)
+    if not os.path.exists(_REC_LIB) or os.path.getmtime(_REC_LIB) < src_mtime:
+        import sysconfig
+
+        inc = sysconfig.get_paths().get("include")
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-I", inc, src,
+                 "-o", _REC_LIB],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[vgtpu.native] pathrec build failed: {e}", file=sys.stderr)
+            return None
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_vgpathrec", _REC_LIB)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    except Exception as e:  # noqa: BLE001
+        print(f"[vgtpu.native] pathrec load failed: {e}", file=sys.stderr)
+        return None
+    _rec_mod = mod
+    return _rec_mod
 
 
 class _BinResult(ctypes.Structure):

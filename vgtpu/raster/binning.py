@@ -45,7 +45,7 @@ BUCKET_SPLIT_FANCY = True
 STATIC_CLIP_RESOLVE = True   # debug/experiment gate for the static-clip pass
 
 
-@dataclass
+@dataclass(slots=True)
 class RasterOp:
     """One linearized frame command (the currency between the API layer and
     the rasterizer — the analogue of the reference's DrawCommand,

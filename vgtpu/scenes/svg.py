@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 import vgtpu as vg
+from vgtpu.geometry import path as path_mod
 
 _NUM = re.compile(r"[-+]?(?:\d*\.\d+|\d+\.?)(?:[eE][-+]?\d+)?")
 
@@ -204,20 +205,29 @@ _VERB_CACHE: dict = {}
 def path_verbs(ctx, d: str) -> None:
     """Feed SVG path data into the current vg path (the verbs map 1:1).
 
-    Compiled once per d-string and cached: tokenizing + parsing measured
-    ~22 ms/frame on the 240-path tiger when re-done every frame."""
+    Compiled once per d-string into a PACKED program (verbs i32, args f64)
+    and cached — tokenizing + parsing measured ~22 ms/frame on the 240-path
+    tiger when re-done every frame, and even the compiled per-verb Python
+    dispatch cost ~2 ms/frame before appendPackedPath replaced it with one
+    call per path (C replay in the fast recorder)."""
     prog = _VERB_CACHE.get(d)
     if prog is None:
         prog = _VERB_CACHE[d] = _compile_path_verbs(d)
         if len(_VERB_CACHE) > 4096:
             _VERB_CACHE.clear()
             _VERB_CACHE[d] = prog
-    sink = ctx._sink() or ctx
-    for name, args in prog:
-        getattr(sink, name)(*args)
+    (ctx._sink() or ctx).appendPackedPath(*prog)
 
 
-def _compile_path_verbs(d: str) -> tuple:
+_NAME_TO_OP = {
+    "moveTo": path_mod.R_MOVE, "lineTo": path_mod.R_LINE,
+    "cubicTo": path_mod.R_CUBIC, "quadraticTo": path_mod.R_QUAD,
+    "arc": path_mod.R_ARC, "closePath": path_mod.R_CLOSE,
+    "arcTo": path_mod.R_ARCTO,
+}
+
+
+def _compile_path_verbs(d: str):
     out: list = []
 
     class _Rec:
@@ -227,7 +237,8 @@ def _compile_path_verbs(d: str) -> tuple:
             return rec
 
     _emit_path_verbs(_Rec(), d)
-    return tuple(out)
+    return path_mod.pack_path_program(
+        [(_NAME_TO_OP[name], *args) for name, args in out])
 
 
 def _emit_path_verbs(ctx, d: str) -> None:
