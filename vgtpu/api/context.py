@@ -699,11 +699,15 @@ class Context:
             raise RuntimeError("deferred geometry without native backend")
         edges, piece_off, piece_draw = res
 
-        # pieces grouped per draw (draw ids are non-decreasing by build order)
+        # pieces grouped per draw: draw ids are non-decreasing by build order,
+        # so each op's pieces are the contiguous index range [lo, hi)
+        firsts = np.fromiter((f for _op, f, _n in owners), np.int64, len(owners))
+        ends = np.fromiter((f + n for _op, f, n in owners), np.int64, len(owners))
+        los = np.searchsorted(piece_draw, firsts, side="left")
+        his = np.searchsorted(piece_draw, ends, side="left")
         split_ops: dict = {}
-        for op, first, nd in owners:
-            sel = np.nonzero((piece_draw >= first) & (piece_draw < first + nd))[0]
-            if len(sel) == 0:
+        for (op, _first, _nd), lo, hi in zip(owners, los, his):
+            if lo >= hi:
                 op.geom = None
                 op.edges = np.zeros((0, 4), np.float32)
                 continue
@@ -715,11 +719,11 @@ class Context:
             )
             op.geom = None
             if keep_whole:
-                op.edges = edges[piece_off[sel[0]] : piece_off[sel[-1] + 1]]
+                op.edges = edges[piece_off[lo] : piece_off[hi]]
             else:
-                op.edges = edges[piece_off[sel[0]] : piece_off[sel[0] + 1]]
+                op.edges = edges[piece_off[lo] : piece_off[lo + 1]]
                 extra = []
-                for p in sel[1:]:
+                for p in range(lo + 1, hi):
                     o2 = _copy.copy(op)
                     o2.edges = edges[piece_off[p] : piece_off[p + 1]]
                     extra.append(o2)

@@ -483,13 +483,14 @@ def frame_geom(snaps: list, draws: list, stroke_tol: float):
     scale = np.asarray([s["scale"] for s in snaps], np.float32)
     tol = np.asarray([s["tol"] for s in snaps], np.float32)
 
-    dpath = np.asarray([d[0] for d in draws], np.int32)
-    dmode = np.asarray([d[1] for d in draws], np.int32)
-    dxf = np.asarray([d[2] for d in draws], np.float32).reshape(D, 6)
-    dwidth = np.asarray([d[3] for d in draws], np.float32)
-    dcap = np.asarray([d[4] for d in draws], np.int32)
-    djoin = np.asarray([d[5] for d in draws], np.int32)
-    dscale = np.asarray([d[6] for d in draws], np.float32)
+    cols = tuple(zip(*draws)) if D else ((),) * 7
+    dpath = np.asarray(cols[0], np.int32)
+    dmode = np.asarray(cols[1], np.int32)
+    dxf = np.asarray(cols[2], np.float32).reshape(D, 6)
+    dwidth = np.asarray(cols[3], np.float32)
+    dcap = np.asarray(cols[4], np.int32)
+    djoin = np.asarray(cols[5], np.int32)
+    dscale = np.asarray(cols[6], np.float32)
 
     verbs = np.ascontiguousarray(verbs)
     sf = np.ascontiguousarray(sf)

@@ -713,7 +713,10 @@ def _assemble_native(raw, width, height, tile_h, tile_w, color_tiles) -> FramePl
     NE = _bucket(max(n_entries, 1))
 
     def pad(a, n, fill=0):
-        out = np.full((n,) + a.shape[1:], fill, a.dtype)
+        # np.zeros is calloc-backed (no fill pass) — this padding runs on
+        # every dynamic-frame upload over ~MB of entry/chunk arrays
+        out = (np.zeros((n,) + a.shape[1:], a.dtype) if fill == 0
+               else np.full((n,) + a.shape[1:], fill, a.dtype))
         out[: len(a)] = a
         return out
 
