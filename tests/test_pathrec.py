@@ -200,6 +200,98 @@ def test_fuzz_random_programs():
         _assert_same(py, fast)
 
 
+def test_fast_bake_numpy_fallback(monkeypatch):
+    """FastPathBuilder.bake must fall back to the numpy oracle bit-exactly
+    when libvgnative is unavailable (pathrec built, C++ lib missing)."""
+    from vgtpu import native as native_mod
+
+    fast = FastPathBuilder(native.pathrec())
+    fast.reset(1.3, 0.25)
+    fast.move_to(3, 4)
+    fast.cubic_to(10, -5, 40, 55, 60, 10)
+    fast.rounded_rect(5, 5, 80, 40, 7)
+    fast.polyline(np.array([[0, 0], [5, 9], [11, 2]], np.float32))
+    v_native, s_native = fast.bake()
+
+    fast2 = FastPathBuilder(native.pathrec())
+    fast2.reset(1.3, 0.25)
+    fast2.move_to(3, 4)
+    fast2.cubic_to(10, -5, 40, 55, 60, 10)
+    fast2.rounded_rect(5, 5, 80, 40, 7)
+    fast2.polyline(np.array([[0, 0], [5, 9], [11, 2]], np.float32))
+    monkeypatch.setattr(native_mod, "bake_path_native",
+                        lambda *a, **k: None)
+    v_fb, s_fb = fast2.bake()
+    np.testing.assert_allclose(v_fb, v_native, atol=2e-4)
+    np.testing.assert_array_equal(s_fb, s_native)
+
+
+def test_append_packed_path_dtype_coercion():
+    """Context.appendPackedPath must accept loosely-typed arrays (int64
+    verbs, list args) identically on both recorder backends."""
+    import vgtpu as vg
+
+    verbs64 = np.array([R_MOVE, R_LINE, R_CLOSE], np.int64)
+    args = np.zeros((3, 8))
+    args[0, :2] = (1, 2)
+    args[1, :2] = (3, 4)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 64, 64, 1.0)
+    ctx.beginPath()
+    ctx.appendPackedPath(verbs64, args)
+    snap_fast = ctx.path.snapshot()
+    np.testing.assert_array_equal(snap_fast["verbs"], [0, 1, 4])
+    np.testing.assert_array_equal(snap_fast["sf"], [1, 2, 3, 4])
+
+    ctx2 = vg.createContext()
+    ctx2.path = PathBuilder()
+    vg.begin(ctx2, 0, 64, 64, 1.0)
+    ctx2.beginPath()
+    ctx2.appendPackedPath(verbs64, args)
+    snap_py = ctx2.path.snapshot()
+    np.testing.assert_array_equal(snap_py["verbs"], snap_fast["verbs"])
+    np.testing.assert_array_equal(snap_py["sf"], snap_fast["sf"])
+
+
+def test_transform_captured_at_first_draw():
+    """transformPath semantics (vg.cpp:4957-4975): the render transform is
+    captured at the FIRST fill/stroke after beginPath and reused by later
+    draws of the same path — on both the deferred and immediate backends."""
+    import vgtpu as vg
+
+    def scene(ctx, immediate):
+        vg.begin(ctx, 0, 128, 64, 1.0)
+        if immediate:
+            ctx._immediate_geom = True
+        ctx.beginPath()
+        ctx.rect(10, 10, 20, 20)
+        ctx.fillPath(vg.Colors.Red, vg.FillFlags.Convex)
+        ctx.transformTranslate(30, 0)
+        ctx.fillPath(vg.Colors.Blue, vg.FillFlags.Convex)   # same capture
+        ctx._finalize_ops()
+        ctx._immediate_geom = False
+        return [op.edges.copy() for op in ctx.ops]
+
+    ctx = vg.createContext()
+    e_def = scene(ctx, immediate=False)
+    e_imm = scene(vg.createContext(), immediate=True)
+    assert len(e_def) == len(e_imm)
+    for a, b in zip(e_def, e_imm):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    # both draws of the path share the first-draw transform: identical edges
+    np.testing.assert_allclose(e_def[0], e_def[-1], atol=1e-6)
+    # a NEW path after the translate picks up the new transform
+    ctx3 = vg.createContext()
+    vg.begin(ctx3, 0, 128, 64, 1.0)
+    ctx3.transformTranslate(30, 0)
+    ctx3.beginPath()
+    ctx3.rect(10, 10, 20, 20)
+    ctx3.fillPath(vg.Colors.Red, vg.FillFlags.Convex)
+    ctx3._finalize_ops()
+    assert abs(float(ctx3.ops[0].edges[:, 0].min()) - 40.0) < 1e-4
+
+
 def test_context_uses_fast_recorder_and_matches_python():
     """Whole-frame parity: the benchmark scene recorded through the fast
     recorder must produce identical ops (fingerprint) to the Python

@@ -196,7 +196,8 @@ class Context:
 
         self.state_stack: list[_State] = [_State()]
         self.path = make_path_builder()
-        self._path_transformed = None   # (path.version, (verts, subs))
+        self._path_transformed = None   # ((version, xf), (verts, subs))
+        self._path_xf = None            # first-draw transform capture
         self._bind_fast_path()
 
         self.gradients: list[np.ndarray] = []
@@ -271,6 +272,7 @@ class Context:
         self._submit_depth = 0
         self._active_cl = None
         self._block_merge_once = False
+        self._path_xf = None
 
     def end(self, background=None):
         """Bin + execute the frame on device; returns premultiplied (H,W,4).
@@ -477,6 +479,7 @@ class Context:
 
     def beginPath(self) -> None:
         self.path.reset(self.state.avg_scale, self.tess_tol)
+        self._path_xf = None
 
     def moveTo(self, x, y):
         self.path.move_to(x, y)
@@ -522,11 +525,11 @@ class Context:
         the current path in one call — the analogue of replaying the
         reference's recorded byte stream through the interpreter
         (vg.cpp:4332-4625).  Scene loaders use this to feed a pre-compiled
-        path without per-verb Python dispatch."""
+        path without per-verb Python dispatch.  Both recorder backends
+        coerce dtypes (the C replay reinterprets raw buffers)."""
         p = self.path
-        impl = getattr(p, "_impl", None)
-        if impl is not None:
-            impl.replay(verbs, args)
+        if p.is_native:
+            p.replay(verbs, args)
         else:
             replay_packed(p, verbs, args)
 
@@ -537,14 +540,27 @@ class Context:
             return self.state.transform
         return core.xform_multiply(core.xform_scale(self.dpr, self.dpr), self.state.transform)
 
+    def _draw_xf_tuple(self) -> tuple:
+        """The render transform a draw of the CURRENT path uses: captured at
+        the first fill/stroke after beginPath and reused for later draws of
+        the same path — exactly the reference's transformPath caching
+        (vg.cpp:4957-4975, m_PathTransformed reset only in ctxBeginPath), and
+        the contract that keeps the deferred and immediate backends
+        identical."""
+        xf = self._path_xf
+        if xf is None:
+            xf = self._path_xf = self.state.render_xf_tuple(self.dpr)
+        return xf
+
     def _transformed_path(self):
         """transformPath (vg.cpp:4957-4975): lazy, cached per path edit (the
-        version key changes on any verb append or beginPath reset)."""
+        version key changes on any verb append or beginPath reset); the
+        transform is the first-draw capture (_draw_xf_tuple)."""
         cached = self._path_transformed
-        ver = self.path.version
-        if cached is None or cached[0] != ver:
+        key = (self.path.version, self._draw_xf_tuple())
+        if cached is None or cached[0] != key:
             verts, subs = self.path.bake()
-            cached = (ver, (core.xform_points(self._render_transform(), verts), subs))
+            cached = (key, (core.xform_points(key[1], verts), subs))
             self._path_transformed = cached
         return cached[1]
 
@@ -761,7 +777,7 @@ class Context:
                 image_id=(img.idx if img is not None else -1),
                 mergeable=(path_type == PathType.Convex),
                 geom=[(self.path.snapshot(), mode,
-                       self.state.render_xf_tuple(self.dpr),
+                       self._draw_xf_tuple(),
                        0.0, 0, 0, 0.0)],
             ))
             return
@@ -867,7 +883,7 @@ class Context:
                 image_id=(img.idx if img is not None else -1),
                 mergeable=True,
                 geom=[(self.path.snapshot(), 2,
-                       self.state.render_xf_tuple(self.dpr),
+                       self._draw_xf_tuple(),
                        float(stroke_width), int(cap), int(join),
                        float(render_scale))],
             ))

@@ -533,16 +533,14 @@ def replay_packed(pb, verbs, args) -> None:
     parity-tested in tests/test_pathrec.py)."""
     fns = (pb.move_to, pb.line_to, pb.cubic_to, pb.quadratic_to, pb.arc,
            pb.close, pb.arc_to)
-    verbs = np.asarray(verbs, np.int32)
-    args = np.asarray(args, np.float64).reshape(-1, 8)
-    for i in range(len(verbs)):
-        op = int(verbs[i])
+    verbs = np.asarray(verbs, np.int32).tolist()
+    rows = np.asarray(args, np.float64).reshape(-1, 8).tolist()   # py floats
+    for op, a in zip(verbs, rows):
         na = _R_NARGS[op]
         if op == R_ARC:
-            a = args[i]
             fns[op](a[0], a[1], a[2], a[3], a[4], int(a[5]))
         else:
-            fns[op](*args[i, :na])
+            fns[op](*a[:na])
 
 
 class FastPathBuilder:
