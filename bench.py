@@ -26,6 +26,29 @@ import sys
 import time
 
 
+def host_spin_ms() -> float:
+    """Fixed pure-host workload (~5 ms on an unthrottled VM): a throttle
+    indicator for the host-side diagnostics.  The VM's wall-clock inflates
+    2-4x under throttling (CLAUDE.md), so dynamic/app/redraw numbers are only
+    comparable across sessions after normalizing by this."""
+    import zlib
+
+    import numpy as np
+
+    buf = np.arange(1_500_000, dtype=np.int32).tobytes()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = 0
+        for _k in range(8):
+            c = zlib.crc32(buf, c)
+        x = 0
+        for i in range(120_000):
+            x += i * i
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best
+
+
 def measure(reps: int = 32, warmup: int = 3) -> dict:
     import numpy as np
     import vgtpu as vg
@@ -103,6 +126,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "dynamic_ms": dynamic_ms,
         "redraw_ms": redraw_ms,
         "app_ms": app_ms,
+        "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
         "platform": str(__import__("jax").devices()[0].platform),
     }
@@ -123,6 +147,7 @@ def main() -> None:
           f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
           f"redraw={r['redraw_ms']:.1f} ms  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
+          f"host_spin={r['host_spin_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
 
     vs = None

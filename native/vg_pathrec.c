@@ -525,6 +525,34 @@ static PyObject *py_buffers(PathRec *s, PyObject *const *args, Py_ssize_t nargs)
     return t;
 }
 
+/* packed() -> (blob_bytes, (len_verbs, len_sf, len_cf, len_af, len_pa,
+ * len_pp)) with byte lengths: ONE allocation + copy for the whole snapshot
+ * (numpy slices it zero-copy; the frame fingerprint crcs it in one call). */
+static PyObject *py_packed(PathRec *s, PyObject *const *args, Py_ssize_t nargs) {
+    (void)args;
+    CHECK_NARGS("packed", 0);
+    Buf *bufs[6] = {&s->verbs, &s->sf, &s->cf, &s->af, &s->pa, &s->pp};
+    size_t total = 0;
+    for (int i = 0; i < 6; i++) total += bufs[i]->len;
+    PyObject *blob = PyBytes_FromStringAndSize(NULL, (Py_ssize_t)total);
+    if (!blob) return NULL;
+    char *dst = PyBytes_AS_STRING(blob);
+    PyObject *lens = PyTuple_New(6);
+    if (!lens) { Py_DECREF(blob); return NULL; }
+    for (int i = 0; i < 6; i++) {
+        memcpy(dst, bufs[i]->data, bufs[i]->len);
+        dst += bufs[i]->len;
+        PyObject *l = PyLong_FromSize_t(bufs[i]->len);
+        if (!l) { Py_DECREF(blob); Py_DECREF(lens); return NULL; }
+        PyTuple_SET_ITEM(lens, i, l);
+    }
+    PyObject *t = PyTuple_New(2);
+    if (!t) { Py_DECREF(blob); Py_DECREF(lens); return NULL; }
+    PyTuple_SET_ITEM(t, 0, blob);
+    PyTuple_SET_ITEM(t, 1, lens);
+    return t;
+}
+
 static PyObject *py_cur(PathRec *s, PyObject *const *args, Py_ssize_t nargs) {
     (void)args;
     CHECK_NARGS("cur", 0);
@@ -586,6 +614,7 @@ static PyMethodDef PathRec_methods[] = {
     {"replay", (PyCFunction)py_replay, METH_FASTCALL, NULL},
     {"reset", (PyCFunction)py_reset, METH_FASTCALL, NULL},
     {"buffers", (PyCFunction)py_buffers, METH_FASTCALL, NULL},
+    {"packed", (PyCFunction)py_packed, METH_FASTCALL, NULL},
     {"cur", (PyCFunction)py_cur, METH_FASTCALL, NULL},
     {NULL, NULL, 0, NULL},
 };

@@ -627,18 +627,32 @@ class FastPathBuilder:
         ver = self._impl.version
         if snap is not None and snap["_ver"] == ver:
             return snap
-        v, sf, cf, af, pa, pp = self._impl.buffers()
+        import zlib
+
+        blob, (lv, lsf, lcf, laf, lpa, lpp) = self._impl.packed()
+        o1 = lv
+        o2 = o1 + lsf
+        o3 = o2 + lcf
+        o4 = o3 + laf
+        o5 = o4 + lpa
         self._snap = snap = {
             "_ver": ver,
-            "n_verbs": len(v) // 4,
-            "verbs": np.frombuffer(v, np.int32),
-            "sf": np.frombuffer(sf, np.float64),
-            "cf": np.frombuffer(cf, np.float64),
-            "af": np.frombuffer(af, np.float64),
-            "pa": np.frombuffer(pa, np.int64).reshape(-1, 2),
-            "pp": np.frombuffer(pp, np.float32).reshape(-1, 2),
+            "n_verbs": lv // 4,
+            "verbs": np.frombuffer(blob, np.int32, count=lv // 4),
+            "sf": np.frombuffer(blob, np.float64, count=lsf // 8, offset=o1),
+            "cf": np.frombuffer(blob, np.float64, count=lcf // 8, offset=o2),
+            "af": np.frombuffer(blob, np.float64, count=laf // 8, offset=o3),
+            "pa": np.frombuffer(blob, np.int64, count=lpa // 8,
+                                offset=o4).reshape(-1, 2),
+            "pp": np.frombuffer(blob, np.float32, count=lpp // 4,
+                                offset=o5).reshape(-1, 2),
             "scale": self._scale,
             "tol": self._tol,
+            # frame-memo fingerprint of the geometry content in ONE crc (the
+            # python recorder's snap_crc computes the same thing chained
+            # per-array; values need only be stable within one recorder)
+            "fp_crc": zlib.crc32(blob)
+            ^ (hash((self._scale, self._tol)) & 0xFFFFFFFF),
         }
         return snap
 
