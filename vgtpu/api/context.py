@@ -326,7 +326,7 @@ class Context:
             self._fill_textures(plan)
         self.last_plan = plan
         with prof.stage("upload"):
-            self.last_device_arrays = plan_to_device(plan)
+            self.last_device_arrays = plan_to_device(plan, profiler=prof)
         self._last_frame_fp = fp
         with prof.stage("device_dispatch"):
             self.frame_image = execute_plan(

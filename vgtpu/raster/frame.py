@@ -157,16 +157,25 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
     )
 
 
-def plan_to_device(plan: FramePlan) -> dict:
+def plan_to_device(plan: FramePlan, profiler=None) -> dict:
     """Upload the plan's arrays once (command lists / caches stay resident).
     All host arrays ship in ONE batched jax.device_put (59 per-leaf puts
     measured 15 ms vs 4 ms batched through the axon tunnel); the composite's
-    color-tile expansion then runs on device."""
-    if plan.tile_buckets is None:
-        plan.tile_buckets = compute_tile_buckets(
-            plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind, plan
-        )
-    _compact_culled_chunks(plan)
+    color-tile expansion then runs on device.
+
+    profiler: optional FrameProfiler for sub-stage attribution (upload.*)."""
+    import contextlib
+
+    stage = profiler.stage if profiler is not None else (
+        lambda _n: contextlib.nullcontext())
+    with stage("upload.buckets"):
+        if plan.tile_buckets is None:
+            plan.tile_buckets = compute_tile_buckets(
+                plan.tile_entries, plan.tile_entries.shape[0], plan.entry_kind,
+                plan
+            )
+    with stage("upload.compact"):
+        _compact_culled_chunks(plan)
     host = {
         "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
         "entry_backdrop": plan.entry_backdrop,
@@ -183,7 +192,8 @@ def plan_to_device(plan: FramePlan) -> dict:
             (te, ids) for te, ids, _fl in plan.tile_buckets
         ),
     }
-    aux_host, bucket_ctile = _coverage_composite_aux_host(plan)
+    with stage("upload.aux"):
+        aux_host, bucket_ctile = _coverage_composite_aux_host(plan)
     host.update(aux_host)
     if "pop" in aux_host:
         # dedup upload: the jitted frame gathers the per-entry expansions +
@@ -193,24 +203,26 @@ def plan_to_device(plan: FramePlan) -> dict:
         for k in ("entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
                   "entry_paint", "entry_scissor"):
             del host[k]
-    d = jax.device_put(host)
+    with stage("upload.put"):
+        d = jax.device_put(host)
     d["chunk_entry_num"] = plan.entry_backdrop.shape[0]
     d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
-    if bucket_ctile is not None:
-        from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+    with stage("upload.expand"):
+        if bucket_ctile is not None:
+            from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
 
-        th, tw = plan.tile_h, plan.tile_w
-        ct_dev = d["color_tiles"]
-        ct_flat = _ct_flat(ct_dev, th, tw)
-        d["bucket_cts"] = tuple(
-            ct_t_from_color_tiles(ct_flat, jnp.asarray(ids)) if ids is not None else None
-            for ids in bucket_ctile
-        )
-    if d.get("bucket_pteb") is not None and d.get("pop") is not None:
-        d["bucket_params"] = _expand_params_on_device(
-            d["pop"], d["entry_pop"], d["entry_color_tile"], d["entry_tile"],
-            d["entry_backdrop"], tuple(te for te, _ids in d["tile_buckets"]),
-            tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx)
+            th, tw = plan.tile_h, plan.tile_w
+            ct_dev = d["color_tiles"]
+            ct_flat = _ct_flat(ct_dev, th, tw)
+            d["bucket_cts"] = tuple(
+                ct_t_from_color_tiles(ct_flat, jnp.asarray(ids)) if ids is not None else None
+                for ids in bucket_ctile
+            )
+        if d.get("bucket_pteb") is not None and d.get("pop") is not None:
+            d["bucket_params"] = _expand_params_on_device(
+                d["pop"], d["entry_pop"], d["entry_color_tile"], d["entry_tile"],
+                d["entry_backdrop"], tuple(te for te, _ids in d["tile_buckets"]),
+                tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx)
     return d
 
 
