@@ -507,24 +507,6 @@ static PyObject *py_reset(PathRec *s, PyObject *const *args, Py_ssize_t nargs) {
     Py_RETURN_NONE;
 }
 
-/* buffers() -> (verbs, sf, cf, af, pa, pp) as bytes COPIES: safe to hold
- * across further mutation/reallocation (snapshot() wraps them zero-copy with
- * np.frombuffer). */
-static PyObject *py_buffers(PathRec *s, PyObject *const *args, Py_ssize_t nargs) {
-    (void)args;
-    CHECK_NARGS("buffers", 0);
-    PyObject *t = PyTuple_New(6);
-    if (!t) return NULL;
-    Buf *bufs[6] = {&s->verbs, &s->sf, &s->cf, &s->af, &s->pa, &s->pp};
-    for (int i = 0; i < 6; i++) {
-        PyObject *b = PyBytes_FromStringAndSize(bufs[i]->data,
-                                                (Py_ssize_t)bufs[i]->len);
-        if (!b) { Py_DECREF(t); return NULL; }
-        PyTuple_SET_ITEM(t, i, b);
-    }
-    return t;
-}
-
 /* packed() -> (blob_bytes, (len_verbs, len_sf, len_cf, len_af, len_pa,
  * len_pp)) with byte lengths: ONE allocation + copy for the whole snapshot
  * (numpy slices it zero-copy; the frame fingerprint crcs it in one call). */
@@ -540,7 +522,8 @@ static PyObject *py_packed(PathRec *s, PyObject *const *args, Py_ssize_t nargs) 
     PyObject *lens = PyTuple_New(6);
     if (!lens) { Py_DECREF(blob); return NULL; }
     for (int i = 0; i < 6; i++) {
-        memcpy(dst, bufs[i]->data, bufs[i]->len);
+        if (bufs[i]->len)             /* data may be NULL while len == 0 */
+            memcpy(dst, bufs[i]->data, bufs[i]->len);
         dst += bufs[i]->len;
         PyObject *l = PyLong_FromSize_t(bufs[i]->len);
         if (!l) { Py_DECREF(blob); Py_DECREF(lens); return NULL; }
@@ -551,12 +534,6 @@ static PyObject *py_packed(PathRec *s, PyObject *const *args, Py_ssize_t nargs) 
     PyTuple_SET_ITEM(t, 0, blob);
     PyTuple_SET_ITEM(t, 1, lens);
     return t;
-}
-
-static PyObject *py_cur(PathRec *s, PyObject *const *args, Py_ssize_t nargs) {
-    (void)args;
-    CHECK_NARGS("cur", 0);
-    return Py_BuildValue("dd", s->cur_x, s->cur_y);
 }
 
 static PyObject *get_version(PathRec *s, void *closure) {
@@ -613,9 +590,7 @@ static PyMethodDef PathRec_methods[] = {
     {"close", (PyCFunction)py_close, METH_FASTCALL, NULL},
     {"replay", (PyCFunction)py_replay, METH_FASTCALL, NULL},
     {"reset", (PyCFunction)py_reset, METH_FASTCALL, NULL},
-    {"buffers", (PyCFunction)py_buffers, METH_FASTCALL, NULL},
     {"packed", (PyCFunction)py_packed, METH_FASTCALL, NULL},
-    {"cur", (PyCFunction)py_cur, METH_FASTCALL, NULL},
     {NULL, NULL, 0, NULL},
 };
 

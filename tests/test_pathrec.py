@@ -292,6 +292,31 @@ def test_transform_captured_at_first_draw():
     assert abs(float(ctx3.ops[0].edges[:, 0].min()) - 40.0) < 1e-4
 
 
+def test_culling_respects_first_draw_transform():
+    """AllowCommandCulling must test bounds with the transform the draw will
+    RENDER with (the first-draw capture), not the live transform — a
+    transform change between two fills of one path must not cull the second
+    fill (it renders at the captured position, on-screen)."""
+    import vgtpu as vg
+
+    def run(flags):
+        ctx = vg.createContext()
+        cl = vg.createCommandList(ctx, flags)
+        vg.clBeginPath(ctx, cl)
+        vg.clRect(ctx, cl, 10, 10, 20, 20)
+        vg.clFillPath(ctx, cl, vg.Colors.Red, vg.FillFlags.Convex)
+        vg.clTransformTranslate(ctx, cl, 5000, 0)      # off-screen shift
+        vg.clFillPath(ctx, cl, vg.Colors.Blue, vg.FillFlags.Convex)
+        vg.begin(ctx, 0, 128, 64, 1.0)
+        vg.submitCommandList(ctx, cl)
+        ctx._finalize_ops()
+        return len(ctx.ops)
+
+    n_cull = run(vg.CommandListFlags.AllowCommandCulling)
+    n_none = run(0)
+    assert n_cull == n_none == 2
+
+
 def test_context_uses_fast_recorder_and_matches_python():
     """Whole-frame parity: the benchmark scene recorded through the fast
     recorder must produce identical ops (fingerprint) to the Python

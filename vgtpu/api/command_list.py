@@ -465,11 +465,19 @@ def _draw_outside_scissor(ctx, name, args) -> bool:
     """Per-command scissor culling on the direct replay path: conservative
     control-hull bounds from the RAW path data (no flattening — a per-path
     bake here would re-introduce the marshalling the batched vg_frame_geom
-    call removed), transformed corner-wise, against the current scissor."""
+    call removed), transformed corner-wise, against the current scissor.
+
+    The transform must be the one the draw would RENDER with: the first-draw
+    capture when a prior draw of this path already captured it
+    (Context._draw_xf_tuple), else the live transform — without capturing,
+    since a culled draw must not capture (the reference's skipped commands
+    never run transformPath)."""
     b = ctx.path.control_bounds()
     if b is None:
         return False
-    m = ctx._render_transform()
+    m = ctx._path_xf
+    if m is None:
+        m = ctx._render_transform()
     xs, ys = [], []
     for cx, cy in ((b[0], b[1]), (b[2], b[1]), (b[0], b[3]), (b[2], b[3])):
         x, y = core.xform_point(m, cx, cy)

@@ -75,6 +75,29 @@ class PathBuilder:
         identifies it (Context caches the transformed bake by this)."""
         return (self._gen, len(self._verbs))
 
+    @classmethod
+    def _from_snapshot(cls, s) -> "PathBuilder":
+        """A PathBuilder pre-loaded with a snapshot()'s buffers — keeps the
+        field-layout knowledge next to the fields (FastPathBuilder's numpy
+        bake fallback constructs one)."""
+        pb = cls.__new__(cls)
+        pb._scale = s["scale"]
+        pb._tol = s["tol"]
+        pb._gen = 0
+        pb._verbs = s["verbs"].tolist()
+        pb._simple_flat = s["sf"]
+        pb._cubic_flat = s["cf"]
+        pb._arc_flat = s["af"]
+        pb._poly_args = [tuple(r) for r in s["pa"]]
+        pb._poly_pool = [s["pp"][o : o + c] for o, c in pb._poly_args]
+        pb._poly_pool_len = sum(c for _o, c in pb._poly_args)
+        pb._cur = (0.0, 0.0)
+        pb._subpath_open = False
+        pb._subpath_nverts = 0
+        pb._baked = None
+        pb._snap = None
+        return pb
+
     # -- lifecycle ---------------------------------------------------------
     def reset(self, scale: float, tess_tol: float) -> None:
         self._scale = float(scale)
@@ -535,6 +558,9 @@ def replay_packed(pb, verbs, args) -> None:
            pb.close, pb.arc_to)
     verbs = np.asarray(verbs, np.int32).tolist()
     rows = np.asarray(args, np.float64).reshape(-1, 8).tolist()   # py floats
+    if len(rows) < len(verbs):
+        # match the C recorder's contract exactly (it raises, zip truncates)
+        raise ValueError("replay: args shorter than verbs")
     for op, a in zip(verbs, rows):
         na = _R_NARGS[op]
         if op == R_ARC:
@@ -671,20 +697,7 @@ class FastPathBuilder:
             )
         if res is None:
             # numpy oracle over the same buffers (native lib unavailable)
-            pb = PathBuilder.__new__(PathBuilder)
-            pb._scale = self._scale
-            pb._tol = self._tol
-            pb._gen = 0
-            pb._verbs = s["verbs"].tolist()
-            pb._simple_flat = s["sf"]
-            pb._cubic_flat = s["cf"]
-            pb._arc_flat = s["af"]
-            pb._poly_args = [tuple(r) for r in s["pa"]]
-            pb._poly_pool = [s["pp"][o : o + c] for o, c in pb._poly_args]
-            pb._poly_pool_len = sum(c for _o, c in pb._poly_args)
-            pb._baked = None
-            pb._snap = None
-            res = pb.bake(backend="numpy")
+            res = PathBuilder._from_snapshot(s).bake(backend="numpy")
         self._baked = (ver, res)
         return res
 

@@ -39,8 +39,7 @@ def pathrec():
     src = os.path.abspath(_REC_SRC)
     if not os.path.exists(src):
         return None
-    src_mtime = os.path.getmtime(src)
-    if not os.path.exists(_REC_LIB) or os.path.getmtime(_REC_LIB) < src_mtime:
+    def build() -> bool:
         import sysconfig
 
         inc = sysconfig.get_paths().get("include")
@@ -50,19 +49,36 @@ def pathrec():
                  "-o", _REC_LIB],
                 check=True, capture_output=True, timeout=120,
             )
+            return True
         except Exception as e:  # noqa: BLE001
             print(f"[vgtpu.native] pathrec build failed: {e}", file=sys.stderr)
-            return None
-    try:
+            return False
+
+    def load():
         import importlib.util
 
         spec = importlib.util.spec_from_file_location("_vgpathrec", _REC_LIB)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-    except Exception as e:  # noqa: BLE001
-        print(f"[vgtpu.native] pathrec load failed: {e}", file=sys.stderr)
-        return None
-    _rec_mod = mod
+        return mod
+
+    src_mtime = os.path.getmtime(src)
+    if not os.path.exists(_REC_LIB) or os.path.getmtime(_REC_LIB) < src_mtime:
+        if not build():
+            return None
+    try:
+        _rec_mod = load()
+    except Exception:  # noqa: BLE001
+        # a stale artifact from another CPython (extension modules are
+        # interpreter-version-specific, unlike the ctypes library): rebuild
+        # for THIS interpreter and retry once
+        if not build():
+            return None
+        try:
+            _rec_mod = load()
+        except Exception as e:  # noqa: BLE001
+            print(f"[vgtpu.native] pathrec load failed: {e}", file=sys.stderr)
+            return None
     return _rec_mod
 
 
