@@ -87,6 +87,132 @@ def _compare(ctx, w, h, bg=(0.1, 0.2, 0.3, 1.0)):
     )
 
 
+def _compare_ss(ctx, w, h, ss, bg=(0.1, 0.2, 0.3, 1.0)):
+    """Supersampled fused composite vs the XLA ss composite (oracle)."""
+    import jax.numpy as jnp
+
+    from vgtpu.raster.binning import bin_frame
+    from vgtpu.raster.frame import plan_to_device
+
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, w, h, tile_h=ctx.cfg.tile_h,
+                     tile_w=ctx.cfg.tile_w, supersample=ss)
+    ctx._fill_textures(plan)
+    d = plan_to_device(plan)
+    ne = d["entry_backdrop"].shape[0]
+    th, tw = plan.tile_h, plan.tile_w        # th = sub-row domain
+    entry_w = entry_coverage_from_pools(d["chunk_pools"], ne, th, tw) + d["entry_backdrop"][:, :, None]
+    bg_arr = jnp.asarray(np.asarray(bg, np.float32))
+    nt = plan.tile_entries.shape[0]
+
+    fb_xla = composite_bucketed_body(
+        entry_w, d["tile_buckets"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
+        d["color_tiles"], bg_arr,
+        ntx=plan.ntx, tile_h=th, tile_w=tw, num_tiles=nt,
+        bucket_flags=d["bucket_flags"], ss=ss,
+    )
+
+    params, cts = [], []
+    for (te_b, _ids, flags) in plan.tile_buckets:
+        pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
+        params.append(jnp.asarray(pp))
+        cts.append(jnp.asarray(ct) if ct is not None else None)
+    fb_pl = composite_bucketed_pallas_body(
+        entry_w, d["tile_buckets"], tuple(params), tuple(cts), bg_arr,
+        tile_h=th, tile_w=tw, num_tiles=nt,
+        bucket_flags=d["bucket_flags"], interpret=True, ss=ss,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_pl)[:nt], np.asarray(fb_xla)[:nt], atol=2e-6,
+    )
+
+
+def test_composite_pallas_supersample_parity():
+    """Conflation-free mode (ss=4) through the fused kernel: rule + scissor +
+    clip at sub-row resolution, ss-averaged coverage, output-domain shading —
+    must match the XLA ss composite on the full feature scene."""
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 512, 256, 1.0)
+    _scene_full(ctx)
+    _compare_ss(ctx, 512, 256, ss=4)
+
+
+def test_composite_pallas_supersample_ss2_text():
+    from tests.test_text import FONT_DATA
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 384, 128, 1.0)
+    f = vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+    cfg = vg.makeTextConfig(ctx, f, 26.0, vg.TextAlign.MiddleLeft, vg.Colors.White)
+    vg.text(ctx, cfg, 8, 64, "ss fused parity")
+    vg.beginPath(ctx)
+    vg.circle(ctx, 300, 70, 40)
+    vg.fillPath(ctx, vg.color4ub(40, 220, 120, 180), vg.FillFlags.ConvexAA)
+    _compare_ss(ctx, 384, 128, ss=2)
+
+
+def test_frame_fb_pallas_fused_supersample_parity():
+    """The fully fused ss path (chunk gather + in-kernel backdrop + ss
+    averaging) vs the XLA ss composite."""
+    import jax.numpy as jnp
+
+    from vgtpu.ops.composite_pallas import _pad_tiles, frame_fb_pallas
+    from vgtpu.ops.coverage import build_cov_gather_map, cov_all_resolved
+    from vgtpu.raster.binning import bin_frame
+    from vgtpu.raster.frame import plan_to_device
+
+    ss = 4
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    _scene_full(ctx)
+    w, h = 256, 128
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, w, h, tile_h=ctx.cfg.tile_h,
+                     tile_w=ctx.cfg.tile_w, supersample=ss)
+    ctx._fill_textures(plan)
+    d = plan_to_device(plan)
+    ne = d["entry_backdrop"].shape[0]
+    th, tw = plan.tile_h, plan.tile_w
+    nt = plan.tile_entries.shape[0]
+    bg = jnp.asarray(np.asarray((0.1, 0.2, 0.3, 1.0), np.float32))
+
+    entry_w = entry_coverage_from_pools(d["chunk_pools"], ne, th, tw) + d["entry_backdrop"][:, :, None]
+    fb_xla = composite_bucketed_body(
+        entry_w, d["tile_buckets"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
+        d["color_tiles"], bg,
+        ntx=plan.ntx, tile_h=th, tile_w=tw, num_tiles=nt,
+        bucket_flags=d["bucket_flags"], ss=ss,
+    )
+
+    m = build_cov_gather_map(plan.chunk_pools, ne)
+    m_dev = {k: jnp.asarray(v) for k, v in m.items()}
+    cov_all = cov_all_resolved(d["chunk_pools"], m_dev, th, tw)
+    dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
+    params, cts, ptebs = [], [], []
+    for te_b, _ids, flags in plan.tile_buckets:
+        pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
+        nbp = _pad_tiles(te_b.shape[0])
+        te_p = te_b
+        if nbp != te_b.shape[0]:
+            te_p = np.concatenate(
+                [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
+        ptebs.append(jnp.asarray(
+            np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)], dead_id).astype(np.int32)))
+        params.append(jnp.asarray(pp))
+        cts.append(jnp.asarray(ct) if ct is not None else None)
+    fb_fused = frame_fb_pallas(
+        cov_all, d["tile_buckets"], tuple(ptebs), tuple(params), tuple(cts), bg,
+        tile_h=th, tile_w=tw, num_tiles=nt, bucket_flags=d["bucket_flags"],
+        interpret=True, ss=ss,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_fused), np.asarray(fb_xla), atol=2e-6)
+
+
 def test_composite_pallas_full_scene_parity():
     ctx = vg.createContext()
     vg.begin(ctx, 0, 512, 256, 1.0)

@@ -95,11 +95,14 @@ def build_bucket_aux(plan, te_b: np.ndarray, need_ct: bool = False):
 
     ct_t = None
     if need_ct:
-        ct = plan.color_tiles[np.maximum(ctile, 0)]       # (Nb, MO, th, tw, 4)
+        # color tiles live on the OUTPUT domain (th counts sub-rows when the
+        # plan supersamples)
+        npx_out = (th // plan.supersample) * tw
+        ct = plan.color_tiles[np.maximum(ctile, 0)]       # (Nb, MO, th_out, tw, 4)
         ct = ct * (ctile >= 0).astype(np.float32)[:, :, None, None, None]
-        # -> (MO, 4, NPX, Nb) -> (MO, 4*NPX, Nb) channel-major
+        # -> (MO, 4, NPX_OUT, Nb) -> (MO, 4*NPX_OUT, Nb) channel-major
         ct_t = np.ascontiguousarray(
-            ct.reshape(nb, mo, npx, 4).transpose(1, 3, 2, 0).reshape(mo, 4 * npx, nb)
+            ct.reshape(nb, mo, npx_out, 4).transpose(1, 3, 2, 0).reshape(mo, 4 * npx_out, nb)
         ).astype(np.float32)
     return pp, ct_t
 
@@ -160,13 +163,19 @@ def _block_tiles(nb: int) -> int:
 
 
 def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
-                 flags: tuple, add_backdrop: bool = False):
+                 flags: tuple, add_backdrop: bool = False, ss: int = 1):
     """Row-structured painter step (the production TPU variant): the pixel
     grid is processed one tile row at a time on (TW, BT) slices, so every
     y-only quantity — the per-row backdrop (no jnp.repeat relayout), the
     scissor y-test, the gradient/tri-paint y-terms — is a cheap (1, BT) lane
     vector.  Expression order matches _kernel per pixel, so the output is
-    bit-identical (tests/test_composite_pallas.py compares both)."""
+    bit-identical (tests/test_composite_pallas.py compares both).
+
+    ss > 1 (conflation-free supersampling, ops/composite.py semantics):
+    coverage / fill rule / scissor / clip live on the npx SUB-row domain;
+    rule-applied masked coverage averages over each group of ss sub-rows,
+    then shading + blending run once per OUTPUT row on the npx//ss domain
+    (paints are pixel-space, same as the XLA composite's pxc_o/pyc_o)."""
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa, has_scissor = flags
     if has_tex:
         ct_ref, out_ref = rest[0], rest[1]
@@ -179,11 +188,13 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 
     j = pl.program_id(1)
     bt = out_ref.shape[1]
-    th = npx // tile_w
+    th = npx // tile_w           # sub-rows
+    npx_out = npx // ss          # output-domain pixels (== npx when ss == 1)
+    inv_ss = 1.0 / ss
 
     @pl.when(j == 0)
     def _():
-        out_ref[:] = jnp.broadcast_to(bg_ref[:], (4 * npx, bt))
+        out_ref[:] = jnp.broadcast_to(bg_ref[:], (4 * npx_out, bt))
         if has_clip:
             mask_ref[:] = jnp.ones((npx, bt), jnp.float32)
             accum_ref[:] = jnp.zeros((npx, bt), jnp.float32)
@@ -221,9 +232,10 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
         is_ccommit = (valid > 0) & (kind == float(K_CLIP_COMMIT))
         is_creset = (valid > 0) & (kind == float(K_CLIP_RESET))
 
+    c_sum = None
     for r in range(th):
         sl = pl.ds(r * tile_w, tile_w)
-        pyl = float(r) + 0.5               # scalar row center
+        pyl = float(r) + 0.5               # scalar SUB-row center
 
         w = ew_ref[0][r * tile_w : (r + 1) * tile_w, :]   # (TW, BT)
         if add_backdrop:
@@ -247,12 +259,39 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
             )
             cov = cov * inside.astype(jnp.float32)
 
+        # masked draw coverage on the sub-row domain
+        if has_clip:
+            c = jnp.where(is_draw, cov, 0.0) * mask_ref[sl, :]
+        else:
+            c = jnp.where(valid > 0, cov, 0.0)
+        c_sum = c if r % ss == 0 else c_sum + c
+
+        # clip state advances per SUB-row (rows are disjoint, so updating
+        # right after this slot's read is equivalent to the end-of-slot
+        # update of the XLA scan)
+        if has_clip:
+            accum = jnp.where(is_cadd, accum_ref[sl, :] + cov, accum_ref[sl, :])
+            inside_f = (accum > 0.5).astype(jnp.float32)
+            committed = jnp.where(rule == 0, inside_f, 1.0 - inside_f)
+            mask_ref[sl, :] = jnp.where(
+                is_creset, 1.0, jnp.where(is_ccommit, committed, mask_ref[sl, :]))
+            accum_ref[sl, :] = jnp.where(is_ccommit, 0.0, accum)
+
+        if (r + 1) % ss:
+            continue
+
+        # ---- output row ro: shade + blend with ss-averaged coverage ----
+        ro = r // ss
+        c_out = c_sum if ss == 1 else c_sum * inv_ss
+        pyl_o = float(ro) + 0.5            # output-row center
+
         col_r, col_g, col_b, col_a = inner_r, inner_g, inner_b, inner_a
         if has_grad or has_tri:
             ox = row(_P_OX)
             oy = row(_P_OY)
             pxc = pxl + ox                 # (TW, BT) screen-space centers
-            pyc = pyl + oy                 # (1, BT)
+            # paints are pixel-space: output rows at oy/ss (XLA pyc_o)
+            pyc = pyl_o + oy if ss == 1 else oy * inv_ss + pyl_o   # (1, BT)
         if has_grad:
             m0, m1, m2 = row(_P_PAINT + 0), row(_P_PAINT + 1), row(_P_PAINT + 2)
             m3, m4, m5 = row(_P_PAINT + 3), row(_P_PAINT + 4), row(_P_PAINT + 5)
@@ -278,39 +317,28 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
             col_a = jnp.where(is_tri, row(_P_PAINT + 3) * pxc + row(_P_PAINT + 7) * pyc + row(_P_PAINT + 11), col_a)
 
         if has_tex:
-            ct = ct_ref[0]                 # (4*NPX, BT) channel-major
-            r0 = r * tile_w
+            ct = ct_ref[0]                 # (4*NPX_OUT, BT) channel-major
+            r0 = ro * tile_w
             src_r = jnp.where(use_ct, ct[r0 : r0 + tile_w, :], col_r * col_a)
-            src_g = jnp.where(use_ct, ct[npx + r0 : npx + r0 + tile_w, :], col_g * col_a)
-            src_b = jnp.where(use_ct, ct[2 * npx + r0 : 2 * npx + r0 + tile_w, :], col_b * col_a)
-            src_a = jnp.where(use_ct, ct[3 * npx + r0 : 3 * npx + r0 + tile_w, :], col_a)
+            src_g = jnp.where(use_ct, ct[npx_out + r0 : npx_out + r0 + tile_w, :], col_g * col_a)
+            src_b = jnp.where(use_ct, ct[2 * npx_out + r0 : 2 * npx_out + r0 + tile_w, :], col_b * col_a)
+            src_a = jnp.where(use_ct, ct[3 * npx_out + r0 : 3 * npx_out + r0 + tile_w, :], col_a)
         else:
             src_r = col_r * col_a
             src_g = col_g * col_a
             src_b = col_b * col_a
             src_a = col_a
 
-        if has_clip:
-            c = jnp.where(is_draw, cov, 0.0) * mask_ref[sl, :]
-        else:
-            c = jnp.where(valid > 0, cov, 0.0)
-        a = src_a * c
+        a = src_a * c_out
         one_minus_a = 1.0 - a
-        out_ref[sl, :] = src_r * c + out_ref[sl, :] * one_minus_a
-        sg = pl.ds(npx + r * tile_w, tile_w)
-        out_ref[sg, :] = src_g * c + out_ref[sg, :] * one_minus_a
-        sb = pl.ds(2 * npx + r * tile_w, tile_w)
-        out_ref[sb, :] = src_b * c + out_ref[sb, :] * one_minus_a
-        sa = pl.ds(3 * npx + r * tile_w, tile_w)
+        so = pl.ds(ro * tile_w, tile_w)
+        out_ref[so, :] = src_r * c_out + out_ref[so, :] * one_minus_a
+        sg = pl.ds(npx_out + ro * tile_w, tile_w)
+        out_ref[sg, :] = src_g * c_out + out_ref[sg, :] * one_minus_a
+        sb = pl.ds(2 * npx_out + ro * tile_w, tile_w)
+        out_ref[sb, :] = src_b * c_out + out_ref[sb, :] * one_minus_a
+        sa = pl.ds(3 * npx_out + ro * tile_w, tile_w)
         out_ref[sa, :] = a + out_ref[sa, :] * one_minus_a
-
-        if has_clip:
-            accum = jnp.where(is_cadd, accum_ref[sl, :] + cov, accum_ref[sl, :])
-            inside_f = (accum > 0.5).astype(jnp.float32)
-            committed = jnp.where(rule == 0, inside_f, 1.0 - inside_f)
-            mask_ref[sl, :] = jnp.where(
-                is_creset, 1.0, jnp.where(is_ccommit, committed, mask_ref[sl, :]))
-            accum_ref[sl, :] = jnp.where(is_ccommit, 0.0, accum)
 
 
 def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
@@ -454,13 +482,13 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 @functools.partial(
     jax.jit,
     static_argnames=("npx", "tile_w", "flags", "add_backdrop", "interpret",
-                     "variant"),
+                     "variant", "ss"),
 )
 def composite_bucket_pallas(
-    ew_t: jax.Array,        # (MO, NPX, Nb)
+    ew_t: jax.Array,        # (MO, NPX, Nb)            NPX = sub-row domain
     params_t: jax.Array,    # (MO, _npp(tile_h), Nb)
-    ct_t: jax.Array | None, # (MO, 4*NPX, Nb) or None
-    bg_vec: jax.Array,      # (4*NPX, 1)
+    ct_t: jax.Array | None, # (MO, 4*NPX//ss, Nb) or None (output domain)
+    bg_vec: jax.Array,      # (4*NPX//ss, 1)
     *,
     npx: int,
     tile_w: int,
@@ -468,23 +496,30 @@ def composite_bucket_pallas(
     add_backdrop: bool = False,
     interpret: bool = False,
     variant: str = "rows",
+    ss: int = 1,
 ) -> jax.Array:
-    """One bucket's painter scan fused in one kernel -> fb_t (4*NPX, Nb)."""
+    """One bucket's painter scan fused in one kernel -> fb_t (4*NPX//ss, Nb).
+
+    ss > 1 requires the row-structured variant (the flat kernel has no
+    sub-row grouping)."""
     mo, _, nb = ew_t.shape
     bt = _block_tiles(nb)
     has_tex = flags[2]
     has_clip = flags[3]
+    if ss > 1 and variant != "rows":
+        raise ValueError("supersampled composite requires variant='rows'")
+    npx_out = npx // ss
     kern = _kernel_rows if variant == "rows" else _kernel
 
     in_specs = [
         pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, params_t.shape[1], bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4 * npx, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4 * npx_out, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     inputs = [ew_t, params_t, bg_vec]
     if has_tex:
         in_specs.append(
-            pl.BlockSpec((1, 4 * npx, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 4 * npx_out, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
         )
         inputs.append(ct_t)
     scratch = []
@@ -493,13 +528,14 @@ def composite_bucket_pallas(
             pltpu.VMEM((npx, bt), jnp.float32),
             pltpu.VMEM((npx, bt), jnp.float32),
         ]
+    kwargs = {"ss": ss} if variant == "rows" else {}
     return pl.pallas_call(
         functools.partial(kern, npx=npx, tile_w=tile_w, mo=mo, flags=flags,
-                          add_backdrop=add_backdrop),
-        out_shape=jax.ShapeDtypeStruct((4 * npx, nb), jnp.float32),
+                          add_backdrop=add_backdrop, **kwargs),
+        out_shape=jax.ShapeDtypeStruct((4 * npx_out, nb), jnp.float32),
         grid=(nb // bt, mo),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((4 * npx, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((4 * npx_out, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
@@ -507,7 +543,7 @@ def composite_bucket_pallas(
 
 
 def composite_bucketed_pallas_body(
-    entry_w,                # (NE, TH, TW)
+    entry_w,                # (NE, TH, TW)             TH = sub-row domain
     buckets_dev,            # tuple of (te_b, ids_b) device arrays
     bucket_params,          # tuple of params_t device arrays
     bucket_cts,             # tuple of ct_t device arrays or None
@@ -518,13 +554,15 @@ def composite_bucketed_pallas_body(
     num_tiles: int,
     bucket_flags: tuple,
     interpret: bool = False,
+    ss: int = 1,
 ):
-    """Full composite over all buckets -> (T+1, TH, TW, 4) tile-major
+    """Full composite over all buckets -> (T+1, TH//ss, TW, 4) tile-major
     framebuffer (same contract as ops/composite.composite_bucketed_body)."""
     npx = tile_h * tile_w
+    th_out = tile_h // ss
     ew_flat = entry_w.reshape(entry_w.shape[0], npx)
-    bg_vec = jnp.repeat(background.astype(jnp.float32), npx)[:, None]
-    fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
+    bg_vec = jnp.repeat(background.astype(jnp.float32), th_out * tile_w)[:, None]
+    fb = jnp.broadcast_to(background, (num_tiles + 1, th_out, tile_w, 4)).astype(jnp.float32)
     for (te_b, ids_b), pp, ct, flags in zip(buckets_dev, bucket_params, bucket_cts, bucket_flags):
         nb, mo = te_b.shape
         nbp = _pad_tiles(nb)
@@ -540,9 +578,10 @@ def composite_bucketed_pallas_body(
         fb_t = composite_bucket_pallas(
             ew_t, pp, ct, bg_vec,
             npx=npx, tile_w=tile_w, flags=tuple(flags), interpret=interpret,
+            ss=ss,
         )
-        # (4*NPX, Nb) -> (Nb, TH, TW, 4)
-        fb_b = jnp.transpose(fb_t.reshape(4, tile_h, tile_w, nb), (3, 1, 2, 0))
+        # (4*NPX_OUT, Nb) -> (Nb, TH_OUT, TW, 4)
+        fb_b = jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0))
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]
 
@@ -560,14 +599,17 @@ def frame_fb_pallas(
     num_tiles: int,
     bucket_flags: tuple,
     interpret: bool = False,
+    ss: int = 1,
 ):
     """Fully fused TPU frame composite: buckets gather straight from chunk
     coverage via host-precomputed primary-chunk indices; the per-entry
     backdrop is added inside the kernel from params rows.  The (NE, NPX)
-    entry_w array of the reference pipeline is never materialized."""
+    entry_w array of the reference pipeline is never materialized.
+    tile_h is the SUB-row domain when ss > 1; output tiles are tile_h//ss."""
     npx = tile_h * tile_w
-    bg_vec = jnp.repeat(background.astype(jnp.float32), npx)[:, None]
-    fb = jnp.broadcast_to(background, (num_tiles + 1, tile_h, tile_w, 4)).astype(jnp.float32)
+    th_out = tile_h // ss
+    bg_vec = jnp.repeat(background.astype(jnp.float32), th_out * tile_w)[:, None]
+    fb = jnp.broadcast_to(background, (num_tiles + 1, th_out, tile_w, 4)).astype(jnp.float32)
     for (te_b, ids_b), pteb, pp, ct, flags in zip(
         buckets_dev, bucket_pteb, bucket_params, bucket_cts, bucket_flags
     ):
@@ -581,8 +623,8 @@ def frame_fb_pallas(
         fb_t = composite_bucket_pallas(
             ew_t, pp, ct, bg_vec,
             npx=npx, tile_w=tile_w, flags=tuple(flags), add_backdrop=True,
-            interpret=interpret,
+            interpret=interpret, ss=ss,
         )
-        fb_b = jnp.transpose(fb_t.reshape(4, tile_h, tile_w, nb), (3, 1, 2, 0))
+        fb_b = jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0))
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]

@@ -22,17 +22,18 @@ from vgtpu.ops.coverage import entry_coverage_from_pools
 @functools.partial(
     jax.jit,
     static_argnames=("n_frames", "ntx", "num_tiles", "tile_h", "tile_w",
-                     "num_entries", "bucket_flags"),
+                     "num_entries", "bucket_flags", "ss"),
 )
 def chained_frames(
     chunk_pools, entry_backdrop, d, background,
     *, n_frames: int, ntx: int, num_tiles: int, tile_h: int, tile_w: int,
-    num_entries: int, bucket_flags=None,
+    num_entries: int, bucket_flags=None, ss: int = 1,
 ):
     from vgtpu.raster.frame import _frame_fn
 
     nty = num_tiles // ntx
-    width, height = ntx * tile_w, nty * tile_h
+    # tile_h counts SUB-rows when supersampling; the image is output-res
+    width, height = ntx * tile_w, nty * (tile_h // ss)
 
     def body(i, eps):
         pools = tuple((ce + eps, cent) for ce, cent in chunk_pools)
@@ -42,7 +43,7 @@ def chained_frames(
             pools, entry_backdrop, d, background + eps,
             num_entries=num_entries, ntx=ntx, nty=nty, tile_h=tile_h,
             tile_w=tile_w, width=width, height=height,
-            bucket_flags=bucket_flags,
+            bucket_flags=bucket_flags, ss=ss,
         )
         # fold EVERY pixel back into the next frame's inputs: a single-tile
         # probe lets XLA dead-code-eliminate buckets that tile does not touch
@@ -70,7 +71,7 @@ def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> f
         ntx=plan.ntx, num_tiles=plan.tile_entries.shape[0],
         tile_h=plan.tile_h, tile_w=plan.tile_w,
         num_entries=d["entry_backdrop"].shape[0],
-        bucket_flags=d["bucket_flags"],
+        bucket_flags=d["bucket_flags"], ss=plan.supersample,
     )
 
     def run(n):

@@ -31,7 +31,7 @@ def composite_dispatch(
         return composite_bucketed_pallas_body(
             entry_w, d["tile_buckets"], d["bucket_params"], d["bucket_cts"],
             background, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-            bucket_flags=bucket_flags,
+            bucket_flags=bucket_flags, ss=ss,
         )
     return composite_bucketed_body(
         entry_w, d["tile_buckets"],
@@ -74,7 +74,7 @@ def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
             cov_all, d["tile_buckets"], d["bucket_pteb"], d["bucket_params"],
             d["bucket_cts"], background,
             tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-            bucket_flags=bucket_flags,
+            bucket_flags=bucket_flags, ss=ss,
         )
     entry_cov = coverage_dispatch(chunk_pools, d, num_entries, tile_h, tile_w)
     entry_w = entry_cov + entry_backdrop[:, :, None]
@@ -211,7 +211,9 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
         if bucket_ctile is not None:
             from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
 
-            th, tw = plan.tile_h, plan.tile_w
+            # color tiles live on the OUTPUT domain (tile_h counts sub-rows
+            # when supersampling)
+            th, tw = plan.tile_h // plan.supersample, plan.tile_w
             ct_dev = d["color_tiles"]
             ct_flat = _ct_flat(ct_dev, th, tw)
             d["bucket_cts"] = tuple(
@@ -325,12 +327,6 @@ def _coverage_composite_aux_host(plan: FramePlan):
     if plan.pop is not None:
         pop_host = {"pop": plan.pop, "entry_pop": plan.entry_pop,
                     "entry_tile": plan.entry_tile}
-    if plan.supersample > 1:
-        # supersampled frames take the XLA composite (the Pallas kernel's
-        # VMEM/layout budget assumes one sub-row per row); the coverage
-        # gather map still applies
-        m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
-        return {"cov_map": m, **pop_host}, None
     from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
