@@ -589,3 +589,32 @@ def test_ops_memo_same_state_resubmit():
     vg.popState(ctx)
     dim = np.asarray(vg.end(ctx, background=bg))
     assert dim[40, 100, 0] < img0[40, 100, 0] - 0.05
+
+
+def test_save_before_first_submit_and_attr_probes(tmp_path):
+    """Regression: a Cacheable list saved BEFORE its first submit (no cache
+    built yet) must serialize cleanly — the record-through __getattr__ used
+    to intercept cl_save's getattr(cl, "cache_concat", None) probe and leak
+    an unpicklable recorder closure into the snapshot.  Attribute probes for
+    non-API names must also raise instead of recording."""
+    ctx = make_ctx()
+    cl = record_square(ctx, flags=vg.CommandListFlags.Cacheable)
+    path = str(tmp_path / "fresh.vgcl")
+    assert vg.saveCommandList(ctx, cl, path)
+
+    ctx2 = make_ctx()
+    cl2 = vg.loadCommandList(ctx2, path)
+    vg.submitCommandList(ctx2, cl2)
+    vg.end(ctx2, background=(0, 0, 0, 0))
+    img = np.asarray(ctx2.frame_image)
+    assert img[20, 20, 3] == 1.0
+
+    clobj = ctx.command_lists[cl.idx]
+    assert not hasattr(clobj, "cache_concatt")        # typo'd probe raises
+    n = len(clobj.commands)
+    try:
+        clobj.fillPth  # noqa: B018 — typo'd mutator must not record
+        raise AssertionError("expected AttributeError")
+    except AttributeError:
+        pass
+    assert len(clobj.commands) == n

@@ -158,7 +158,7 @@ def test_frame_fb_pallas_fused_supersample_parity():
     averaging) vs the XLA ss composite."""
     import jax.numpy as jnp
 
-    from vgtpu.ops.composite_pallas import _pad_tiles, frame_fb_pallas
+    from vgtpu.ops.composite_pallas import build_bucket_pteb, frame_fb_pallas
     from vgtpu.ops.coverage import build_cov_gather_map, cov_all_resolved
     from vgtpu.raster.binning import bin_frame
     from vgtpu.raster.frame import plan_to_device
@@ -195,13 +195,7 @@ def test_frame_fb_pallas_fused_supersample_parity():
     params, cts, ptebs = [], [], []
     for te_b, _ids, flags in plan.tile_buckets:
         pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
-        nbp = _pad_tiles(te_b.shape[0])
-        te_p = te_b
-        if nbp != te_b.shape[0]:
-            te_p = np.concatenate(
-                [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
-        ptebs.append(jnp.asarray(
-            np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)], dead_id).astype(np.int32)))
+        ptebs.append(jnp.asarray(build_bucket_pteb(te_b, m["primary"], dead_id)))
         params.append(jnp.asarray(pp))
         cts.append(jnp.asarray(ct) if ct is not None else None)
     fb_fused = frame_fb_pallas(
@@ -261,7 +255,7 @@ def test_frame_fb_pallas_fused_parity():
     entry_w materialization) must match the XLA frame pixel-for-pixel."""
     import jax.numpy as jnp
 
-    from vgtpu.ops.composite_pallas import _pad_tiles, frame_fb_pallas
+    from vgtpu.ops.composite_pallas import build_bucket_pteb, frame_fb_pallas
     from vgtpu.ops.coverage import build_cov_gather_map, cov_all_resolved
     from vgtpu.raster.binning import bin_frame
     from vgtpu.raster.frame import plan_to_device
@@ -296,13 +290,7 @@ def test_frame_fb_pallas_fused_parity():
     params, cts, ptebs = [], [], []
     for te_b, _ids, flags in plan.tile_buckets:
         pp, ct = build_bucket_aux(plan, te_b, need_ct=bool(flags[2]))
-        nbp = _pad_tiles(te_b.shape[0])
-        te_p = te_b
-        if nbp != te_b.shape[0]:
-            te_p = np.concatenate(
-                [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
-        ptebs.append(jnp.asarray(
-            np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)], dead_id).astype(np.int32)))
+        ptebs.append(jnp.asarray(build_bucket_pteb(te_b, m["primary"], dead_id)))
         params.append(jnp.asarray(pp))
         cts.append(jnp.asarray(ct) if ct is not None else None)
     fb_fused = frame_fb_pallas(

@@ -56,4 +56,28 @@ from vgtpu.api.context import (  # noqa: F401 (explicit for IDEs)
 from vgtpu.api.standalone import *  # noqa: F401,F403  (path.h/stroker.h seam)
 from vgtpu.api.standalone import Mesh, Stroker, SubPath  # noqa: F401
 
+
+def debugPrintf(fmt: str, *args) -> None:
+    """vg.h VG_TRACE analogue (vg.h:50-56): formatted diagnostic print.
+
+    The reference compiles this to bx::debugPrintf only when VG_CONFIG_DEBUG;
+    here it is gated by the VGTPU_DEBUG environment variable."""
+    import os as _os
+    import sys as _sys
+
+    if _os.environ.get("VGTPU_DEBUG"):
+        print("vg " + (fmt % args if args else fmt), file=_sys.stderr)
+
+
+def debugBreak() -> None:
+    """vg.h VG_CHECK's bx::debugBreak analogue (vg.h:62-68): drop into the
+    debugger when VGTPU_DEBUG is set, else no-op."""
+    import os as _os
+
+    if _os.environ.get("VGTPU_DEBUG"):
+        import pdb
+
+        pdb.set_trace()
+
+
 __version__ = "0.1.0"

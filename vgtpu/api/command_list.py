@@ -83,6 +83,9 @@ class CommandList:
     cache_dpr: float = -1.0
     cache_inv_base: np.ndarray | None = None
     cache_slots: dict[int, list] = field(default_factory=dict)  # cmd idx -> [(edges_local, closed_meta)]
+    # batched-replay cache: every cached edge concatenated + per-slot spans
+    cache_concat: np.ndarray | None = None
+    cache_spans: dict[int, list] | None = None
 
     def _rec(self, name, *args, **kwargs):
         self.commands.append((name, args, kwargs))
@@ -90,8 +93,18 @@ class CommandList:
 
     # -- recording surface (mirrors Context's mutator API) ------------------
     def __getattr__(self, name):
-        # only called for missing attributes: record-through for mutators
-        if name.startswith("_"):
+        # only called for missing attributes: record-through for mutators.
+        # Restricted to names that exist on Context — a catch-all would also
+        # swallow getattr/hasattr probes for genuinely absent attributes
+        # (returning a recorder closure where e.g. cl_save expected None) and
+        # would silently record typo'd calls instead of raising.
+        from vgtpu.api.context import Context
+
+        # submitCommandList is a free function (nested submit records here)
+        if name.startswith("_") or (
+            name != "submitCommandList"
+            and not callable(getattr(Context, name, None))
+        ):
             raise AttributeError(name)
 
         def rec(*args, **kwargs):
@@ -133,6 +146,8 @@ class CommandList:
         self.n_local_patterns = 0
         self.cache_valid = False
         self.cache_slots.clear()
+        self.cache_concat = None
+        self.cache_spans = None
 
 
 # ---------------------------------------------------------------------------
@@ -202,8 +217,8 @@ def cl_save(ctx, handle, path: str) -> bool:
         "cache_avg_scale": cl.cache_avg_scale,
         "cache_dpr": cl.cache_dpr,
         "cache_slots": cl.cache_slots,
-        "cache_concat": getattr(cl, "cache_concat", None),
-        "cache_spans": getattr(cl, "cache_spans", None),
+        "cache_concat": cl.cache_concat,
+        "cache_spans": cl.cache_spans,
     }
     with open(path, "wb") as f:
         pickle.dump(snap, f)
@@ -310,7 +325,7 @@ def cl_submit(ctx, handle):
             # pre-submit op, or the captured segment would be incomplete
             ctx._block_merge_once = True
         cache_fb = None
-        if use_cache and getattr(cl, "cache_concat", None) is not None:
+        if use_cache and cl.cache_concat is not None:
             # ONE batched transform of every cached edge for this submit (the
             # rebase matrix is submit-constant); per-draw replay then slices.
             # The reference's analogue is batchTransformPositions over the
@@ -538,7 +553,7 @@ def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,
     sciss = ctx._op_scissor()
     # cached edges are the final stroked outline, so only the AA fringe pads
     pad = ctx.fringe * ctx.dpr if culling else 0.0
-    spans = getattr(cl, "cache_spans", {}).get(ci) if cache_fb is not None else None
+    spans = (cl.cache_spans or {}).get(ci) if cache_fb is not None else None
     render_base = None
     if spans is None:
         render_base = core.xform_multiply(

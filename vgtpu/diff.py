@@ -67,3 +67,21 @@ def polygon_edges(pts: jax.Array) -> jax.Array:
     """(N,2) closed polygon -> (N,4) differentiable edge array."""
     nxt = jnp.roll(pts, -1, axis=0)
     return jnp.concatenate([pts, nxt], axis=1)
+
+
+def cubic_edges(ctrl: jax.Array, samples: int = 16) -> jax.Array:
+    """Differentiable cubic-Bezier flattening: (..., 4, 2) control points ->
+    (..., samples, 4) edge segments at uniform parameter steps.
+
+    The production flattener (geometry/path.py, Wang-count subdivision) runs
+    in numpy on the host; this fixed-count sampler is its differentiable twin
+    for optimization loops — gradients flow from pixels through render_edges
+    back to the control points.  Leading batch axes broadcast, so a whole
+    path of S cubics is `cubic_edges(ctrl_S42).reshape(-1, 4)`.
+    """
+    t = jnp.linspace(0.0, 1.0, samples + 1)                    # (K+1,)
+    u = 1.0 - t
+    # Bernstein basis (K+1, 4)
+    basis = jnp.stack([u ** 3, 3 * u ** 2 * t, 3 * u * t ** 2, t ** 3], axis=1)
+    pts = jnp.einsum("kc,...cd->...kd", basis, ctrl)           # (..., K+1, 2)
+    return jnp.concatenate([pts[..., :-1, :], pts[..., 1:, :]], axis=-1)

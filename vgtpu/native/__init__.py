@@ -43,16 +43,9 @@ def pathrec():
         import sysconfig
 
         inc = sysconfig.get_paths().get("include")
-        try:
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-I", inc, src,
-                 "-o", _REC_LIB],
-                check=True, capture_output=True, timeout=120,
-            )
-            return True
-        except Exception as e:  # noqa: BLE001
-            print(f"[vgtpu.native] pathrec build failed: {e}", file=sys.stderr)
-            return False
+        return _compile_atomic(
+            ["g++", "-O2", "-shared", "-fPIC", "-I", inc],
+            src, _REC_LIB, "pathrec")
 
     def load():
         import importlib.util
@@ -113,20 +106,34 @@ class _StrokeResult(ctypes.Structure):
     ]
 
 
+def _compile_atomic(cmd_prefix: list, src: str, out: str, label: str) -> bool:
+    """Compile to a process-unique temp file then os.replace into place:
+    concurrent first-use processes (e.g. a self-provisioned virtual mesh)
+    must never load a half-written artifact or clobber each other."""
+    tmp = f"{out}.tmp.{os.getpid()}"
+    try:
+        subprocess.run(
+            cmd_prefix + [src, "-o", tmp],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, out)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"[vgtpu.native] {label} build failed: {e}", file=sys.stderr)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return False
+
+
 def _build() -> bool:
     src = os.path.abspath(_SRC)
     if not os.path.exists(src):
         return False
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             src, "-o", _LIB],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except Exception as e:  # noqa: BLE001
-        print(f"[vgtpu.native] build failed: {e}", file=sys.stderr)
-        return False
+    return _compile_atomic(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"],
+        src, _LIB, "libvgnative")
 
 
 def get_lib():

@@ -148,6 +148,22 @@ def ct_t_from_color_tiles(ct_flat: jax.Array, ctile_ids: jax.Array) -> jax.Array
     return jnp.transpose(ct_flat[ctile_ids], (1, 2, 0))
 
 
+def build_bucket_pteb(te_b: np.ndarray, primary: np.ndarray,
+                      dead_id: int) -> np.ndarray:
+    """(Nb, MO) bucket entry table -> (NbP, MO) primary-chunk ids for the
+    fused chunk-gather composite: rows pad to _pad_tiles, invalid slots point
+    at the all-zero dead chunk.  The single definition used by the production
+    upload (raster/frame.py) AND the parity tests — the mapping must not
+    drift between them."""
+    nbp = _pad_tiles(te_b.shape[0])
+    te_p = te_b
+    if nbp != te_b.shape[0]:
+        te_p = np.concatenate(
+            [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
+    return np.where(te_p >= 0, primary[np.maximum(te_p, 0)],
+                    dead_id).astype(np.int32)
+
+
 def _pad_tiles(nb: int) -> int:
     """Lane-axis padding: Mosaic lane blocks must be 128-multiples or the
     full axis.  Buckets over 128 tiles pad to the next 128-multiple so blocks

@@ -327,7 +327,11 @@ def _coverage_composite_aux_host(plan: FramePlan):
     if plan.pop is not None:
         pop_host = {"pop": plan.pop, "entry_pop": plan.entry_pop,
                     "entry_tile": plan.entry_tile}
-    from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_aux
+    from vgtpu.ops.composite_pallas import (
+        _pad_tiles,
+        build_bucket_aux,
+        build_bucket_pteb,
+    )
 
     m = build_cov_gather_map(plan.chunk_pools, plan.entry_backdrop.shape[0])
     nct = plan.color_tiles.shape[0]
@@ -338,14 +342,13 @@ def _coverage_composite_aux_host(plan: FramePlan):
             # no compact tables (numpy binner): params build on host
             pp, _unused = build_bucket_aux(plan, te_b, need_ct=False)
             params.append(pp)
-        nbp = _pad_tiles(te_b.shape[0])
-        te_p = te_b
-        if nbp != te_b.shape[0]:
-            te_p = np.concatenate(
-                [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
-        pteb = np.where(te_p >= 0, m["primary"][np.maximum(te_p, 0)],
-                        dead_id).astype(np.int32)
+        pteb = build_bucket_pteb(te_b, m["primary"], dead_id)
         if flags[2]:
+            nbp = _pad_tiles(te_b.shape[0])
+            te_p = te_b
+            if nbp != te_b.shape[0]:
+                te_p = np.concatenate(
+                    [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1, te_b.dtype)])
             ctile = np.where(
                 te_p >= 0, plan.entry_color_tile[np.maximum(te_p, 0)], -1)
             ctiles.append(np.where(ctile >= 0, ctile, nct).astype(np.int32))
