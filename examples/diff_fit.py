@@ -53,27 +53,32 @@ def render_target() -> np.ndarray:
     return np.asarray(img)
 
 
+_ANG = np.linspace(0, 2 * np.pi, N_VERTS, endpoint=False)
+_RING = jnp.asarray(np.stack([np.cos(_ANG), np.sin(_ANG)], axis=1),
+                    jnp.float32)                                 # (V, 2)
+
+
 def init_params(rng):
-    ang = np.linspace(0, 2 * np.pi, N_VERTS, endpoint=False)
-    ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)          # (V, 2)
-    centers = rng.uniform(15, 80, (N_SHAPES, 1, 2))
-    radii = rng.uniform(8, 22, (N_SHAPES, 1, 1))
-    pts = centers + radii * ring[None]                           # (S, V, 2)
-    colors = rng.uniform(0.2, 0.8, (N_SHAPES, 4))
-    colors[:, 3] = 0.55
-    return {"pts": jnp.asarray(pts, jnp.float32),
-            "colors": jnp.asarray(colors, jnp.float32)}
+    # star-shaped parameterization (center + per-vertex log-radius): vertices
+    # cannot cross, so polygons stay simple no matter how far the fit moves
+    return {"centers": jnp.asarray(rng.uniform(15, 80, (N_SHAPES, 2)), jnp.float32),
+            "log_r": jnp.full((N_SHAPES, N_VERTS),
+                              np.log(14.0), jnp.float32),
+            "colors": jnp.asarray(rng.uniform(0.2, 0.8, (N_SHAPES, 4)),
+                                  jnp.float32).at[:, 3].set(0.6)}
 
 
 def render_params(params):
-    edges = jax.vmap(polygon_edges)(params["pts"]).reshape(-1, 4)
+    pts = (params["centers"][:, None, :]
+           + jnp.exp(params["log_r"])[:, :, None] * _RING[None])  # (S, V, 2)
+    edges = jax.vmap(polygon_edges)(pts).reshape(-1, 4)
     shape_ids = jnp.repeat(jnp.arange(N_SHAPES), N_VERTS)
     colors = jnp.clip(params["colors"], 0.0, 1.0)
     return render_edges(edges, colors, shape_ids, W, H,
                         background=jnp.array([0.08, 0.08, 0.1, 1.0]))
 
 
-def main(out_path: str = "/tmp/vgtpu_diff_fit.png", steps: int = 400) -> float:
+def main(out_path: str = "/tmp/vgtpu_diff_fit.png", steps: int = 600) -> float:
     target = jnp.asarray(render_target())
     params = init_params(np.random.default_rng(7))
     initial = np.asarray(render_params(params))
@@ -82,14 +87,17 @@ def main(out_path: str = "/tmp/vgtpu_diff_fit.png", steps: int = 400) -> float:
     def loss_fn(p):
         return jnp.mean((render_params(p) - target) ** 2)
 
-    opt = optax.adam(0.8)
-    # colors move on a gentler schedule than geometry
+    # per-leaf learning rates: centers move in pixels, radii in log-space,
+    # colors in [0,1] units
+    opt = optax.multi_transform(
+        {"centers": optax.adam(0.6), "log_r": optax.adam(0.03),
+         "colors": optax.adam(0.02)},
+        {"centers": "centers", "log_r": "log_r", "colors": "colors"})
     opt_state = opt.init(params)
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
     loss0 = float(loss_fn(params))
     for i in range(steps):
         val, g = grad_fn(params)
-        g["colors"] = g["colors"] * 50.0
         updates, opt_state = opt.update(g, opt_state)
         params = optax.apply_updates(params, updates)
         if i % 100 == 0:
