@@ -97,6 +97,28 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         rd.append((time.perf_counter() - td0) * 1e3)
     redraw_ms = sorted(rd)[len(rd) // 2]
 
+    # paint-only animation (color/alpha values change, geometry does not):
+    # the paint_memo patch path — record + fingerprint + ~KB paint upload +
+    # dispatch, no bin/sample/upload (context._paint_only_update)
+    def frame_with_overlay(k):
+        vg.begin(ctx, 0, 1920, 1080, 1.0)
+        draw_benchmark_frame(ctx, 0.0)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 1800, 1000, 60, 40)
+        vg.fillPath(ctx, vg.color4ub(50 + 17 * k, 120, 200, 180),
+                    vg.FillFlags.ConvexAA)
+        sync(vg.end(ctx, background=bg))
+
+    frame_with_overlay(0)  # geometry now includes the overlay: full bin once
+    paint_hits0 = ctx.profiler.counters.get("memo_paint_hits", 0)
+    an = []
+    for k in range(1, 6):
+        ta0 = time.perf_counter()
+        frame_with_overlay(k)
+        an.append((time.perf_counter() - ta0) * 1e3)
+    anim_ms = sorted(an)[len(an) // 2]
+    anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0
+
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
     # replay + incremental rebin do the heavy lifting
@@ -125,6 +147,8 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "frame_ms": frame_ms,
         "dynamic_ms": dynamic_ms,
         "redraw_ms": redraw_ms,
+        "anim_ms": anim_ms,
+        "anim_paint_hits": anim_hits,
         "app_ms": app_ms,
         "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
@@ -146,6 +170,7 @@ def main() -> None:
     print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
           f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
           f"redraw={r['redraw_ms']:.1f} ms  "
+          f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"host_spin={r['host_spin_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)

@@ -1,0 +1,221 @@
+"""Paint-only frame memoization (ContextConfig.paint_memo).
+
+When an app re-records a geometry-identical frame where only solid/gradient
+paint VALUES changed (color/alpha animation — fades, hover highlights,
+pulsing), the engine patches the resident plan's paint tables instead of
+re-binning and re-uploading (context._paint_only_update).  The patched frame
+must be pixel-identical to a from-scratch render, and the one plan-shaping
+use of paint values — occlusion culling of solid alpha>=1 covers
+(binning.compute_tile_buckets) — must force the full path whenever the
+opacity class of a changed row flips.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import vgtpu as vg
+
+W, H = 320, 160
+
+_FONT_CANDIDATES = [
+    Path("/root/.cache/uv/archive-v0/bkR2mW-tl5zRXjZ0kWF47/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf"),
+]
+FONT_DATA = next((p.read_bytes() for p in _FONT_CANDIDATES if p.exists()), None)
+
+BG = (0.1, 0.1, 0.12, 1.0)
+
+
+def draw_scene(ctx, font, *, rect_col, circ_col, grad=((250, 60, 40, 255), (40, 60, 250, 255)),
+               grad_geo=(20.0, 20.0, 200.0, 90.0), alpha=1.0, text_col=(255, 255, 255, 255),
+               stroke_col=(20, 220, 120, 255)):
+    vg.setGlobalAlpha(ctx, alpha)
+    g = vg.createLinearGradient(ctx, *grad_geo,
+                                vg.color4ub(*grad[0]), vg.color4ub(*grad[1]))
+    vg.beginPath(ctx)
+    vg.roundedRect(ctx, 15, 15, 120, 80, 12)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 200, 60, 38)
+    vg.fillPath(ctx, vg.color4ub(*circ_col), vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 170, 30, 110, 70)
+    vg.fillPath(ctx, vg.color4ub(*rect_col), vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 20, 140)
+    vg.cubicTo(ctx, 90, 100, 180, 150, 300, 115)
+    vg.strokePath(ctx, vg.color4ub(*stroke_col), 4.0, vg.StrokeFlags.RoundRoundAA)
+    if font is not None and text_col is not None:
+        cfg = vg.makeTextConfig(ctx, "sans", 20.0,
+                                vg.TextAlign.Left | vg.TextAlign.Top,
+                                vg.color4ub(*text_col))
+        vg.text(ctx, cfg, 30, 110, "paint memo")
+
+
+def fresh_render(**kw):
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    font = (vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+            if FONT_DATA is not None else None)
+    draw_scene(ctx, font, **kw)
+    vg.end(ctx, background=BG)
+    return np.asarray(ctx.frame_image)
+
+
+def animated_ctx():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    font = (vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+            if FONT_DATA is not None else None)
+    return ctx, font
+
+
+def rerecord(ctx, font, **kw):
+    draw_scene(ctx, font, **kw)
+    vg.end(ctx, background=BG)
+    img = np.asarray(ctx.frame_image)
+    vg.begin(ctx, 0, W, H, 1.0)
+    return img
+
+
+BASE = dict(rect_col=(90, 140, 220, 160), circ_col=(250, 210, 60, 255))
+
+
+def test_solid_recolor_takes_fast_path_and_matches():
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    kw = dict(BASE, rect_col=(220, 70, 50, 160))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_gradient_value_and_geometry_change_take_fast_path():
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    kw = dict(BASE, grad=((30, 230, 90, 255), (240, 240, 40, 200)),
+              grad_geo=(40.0, 10.0, 120.0, 140.0))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_global_alpha_fade_takes_fast_path():
+    """A global fade resolves into every solid/gradient row (vg.cpp:3070
+    alpha modulation happens at record time here too) — geometry fingerprint
+    is unchanged, so the whole fade animates on the patch path.  (Text-free
+    scene: text color is modulated too, and textured rows are structural —
+    a faded TEXT op correctly forces the full path.)"""
+    ctx, _font = animated_ctx()
+    base = dict(BASE, alpha=0.9, text_col=None,
+                circ_col=(250, 210, 60, 230))
+    rerecord(ctx, None, **base)
+    hits = 0
+    for a in (0.75, 0.6, 0.45):
+        kw = dict(base, alpha=a)
+        got = rerecord(ctx, None, **kw)
+        hits += 1
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits
+        np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_opacity_class_flip_falls_back_and_uncovers():
+    """The opaque rect occludes part of the circle (occlusion culling may
+    have dropped the covered entries); making it translucent must NOT take
+    the patch path — the circle has to show through again."""
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, rect_col=(90, 140, 220, 255), circ_col=(250, 210, 60, 255))
+    kw = dict(rect_col=(90, 140, 220, 120), circ_col=(250, 210, 60, 255))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 0
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_opaque_to_opaque_recolor_of_cover_is_fast():
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, rect_col=(90, 140, 220, 255), circ_col=(250, 210, 60, 255))
+    kw = dict(rect_col=(20, 200, 180, 255), circ_col=(250, 210, 60, 255))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+@pytest.mark.skipif(FONT_DATA is None, reason="no font available")
+def test_text_recolor_takes_full_path_and_matches():
+    """Text color modulates the color tiles in the TEXTURES stage
+    (raster/sampling.py paint[10:14]), so it must not be patched."""
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    kw = dict(BASE, text_col=(255, 120, 40, 255))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 0
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_paint_memo_disabled_still_matches():
+    ctx = vg.createContext(vg.ContextConfig(paint_memo=False))
+    vg.begin(ctx, 0, W, H, 1.0)
+    font = (vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+            if FONT_DATA is not None else None)
+    rerecord(ctx, font, **BASE)
+    kw = dict(BASE, rect_col=(220, 70, 50, 160))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 0
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_supersample_recolor_fast_path():
+    cfg = vg.ContextConfig(coverage_supersample=4)
+    ctx = vg.createContext(cfg)
+    vg.begin(ctx, 0, W, H, 1.0)
+    font = None
+    kw0 = dict(BASE)
+    draw_scene(ctx, font, **kw0)
+    vg.end(ctx, background=BG)
+    vg.begin(ctx, 0, W, H, 1.0)
+    kw = dict(BASE, rect_col=(250, 40, 160, 200), stroke_col=(240, 240, 40, 255))
+    draw_scene(ctx, font, **kw)
+    vg.end(ctx, background=BG)
+    got = np.asarray(ctx.frame_image)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+
+    ctx2 = vg.createContext(vg.ContextConfig(coverage_supersample=4))
+    vg.begin(ctx2, 0, W, H, 1.0)
+    draw_scene(ctx2, None, **kw)
+    vg.end(ctx2, background=BG)
+    np.testing.assert_allclose(got, np.asarray(ctx2.frame_image), atol=2e-5)
+
+
+def test_fuzz_random_recolors_match_fresh_renders():
+    """A long animation of random solid+gradient value mutations: every
+    patched frame equals a from-scratch render of the same content."""
+    rng = np.random.default_rng(5)
+
+    def kwargs(step):
+        return dict(
+            rect_col=tuple(int(v) for v in rng.integers(0, 256, 3)) + (160,),
+            circ_col=tuple(int(v) for v in rng.integers(0, 256, 4)),
+            grad=(tuple(int(v) for v in rng.integers(0, 256, 4)),
+                  tuple(int(v) for v in rng.integers(0, 256, 4))),
+            grad_geo=(float(rng.uniform(0, 60)), float(rng.uniform(0, 40)),
+                      float(rng.uniform(100, 250)), float(rng.uniform(60, 150))),
+            # alpha stays 1.0: a global-alpha change modulates the TEXT row
+            # too, which is structural (test_global_alpha_fade covers the
+            # text-free fade)
+            stroke_col=tuple(int(v) for v in rng.integers(0, 256, 4)),
+        )
+
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    for step in range(6):
+        kw = kwargs(step)
+        got = rerecord(ctx, font, **kw)
+        np.testing.assert_allclose(
+            got, fresh_render(**kw), atol=2e-5,
+            err_msg=f"fuzz step {step} diverged")
+    # the rect alpha stays at 160 and every other alpha stays < 255
+    # opaque-flip-free -> all six frames should have taken the fast path
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) >= 4

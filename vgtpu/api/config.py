@@ -44,6 +44,12 @@ class ContextConfig:
                                            # matmuls); False = host numpy sampler
     frame_memo: bool = True                # re-recorded identical frames reuse the
                                            # resident device plan (skip bin/sample/upload)
+    paint_memo: bool = True                # re-recorded frames whose ONLY delta is
+                                           # solid/gradient paint values patch the
+                                           # resident plan's paint tables (skip
+                                           # finalize/bin/sample, upload ~KBs) —
+                                           # color/alpha animation at memo-hit cost.
+                                           # Requires frame_memo.
     incremental_bin: bool = True           # per-op bin-piece cache: re-recorded frames
                                            # re-bin only ops whose content changed
                                            # (raster/binning.bin_frame_incremental)

@@ -290,9 +290,10 @@ class Context:
             # before geometry finalization: memo hits skip the native
             # bake/stroke call too (deferred recipes fingerprint by content)
             fp = self._frame_fingerprint() if self.cfg.frame_memo else None
+        last_fp = getattr(self, "_last_frame_fp", None)
         if (
             fp is not None
-            and fp == getattr(self, "_last_frame_fp", None)
+            and fp == last_fp
             and self.last_device_arrays is not None
         ):
             with prof.stage("device_dispatch"):
@@ -303,6 +304,27 @@ class Context:
             prof.count("memo_hits", 1)
             prof.frame_done()
             return self.frame_image
+        if (
+            fp is not None
+            and last_fp is not None
+            and fp[0] == last_fp[0]
+            and self.cfg.paint_memo
+            and self.last_device_arrays is not None
+        ):
+            # geometry-identical frame, only solid/gradient paint values
+            # changed: patch the resident paint tables instead of rebinning
+            with prof.stage("paint_patch"):
+                patched = self._paint_only_update(last_fp[1], fp[1])
+            if patched:
+                self._last_frame_fp = fp
+                with prof.stage("device_dispatch"):
+                    self.frame_image = execute_plan(
+                        self.last_plan, background=self.background,
+                        device_arrays=self.last_device_arrays,
+                    )
+                prof.count("memo_paint_hits", 1)
+                prof.frame_done()
+                return self.frame_image
         with prof.stage("finalize"):
             self._finalize_ops()
         with prof.stage("bin"):
@@ -370,7 +392,8 @@ class Context:
 
         parts = [self.fb_width, self.fb_height, self.cfg.coverage_supersample,
                  len(self.ops)]
-        for op in self.ops:
+        paint_sig = []
+        for i, op in enumerate(self.ops):
             if op.geom is not None:
                 g = tuple(
                     (mode, xf, w, cap, join, scale, snap_crc(s))
@@ -380,16 +403,133 @@ class Context:
                 g = tuple(crc(e) for e in op.edges)
             else:
                 g = crc(op.edges)
+            # solid/gradient draw paints are pure kernel-side values (their
+            # rows never shape the plan beyond the opacity class checked at
+            # patch time) — split them out so a paint-only frame delta can
+            # take the patch fast path (_paint_only_update) instead of a
+            # full rebin.  Texture/pattern/tri paints feed the TEXTURES
+            # stage (color tiles), so they stay in the structural hash.
+            pc = crc(op.paint)
+            if op.kind == K_DRAW and op.paint_kind in (P_SOLID, P_GRADIENT):
+                paint_sig.append((i, pc))
+                pc = None
             parts.append((
                 op.kind, op.fill_rule, op.aa, op.paint_kind, op.image_id,
-                op.scissor, g,
-                crc(op.tri_paints, crc(op.tex_quads, crc(op.paint))),
+                op.scissor, g, pc,
+                crc(op.tri_paints, crc(op.tex_quads)),
             ))
         parts.append(tuple(sorted(
             (idx, img.generation) for idx, img in self.images.items())))
         if self.font_system is not None:
             parts.append(self.font_system.atlas.revision)
-        return hash(tuple(parts))
+        return (hash(tuple(parts)), tuple(paint_sig))
+
+    def _paint_only_update(self, old_sig, new_sig) -> bool:
+        """Patch the resident plan for a paint-only frame delta.
+
+        Called when the structural fingerprint matched but some solid or
+        gradient paint rows changed (the color/alpha-animation pattern).
+        Those rows are consumed exclusively inside the composite kernel
+        (ops/composite.py lanes; the reference evaluates the same values in
+        fs_color_gradient.sc uniforms per draw), EXCEPT for one plan-shaping
+        use: occlusion culling treats solid alpha>=1 draws as covers
+        (binning.compute_tile_buckets solid_opaque).  The patch is therefore
+        only taken when every changed solid row keeps its opacity class;
+        otherwise the caller falls back to the full bin path.
+
+        On success the host plan tables and the resident device arrays are
+        updated in place (a ~KB upload instead of the full plan) and True is
+        returned.
+        """
+        plan = self.last_plan
+        d = self.last_device_arrays
+        if plan is None or d is None:
+            return False
+        if len(old_sig) != len(new_sig):
+            return False
+        changed = []
+        for (i0, c0), (i1, c1) in zip(old_sig, new_sig):
+            if i0 != i1:
+                return False
+            if c0 != c1:
+                changed.append(i0)
+        if not changed:
+            return False
+        has_pop = d.get("pop") is not None
+        if not has_pop and d.get("bucket_params") is not None:
+            # host-built bucket params (numpy binner on TPU): paint values
+            # are baked into arrays this patch does not rebuild
+            return False
+        if not has_pop and "entry_paint" not in d:
+            return False
+
+        from vgtpu.raster.binning import PAINT_NF
+
+        ops = self.ops
+        new_rows = np.stack(
+            [np.asarray(ops[i].paint, np.float32) for i in changed])
+
+        # pseudo-op ids: tri batches expand to one pseudo-op per triangle,
+        # everything else is 1:1 (binning.bin_frame orig_of) — changed ops
+        # are solid/gradient draws, never tri batches
+        pids = None
+        if plan.pop is not None:
+            counts = np.fromiter(
+                (len(op.tri_paints) if op.tri_paints is not None else 1
+                 for op in ops), np.int64, count=len(ops))
+            prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pids = prefix[changed]
+            old_rows = np.asarray(plan.pop["paint"])[pids]
+        else:
+            # numpy binner: recover old rows from the dense entry table via
+            # each op's first entry (ops with no entries never cover a tile,
+            # so their opacity class is unconstrained)
+            old_rows = new_rows.copy()
+            eo = plan.entry_op
+            op_ids, first_entry = np.unique(eo, return_index=True)
+            first_of = dict(zip(op_ids.tolist(), first_entry.tolist()))
+            for k, i in enumerate(changed):
+                e = first_of.get(i)
+                if e is not None:
+                    old_rows[k] = plan.entry_paint[e]
+
+        solid = np.fromiter(
+            (ops[i].paint_kind == P_SOLID for i in changed), bool,
+            count=len(changed))
+        if np.any(solid & ((old_rows[:, 13] >= 1.0)
+                           != (new_rows[:, 13] >= 1.0))):
+            return False
+
+        # ---- all checks passed: mutate host plan + device arrays ----
+        import jax
+
+        lut = np.zeros((len(ops), PAINT_NF), np.float32)
+        lut[changed] = new_rows
+        eo = plan.entry_op
+        mask = (eo >= 0)
+        chmask = np.zeros(len(ops), bool)
+        chmask[changed] = True
+        mask &= chmask[np.clip(eo, 0, len(ops) - 1)]
+        if mask.any():
+            plan.entry_paint[mask] = lut[eo[mask]]
+        if plan.pop is not None:
+            plan.pop["paint"][pids] = new_rows
+        if has_pop:
+            pop_dev = dict(d["pop"])
+            pop_dev["paint"] = jax.device_put(plan.pop["paint"])
+            d["pop"] = pop_dev
+            if (d.get("bucket_pteb") is not None
+                    and d.get("bucket_params") is not None):
+                from vgtpu.raster.frame import _expand_params_on_device
+
+                d["bucket_params"] = _expand_params_on_device(
+                    d["pop"], d["entry_pop"], d["entry_color_tile"],
+                    d["entry_tile"], d["entry_backdrop"],
+                    tuple(te for te, _ids in d["tile_buckets"]),
+                    tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx)
+        if "entry_paint" in d:
+            d["entry_paint"] = jax.device_put(plan.entry_paint)
+        return True
 
     def _fill_textures(self, plan) -> None:
         image_map = {
