@@ -99,7 +99,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
 
     # paint-only animation (color/alpha values change, geometry does not):
     # the paint_memo patch path — record + fingerprint + ~KB paint upload +
-    # dispatch, no bin/sample/upload (context._paint_only_update)
+    # dispatch, no bin/sample/upload (context._value_only_update)
     def frame_with_overlay(k):
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.0)

@@ -299,12 +299,15 @@ def test_frame_memoization():
     assert d[32, 56, 2] > 0.5                # bigger circle reaches x=56
     plan2 = ctx.last_plan
 
-    # texture update -> miss (generation in the fingerprint)
+    # texture update -> value patch (generation rides the texture
+    # signature): the resident plan is kept, color tiles are resampled
+    hits0 = ctx.profiler.counters.get("memo_paint_hits", 0)
     img9 = img8.copy(); img9[..., 1] = 255
     vg.updateImage(ctx, ctx._memo_img, 0, 0, 8, 8, img9)
     record(r=25.0)
     e = np.asarray(vg.end(ctx, background=(0, 0, 0, 1)))
-    assert ctx.last_plan is not plan2
+    assert ctx.last_plan is plan2
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits0 + 1
     assert e[10, 10, 1] > 0.8                # pattern now yellow-ish
 
     # memo off -> always rebinned

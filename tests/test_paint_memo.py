@@ -106,17 +106,16 @@ def test_gradient_value_and_geometry_change_take_fast_path():
 def test_global_alpha_fade_takes_fast_path():
     """A global fade resolves into every solid/gradient row (vg.cpp:3070
     alpha modulation happens at record time here too) — geometry fingerprint
-    is unchanged, so the whole fade animates on the patch path.  (Text-free
-    scene: text color is modulated too, and textured rows are structural —
-    a faded TEXT op correctly forces the full path.)"""
-    ctx, _font = animated_ctx()
-    base = dict(BASE, alpha=0.9, text_col=None,
-                circ_col=(250, 210, 60, 230))
-    rerecord(ctx, None, **base)
+    is unchanged, so the whole fade animates on the patch path.  With text
+    present the modulated text color is a texture-row value: it patches via
+    the resample path."""
+    ctx, font = animated_ctx()
+    base = dict(BASE, alpha=0.9, circ_col=(250, 210, 60, 230))
+    rerecord(ctx, font, **base)
     hits = 0
     for a in (0.75, 0.6, 0.45):
         kw = dict(base, alpha=a)
-        got = rerecord(ctx, None, **kw)
+        got = rerecord(ctx, font, **kw)
         hits += 1
         assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits
         np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
@@ -144,15 +143,139 @@ def test_opaque_to_opaque_recolor_of_cover_is_fast():
 
 
 @pytest.mark.skipif(FONT_DATA is None, reason="no font available")
-def test_text_recolor_takes_full_path_and_matches():
+def test_text_recolor_takes_fast_path_and_matches():
     """Text color modulates the color tiles in the TEXTURES stage
-    (raster/sampling.py paint[10:14]), so it must not be patched."""
+    (sampling paint[10:14]): the patch re-runs sampling against the
+    resident plan instead of re-binning."""
     ctx, font = animated_ctx()
     rerecord(ctx, font, **BASE)
     kw = dict(BASE, text_col=(255, 120, 40, 255))
     got = rerecord(ctx, font, **kw)
-    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 0
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
     np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def _pattern_scene(ctx, h, *, cx, cy, angle=0.0, rect_col=(90, 140, 220, 160)):
+    p = vg.createImagePattern(ctx, cx, cy, 96.0, 96.0, angle, h)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 10, 10, 220, 120)
+    vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 200, 30, 100, 100)
+    vg.fillPath(ctx, vg.color4ub(*rect_col), vg.FillFlags.ConvexAA)
+
+
+def _checker():
+    img = np.zeros((64, 64, 4), np.uint8)
+    yy, xx = np.mgrid[0:64, 0:64]
+    c = ((yy // 8 + xx // 8) % 2).astype(np.uint8)
+    img[..., 0] = 40 + 180 * c
+    img[..., 1] = 200 - 120 * c
+    img[..., 2] = 90 + 60 * c
+    img[..., 3] = 255
+    return img
+
+
+@pytest.mark.parametrize("device_sampling", [False, True])
+def test_pattern_pan_takes_fast_path(device_sampling):
+    """Animating the pattern's paint matrix (cx/cy pan — the reference feeds
+    the same inverse matrix as a per-draw uniform, vs_image_pattern.sc)
+    changes only the P_IMAGE paint row: the patch resamples color tiles
+    against the resident plan and skips bin/upload."""
+    img = _checker()
+
+    def frame(ctx, h, cx, cy, angle=0.0):
+        _pattern_scene(ctx, h, cx=cx, cy=cy, angle=angle)
+        vg.end(ctx, background=BG)
+        out = np.asarray(ctx.frame_image)
+        vg.begin(ctx, 0, W, H, 1.0)
+        return out
+
+    def fresh(cx, cy, angle=0.0):
+        c2 = vg.createContext(vg.ContextConfig(device_sampling=device_sampling))
+        vg.begin(c2, 0, W, H, 1.0)
+        h2 = vg.createImage(c2, 64, 64, 0, img)
+        _pattern_scene(c2, h2, cx=cx, cy=cy, angle=angle)
+        vg.end(c2, background=BG)
+        return np.asarray(c2.frame_image)
+
+    ctx = vg.createContext(vg.ContextConfig(device_sampling=device_sampling))
+    vg.begin(ctx, 0, W, H, 1.0)
+    h = vg.createImage(ctx, 64, 64, 0, img)
+    frame(ctx, h, 40.0, 20.0)
+    hits = 0
+    for cx, cy in ((52.0, 26.0), (64.0, 33.0), (17.0, 5.0)):
+        got = frame(ctx, h, cx, cy)
+        hits += 1
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits
+        np.testing.assert_allclose(got, fresh(cx, cy), atol=2e-5,
+                                   err_msg=f"pan ({cx},{cy})")
+    # rotation flips the separable/gather sampling-path choice per group —
+    # the resample rebuilds groups from scratch, so it must still match
+    got = frame(ctx, h, 40.0, 20.0, angle=0.4)
+    hits += 1
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits
+    np.testing.assert_allclose(got, fresh(40.0, 20.0, angle=0.4), atol=2e-5)
+
+
+@pytest.mark.parametrize("device_sampling", [False, True])
+def test_updateImage_takes_fast_path(device_sampling):
+    """The video-pattern case: updateImage + a geometry-identical re-record
+    patches the resident plan (texel content is consumed only by the
+    TEXTURES resample; the image generation rides the texture signature)."""
+    img = _checker()
+
+    def content(step):
+        out = img.copy()
+        out[:, :, 0] = (out[:, :, 0].astype(int) + 40 * step) % 256
+        return out
+
+    def fresh(step):
+        c2 = vg.createContext(vg.ContextConfig(device_sampling=device_sampling))
+        vg.begin(c2, 0, W, H, 1.0)
+        h2 = vg.createImage(c2, 64, 64, 0, content(step))
+        _pattern_scene(c2, h2, cx=40.0, cy=20.0)
+        vg.end(c2, background=BG)
+        return np.asarray(c2.frame_image)
+
+    ctx = vg.createContext(vg.ContextConfig(device_sampling=device_sampling))
+    vg.begin(ctx, 0, W, H, 1.0)
+    h = vg.createImage(ctx, 64, 64, 0, content(0))
+    _pattern_scene(ctx, h, cx=40.0, cy=20.0)
+    vg.end(ctx, background=BG)
+    for step in (1, 2):
+        vg.begin(ctx, 0, W, H, 1.0)
+        vg.updateImage(ctx, h, 0, 0, 64, 64, content(step))
+        _pattern_scene(ctx, h, cx=40.0, cy=20.0)
+        vg.end(ctx, background=BG)
+        got = np.asarray(ctx.frame_image)
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == step
+        np.testing.assert_allclose(got, fresh(step), atol=2e-5,
+                                   err_msg=f"updateImage step {step}")
+
+
+def test_pattern_and_solid_recolor_combined_fast_path():
+    """A frame delta touching BOTH kinds of value rows (solid recolor +
+    pattern pan) patches both in one pass."""
+    img = _checker()
+
+    ctx = vg.createContext(vg.ContextConfig(device_sampling=True))
+    vg.begin(ctx, 0, W, H, 1.0)
+    h = vg.createImage(ctx, 64, 64, 0, img)
+    _pattern_scene(ctx, h, cx=40.0, cy=20.0)
+    vg.end(ctx, background=BG)
+    vg.begin(ctx, 0, W, H, 1.0)
+    _pattern_scene(ctx, h, cx=55.0, cy=31.0, rect_col=(250, 60, 60, 200))
+    vg.end(ctx, background=BG)
+    got = np.asarray(ctx.frame_image)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+
+    c2 = vg.createContext(vg.ContextConfig(device_sampling=True))
+    vg.begin(c2, 0, W, H, 1.0)
+    h2 = vg.createImage(c2, 64, 64, 0, img)
+    _pattern_scene(c2, h2, cx=55.0, cy=31.0, rect_col=(250, 60, 60, 200))
+    vg.end(c2, background=BG)
+    np.testing.assert_allclose(got, np.asarray(c2.frame_image), atol=2e-5)
 
 
 def test_paint_memo_disabled_still_matches():
@@ -202,9 +325,7 @@ def test_fuzz_random_recolors_match_fresh_renders():
                   tuple(int(v) for v in rng.integers(0, 256, 4))),
             grad_geo=(float(rng.uniform(0, 60)), float(rng.uniform(0, 40)),
                       float(rng.uniform(100, 250)), float(rng.uniform(60, 150))),
-            # alpha stays 1.0: a global-alpha change modulates the TEXT row
-            # too, which is structural (test_global_alpha_fade covers the
-            # text-free fade)
+            text_col=tuple(int(v) for v in rng.integers(0, 256, 3)) + (255,),
             stroke_col=tuple(int(v) for v in rng.integers(0, 256, 4)),
         )
 

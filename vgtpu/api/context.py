@@ -49,6 +49,7 @@ from vgtpu.raster.binning import (
     P_GRADIENT,
     P_IMAGE,
     P_SOLID,
+    P_TEXTURE,
     P_TRI,
     RasterOp,
     bin_frame,
@@ -311,10 +312,10 @@ class Context:
             and self.cfg.paint_memo
             and self.last_device_arrays is not None
         ):
-            # geometry-identical frame, only solid/gradient paint values
-            # changed: patch the resident paint tables instead of rebinning
+            # geometry-identical frame, only paint values changed: patch the
+            # resident paint tables / color tiles instead of rebinning
             with prof.stage("paint_patch"):
-                patched = self._paint_only_update(last_fp[1], fp[1])
+                patched = self._value_only_update(last_fp, fp)
             if patched:
                 self._last_frame_fp = fp
                 with prof.stage("device_dispatch"):
@@ -393,6 +394,7 @@ class Context:
         parts = [self.fb_width, self.fb_height, self.cfg.coverage_supersample,
                  len(self.ops)]
         paint_sig = []
+        tex_sig = []
         for i, op in enumerate(self.ops):
             if op.geom is not None:
                 g = tuple(
@@ -403,57 +405,84 @@ class Context:
                 g = tuple(crc(e) for e in op.edges)
             else:
                 g = crc(op.edges)
-            # solid/gradient draw paints are pure kernel-side values (their
-            # rows never shape the plan beyond the opacity class checked at
-            # patch time) — split them out so a paint-only frame delta can
-            # take the patch fast path (_paint_only_update) instead of a
-            # full rebin.  Texture/pattern/tri paints feed the TEXTURES
-            # stage (color tiles), so they stay in the structural hash.
+            # paint VALUES are split out of the structural hash so a
+            # values-only frame delta can patch the resident plan
+            # (_value_only_update) instead of a full rebin:
+            #  - solid/gradient rows are pure kernel-side inputs (their one
+            #    plan-shaping use, the occlusion cover test, is checked at
+            #    patch time);
+            #  - texture/pattern rows feed the TEXTURES stage — patchable by
+            #    re-running sampling against the resident plan.  The image
+            #    CONTENT generation rides the same signature (updateImage +
+            #    re-record = the video-pattern case), since texel data is
+            #    likewise consumed only by the resample.
+            # Tri paints shape per-triangle pseudo-op rows at bin time, so
+            # they stay structural.
             pc = crc(op.paint)
             if op.kind == K_DRAW and op.paint_kind in (P_SOLID, P_GRADIENT):
                 paint_sig.append((i, pc))
+                pc = None
+            elif op.kind == K_DRAW and op.paint_kind in (P_IMAGE, P_TEXTURE):
+                img = self.images.get(op.image_id)
+                tex_sig.append((i, (pc, img.generation if img is not None else -1)))
                 pc = None
             parts.append((
                 op.kind, op.fill_rule, op.aa, op.paint_kind, op.image_id,
                 op.scissor, g, pc,
                 crc(op.tri_paints, crc(op.tex_quads)),
             ))
-        parts.append(tuple(sorted(
-            (idx, img.generation) for idx, img in self.images.items())))
+        # image ids are monotonic (never reused), and texel content is
+        # consumed only by the TEXTURES resample — generations of DRAWN
+        # images live in tex_sig (above); undrawn images cannot affect the
+        # frame, so the structural hash needs neither.
         if self.font_system is not None:
             parts.append(self.font_system.atlas.revision)
-        return (hash(tuple(parts)), tuple(paint_sig))
+        return (hash(tuple(parts)), tuple(paint_sig), tuple(tex_sig))
 
-    def _paint_only_update(self, old_sig, new_sig) -> bool:
-        """Patch the resident plan for a paint-only frame delta.
+    @staticmethod
+    def _sig_changed(old_sig, new_sig):
+        """Aligned per-op signature diff; None when structure diverges
+        (defensive — the structural hash matching should preclude it)."""
+        if len(old_sig) != len(new_sig):
+            return None
+        changed = []
+        for (i0, c0), (i1, c1) in zip(old_sig, new_sig):
+            if i0 != i1:
+                return None
+            if c0 != c1:
+                changed.append(i0)
+        return changed
 
-        Called when the structural fingerprint matched but some solid or
-        gradient paint rows changed (the color/alpha-animation pattern).
-        Those rows are consumed exclusively inside the composite kernel
-        (ops/composite.py lanes; the reference evaluates the same values in
-        fs_color_gradient.sc uniforms per draw), EXCEPT for one plan-shaping
-        use: occlusion culling treats solid alpha>=1 draws as covers
-        (binning.compute_tile_buckets solid_opaque).  The patch is therefore
-        only taken when every changed solid row keeps its opacity class;
-        otherwise the caller falls back to the full bin path.
+    def _value_only_update(self, old_fp, new_fp) -> bool:
+        """Patch the resident plan for a values-only frame delta.
+
+        Called when the structural fingerprint matched but paint VALUES
+        changed (the color/alpha/pattern-animation pattern):
+
+        - solid/gradient rows are consumed inside the composite kernel
+          (ops/composite.py lanes; the reference evaluates the same values
+          as fs_color_gradient.sc uniforms per draw), EXCEPT for one
+          plan-shaping use: occlusion culling treats solid alpha>=1 draws as
+          covers (binning.compute_tile_buckets solid_opaque).  The patch is
+          only taken when every changed solid row keeps its opacity class.
+        - texture/pattern rows (text color, pattern transform/tint) feed the
+          TEXTURES stage: the patch re-runs sampling against the resident
+          plan (device-resident textures; ~2 ms host prep) and swaps the
+          color tiles — still skipping finalize/bin/upload.
 
         On success the host plan tables and the resident device arrays are
-        updated in place (a ~KB upload instead of the full plan) and True is
-        returned.
+        updated in place and True is returned; any ineligibility falls back
+        to the full bin path.
         """
         plan = self.last_plan
         d = self.last_device_arrays
         if plan is None or d is None:
             return False
-        if len(old_sig) != len(new_sig):
+        changed_k = self._sig_changed(old_fp[1], new_fp[1])
+        changed_t = self._sig_changed(old_fp[2], new_fp[2])
+        if changed_k is None or changed_t is None:
             return False
-        changed = []
-        for (i0, c0), (i1, c1) in zip(old_sig, new_sig):
-            if i0 != i1:
-                return False
-            if c0 != c1:
-                changed.append(i0)
-        if not changed:
+        if not changed_k and not changed_t:
             return False
         has_pop = d.get("pop") is not None
         if not has_pop and d.get("bucket_params") is not None:
@@ -466,12 +495,13 @@ class Context:
         from vgtpu.raster.binning import PAINT_NF
 
         ops = self.ops
+        changed = changed_k + changed_t
         new_rows = np.stack(
             [np.asarray(ops[i].paint, np.float32) for i in changed])
 
         # pseudo-op ids: tri batches expand to one pseudo-op per triangle,
         # everything else is 1:1 (binning.bin_frame orig_of) — changed ops
-        # are solid/gradient draws, never tri batches
+        # are solid/gradient/texture draws, never tri batches
         pids = None
         if plan.pop is not None:
             counts = np.fromiter(
@@ -493,11 +523,12 @@ class Context:
                 if e is not None:
                     old_rows[k] = plan.entry_paint[e]
 
+        nk = len(changed_k)
         solid = np.fromiter(
-            (ops[i].paint_kind == P_SOLID for i in changed), bool,
-            count=len(changed))
-        if np.any(solid & ((old_rows[:, 13] >= 1.0)
-                           != (new_rows[:, 13] >= 1.0))):
+            (ops[i].paint_kind == P_SOLID for i in changed_k), bool,
+            count=nk)
+        if nk and np.any(solid & ((old_rows[:nk, 13] >= 1.0)
+                                  != (new_rows[:nk, 13] >= 1.0))):
             return False
 
         # ---- all checks passed: mutate host plan + device arrays ----
@@ -514,6 +545,34 @@ class Context:
             plan.entry_paint[mask] = lut[eo[mask]]
         if plan.pop is not None:
             plan.pop["paint"][pids] = new_rows
+
+        if changed_t:
+            # texture/pattern values: resample color tiles against the
+            # resident plan (the sampler reads the patched entry_paint rows;
+            # the entry->tile assignment is deterministic in entry order, so
+            # a geometry-identical frame keeps the mapping)
+            old_map = plan.entry_color_tile.copy()
+            old_ct = plan.color_tiles
+            self._fill_textures(plan)
+            if (plan.color_tiles is old_ct
+                    or not np.array_equal(plan.entry_color_tile, old_map)):
+                return False  # full path rebuilds the plan from scratch
+            ct = plan.color_tiles
+            d["color_tiles"] = (jax.device_put(ct) if isinstance(ct, np.ndarray)
+                                else ct)  # device sampler returns a jax array
+            if d.get("bucket_cts") is not None and d.get("_bucket_ctile") is not None:
+                from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+                from vgtpu.raster.frame import _ct_flat
+
+                th, tw = plan.tile_h // plan.supersample, plan.tile_w
+                ct_flat = _ct_flat(d["color_tiles"], th, tw)
+                import jax.numpy as jnp
+
+                d["bucket_cts"] = tuple(
+                    ct_t_from_color_tiles(ct_flat, jnp.asarray(ids))
+                    if ids is not None else None
+                    for ids in d["_bucket_ctile"])
+
         if has_pop:
             pop_dev = dict(d["pop"])
             pop_dev["paint"] = jax.device_put(plan.pop["paint"])

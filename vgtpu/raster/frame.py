@@ -207,6 +207,10 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
         d = jax.device_put(host)
     d["chunk_entry_num"] = plan.entry_backdrop.shape[0]
     d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
+    # host-side per-bucket color-tile ids, kept for the paint-memo texture
+    # patch (Context._value_only_update re-expands bucket_cts after a
+    # resample); not part of the jit pytree (composite_arrays selects keys)
+    d["_bucket_ctile"] = bucket_ctile
     with stage("upload.expand"):
         if bucket_ctile is not None:
             from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
