@@ -49,6 +49,9 @@ def draw(ctx, t: float) -> None:
 
 
 def main(frames: int = 120) -> None:
+    if frames < 1:
+        print(f"nothing to animate (frames={frames})")
+        return
     ctx = vg.createContext()
     vg.begin(ctx, 0, W, H, 1.0)
     draw(ctx, 0.0)

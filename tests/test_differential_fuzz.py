@@ -22,8 +22,6 @@ every cap/join, clip groups, scissors, state push/pop, text and tri-lists.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 import pytest
 
@@ -31,10 +29,7 @@ import vgtpu as vg
 
 W, H = 288, 144
 
-_FONT_CANDIDATES = [
-    Path("/root/.cache/uv/archive-v0/bkR2mW-tl5zRXjZ0kWF47/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf"),
-]
-FONT_DATA = next((p.read_bytes() for p in _FONT_CANDIDATES if p.exists()), None)
+from tests.fontdata import FONT_DATA  # shared discovery
 
 
 def _checker_image(rng):

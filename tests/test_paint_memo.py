@@ -12,8 +12,6 @@ opacity class of a changed row flips.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 import pytest
 
@@ -21,10 +19,7 @@ import vgtpu as vg
 
 W, H = 320, 160
 
-_FONT_CANDIDATES = [
-    Path("/root/.cache/uv/archive-v0/bkR2mW-tl5zRXjZ0kWF47/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf"),
-]
-FONT_DATA = next((p.read_bytes() for p in _FONT_CANDIDATES if p.exists()), None)
+from tests.fontdata import FONT_DATA  # shared discovery
 
 BG = (0.1, 0.1, 0.12, 1.0)
 
@@ -252,6 +247,43 @@ def test_updateImage_takes_fast_path(device_sampling):
         assert ctx.profiler.counters.get("memo_paint_hits", 0) == step
         np.testing.assert_allclose(got, fresh(step), atol=2e-5,
                                    err_msg=f"updateImage step {step}")
+
+
+def test_textured_trilist_updateImage_takes_full_path():
+    """Regression: a textured indexedTriList op has paint=None (its values
+    live in tri_paints / per-triangle pseudo-ops), so it must NOT enter the
+    value-patch signatures — updateImage on its image has to force the full
+    path (a broken patch here NaN-corrupted the resident paint rows)."""
+    img = _checker()
+
+    def tri_frame(ctx, h):
+        pos = [(20, 20), (120, 20), (120, 100), (20, 100)]
+        uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
+        vg.indexedTriList(ctx, pos, uv, 4, [vg.Colors.White], 1,
+                          [0, 1, 2, 0, 2, 3], 6, h)
+        vg.end(ctx, background=BG)
+        out = np.asarray(ctx.frame_image)
+        vg.begin(ctx, 0, W, H, 1.0)
+        return out
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    h = vg.createImage(ctx, 64, 64, 0, img)
+    first = tri_frame(ctx, h)
+    assert np.isfinite(first).all()
+
+    img2 = img.copy()
+    img2[..., 0] = 255
+    vg.updateImage(ctx, h, 0, 0, 64, 64, img2)
+    got = tri_frame(ctx, h)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 0
+    assert np.isfinite(got).all()
+    assert not np.allclose(got, first)  # new texels actually rendered
+
+    c2 = vg.createContext()
+    vg.begin(c2, 0, W, H, 1.0)
+    h2 = vg.createImage(c2, 64, 64, 0, img2)
+    np.testing.assert_allclose(got, tri_frame(c2, h2), atol=2e-5)
 
 
 def test_pattern_and_solid_recolor_combined_fast_path():

@@ -1,8 +1,6 @@
 """Text subsystem: fonts, atlas packing, glyph/string caches, layout
 (reference seams: fontstash.h atlas + caches, vg.cpp text layout)."""
 
-from pathlib import Path
-
 import numpy as np
 import pytest
 
@@ -10,12 +8,10 @@ import vgtpu as vg
 from vgtpu.fonts.fontstash import SkylineAtlas
 from vgtpu.fonts.system import FontSystem
 
-FONT_PATH = next(
-    p for p in [
-        Path("/root/.cache/uv/archive-v0/bkR2mW-tl5zRXjZ0kWF47/matplotlib/mpl-data/fonts/ttf/DejaVuSans.ttf"),
-    ] if p.exists()
-)
-FONT_DATA = FONT_PATH.read_bytes()
+from tests.fontdata import FONT_DATA, FONT_PATH  # shared discovery (re-exported)
+
+if FONT_DATA is None:
+    pytest.skip("no UI font found on this machine", allow_module_level=True)
 MONO_PATH = FONT_PATH.with_name("DejaVuSansMono.ttf")
 
 

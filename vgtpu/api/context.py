@@ -417,24 +417,31 @@ class Context:
             #    re-record = the video-pattern case), since texel data is
             #    likewise consumed only by the resample.
             # Tri paints shape per-triangle pseudo-op rows at bin time, so
-            # they stay structural.
+            # they stay structural — including textured tri batches (paint
+            # is None, values live in tri_paints): their image generation
+            # stays structural too, so updateImage forces the full path.
             pc = crc(op.paint)
+            gen = None
+            if op.image_id is not None:
+                img = self.images.get(op.image_id)
+                gen = img.generation if img is not None else -1
             if op.kind == K_DRAW and op.paint_kind in (P_SOLID, P_GRADIENT):
                 paint_sig.append((i, pc))
                 pc = None
-            elif op.kind == K_DRAW and op.paint_kind in (P_IMAGE, P_TEXTURE):
-                img = self.images.get(op.image_id)
-                tex_sig.append((i, (pc, img.generation if img is not None else -1)))
-                pc = None
+            elif (op.kind == K_DRAW and op.paint_kind in (P_IMAGE, P_TEXTURE)
+                  and op.paint is not None and op.tri_paints is None):
+                tex_sig.append((i, (pc, gen)))
+                pc = gen = None
             parts.append((
                 op.kind, op.fill_rule, op.aa, op.paint_kind, op.image_id,
-                op.scissor, g, pc,
+                op.scissor, g, pc, gen,
                 crc(op.tri_paints, crc(op.tex_quads)),
             ))
         # image ids are monotonic (never reused), and texel content is
         # consumed only by the TEXTURES resample — generations of DRAWN
-        # images live in tex_sig (above); undrawn images cannot affect the
-        # frame, so the structural hash needs neither.
+        # images ride each op's signature (tex_sig for patchable pattern
+        # draws, the structural parts otherwise); undrawn images cannot
+        # affect the frame, so no global image table is hashed.
         if self.font_system is not None:
             parts.append(self.font_system.atlas.revision)
         return (hash(tuple(parts)), tuple(paint_sig), tuple(tex_sig))
@@ -496,6 +503,8 @@ class Context:
 
         ops = self.ops
         changed = changed_k + changed_t
+        if any(ops[i].paint is None for i in changed):
+            return False  # value rows live elsewhere (tri_paints): full path
         new_rows = np.stack(
             [np.asarray(ops[i].paint, np.float32) for i in changed])
 
@@ -507,6 +516,11 @@ class Context:
             counts = np.fromiter(
                 (len(op.tri_paints) if op.tri_paints is not None else 1
                  for op in ops), np.int64, count=len(ops))
+            if np.any(counts[changed] != 1):
+                # multi-pseudo-op op (tri batch) in the changed set: the
+                # fingerprint keeps those structural, so this is defensive —
+                # patching only the first row would leave K-1 stale
+                return False
             prefix = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pids = prefix[changed]
             old_rows = np.asarray(plan.pop["paint"])[pids]
