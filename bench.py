@@ -119,6 +119,28 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     anim_ms = sorted(an)[len(an) // 2]
     anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0
 
+    # batched variants (raster/batch.py): K overlay-color variants of the
+    # resident scene rendered as ONE device dispatch — the serving mode.
+    # Compare per-variant-frame cost against anim_ms (per-frame patch path)
+    # and frame_ms (single-frame dispatch floor).
+    batch_ms = None
+    try:
+        from vgtpu.raster.batch import VariantBatch, measure_batch_ms_per_frame
+
+        vb = VariantBatch.bake(
+            ctx, [lambda c, k=k: (
+                draw_benchmark_frame(c, 0.0),
+                vg.beginPath(c),
+                vg.rect(c, 1800, 1000, 60, 40),
+                vg.fillPath(c, vg.color4ub(50 + 17 * k, 120, 200, 180),
+                            vg.FillFlags.ConvexAA),
+            ) for k in range(6, 12)],
+            1920, 1080, background=bg)
+        batch_ms = measure_batch_ms_per_frame(vb, background=bg,
+                                              reps_hi=8, reps_lo=2)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] variant batch failed: {e}", file=sys.stderr)
+
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
     # replay + incremental rebin do the heavy lifting
@@ -149,6 +171,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "redraw_ms": redraw_ms,
         "anim_ms": anim_ms,
         "anim_paint_hits": anim_hits,
+        "batch_ms": batch_ms,
         "app_ms": app_ms,
         "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
@@ -171,6 +194,7 @@ def main() -> None:
           f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
           f"redraw={r['redraw_ms']:.1f} ms  "
           f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
+          f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"host_spin={r['host_spin_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)

@@ -1,0 +1,113 @@
+"""Batched variant rendering (raster/batch.py): K value-variants of one
+structural plan render in ONE device dispatch.  Each variant frame must be
+pixel-identical to the ordinary per-frame path (the reference renders frames
+strictly one at a time, vg.cpp:1076-1288; batching is a TPU-native capability
+with no reference semantics beyond per-frame equality)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import vgtpu as vg
+from tests.fontdata import FONT_DATA
+from tests.test_paint_memo import BG, H, W, draw_scene
+from vgtpu.raster.batch import VariantBatch, measure_batch_ms_per_frame
+
+VARIANTS = [
+    dict(rect_col=(90, 140, 220, 160), circ_col=(250, 210, 60, 255)),
+    dict(rect_col=(220, 90, 140, 160), circ_col=(60, 250, 210, 255),
+         grad=((40, 250, 60, 255), (250, 40, 60, 255)),
+         text_col=(255, 220, 40, 255)),
+    dict(rect_col=(140, 220, 90, 160), circ_col=(210, 60, 250, 255),
+         grad_geo=(40.0, 10.0, 160.0, 110.0),
+         stroke_col=(220, 20, 120, 255)),
+]
+
+
+def _fresh_font(ctx):
+    return (vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+            if FONT_DATA is not None else None)
+
+
+def _oracles():
+    out = []
+    for p in VARIANTS:
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, W, H, 1.0)
+        draw_scene(ctx, _fresh_font(ctx), **p)
+        vg.end(ctx, background=BG)
+        out.append(np.asarray(ctx.frame_image))
+    return out
+
+
+def _bake(ctx=None):
+    if ctx is None:
+        ctx = vg.createContext()
+    font = _fresh_font(ctx)
+    fns = [lambda c, p=p: draw_scene(c, font, **p) for p in VARIANTS]
+    return VariantBatch.bake(ctx, fns, W, H, background=BG)
+
+
+def test_folded_batch_matches_per_frame():
+    """Portable (XLA) batch path: every variant bit-matches its own frame."""
+    vb = _bake()
+    imgs = np.asarray(vb.render(background=BG))
+    assert imgs.shape == (len(VARIANTS), H, W, 4)
+    for k, ref in enumerate(_oracles()):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
+def test_fused_batch_matches_per_frame(monkeypatch):
+    """Fused Pallas batch path (lane-axis folding), interpret mode off-TPU:
+    force the fused aux build and compare against the per-frame oracles."""
+    from vgtpu.raster import frame as frame_mod
+
+    monkeypatch.setattr(frame_mod, "_fused_platform", lambda: True)
+    vb = _bake()
+    assert vb._mode == "fused"
+    imgs = np.asarray(vb.render(background=BG))
+    for k, ref in enumerate(_oracles()):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
+def test_structural_variant_raises():
+    """A variant that changes geometry (not just paint values) is rejected."""
+    ctx = vg.createContext()
+    font = _fresh_font(ctx)
+
+    def base(c):
+        draw_scene(c, font, **VARIANTS[0])
+
+    def extra(c):
+        draw_scene(c, font, **VARIANTS[0])
+        vg.beginPath(c)
+        vg.circle(c, 60, 60, 10)
+        vg.fillPath(c, vg.Colors.Red, vg.FillFlags.ConvexAA)
+
+    with pytest.raises(ValueError, match="structure"):
+        VariantBatch.bake(ctx, [base, extra], W, H, background=BG)
+
+
+def test_opacity_class_flip_raises():
+    """Flipping a solid's opacity class changes occlusion culling = frame
+    structure; the bake must refuse rather than silently mis-render."""
+    ctx = vg.createContext()
+    font = _fresh_font(ctx)
+    a = dict(VARIANTS[0])
+    b = dict(VARIANTS[0], circ_col=(250, 210, 60, 120))  # opaque -> translucent
+
+    with pytest.raises(ValueError, match="structure"):
+        VariantBatch.bake(ctx,
+                          [lambda c: draw_scene(c, font, **a),
+                           lambda c: draw_scene(c, font, **b)],
+                          W, H, background=BG)
+
+
+def test_chained_measure_runs():
+    """The chained throughput loop compiles and yields a finite number."""
+    vb = _bake()
+    ms = measure_batch_ms_per_frame(vb, background=BG, reps_hi=3, reps_lo=1)
+    assert np.isfinite(ms)

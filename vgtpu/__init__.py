@@ -55,6 +55,10 @@ from vgtpu.api.context import (  # noqa: F401 (explicit for IDEs)
 
 from vgtpu.api.standalone import *  # noqa: F401,F403  (path.h/stroker.h seam)
 from vgtpu.api.standalone import Mesh, Stroker, SubPath  # noqa: F401
+from vgtpu.raster.batch import (  # noqa: F401  (TPU-native batched serving)
+    VariantBatch,
+    measure_batch_ms_per_frame,
+)
 
 
 def debugPrintf(fmt: str, *args) -> None:

@@ -311,6 +311,15 @@ def _ct_flat(ct_dev, th, tw):
     ])
 
 
+def _fused_platform() -> bool:
+    """Whether plans should carry the fused-composite aux (TPU only; tests
+    monkeypatch this to exercise the fused path in Pallas interpret mode)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _coverage_composite_aux_host(plan: FramePlan):
     """Host-built static aux for the fused TPU path: the chunk->entry inverse
     map and the Pallas composite's per-bucket metadata.  TPU-only — the
@@ -319,11 +328,7 @@ def _coverage_composite_aux_host(plan: FramePlan):
 
     Returns (host-array dict to device_put, per-bucket ctile index arrays or
     None — the color-tile expansion itself runs on device afterwards)."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # noqa: BLE001
-        on_tpu = False
-    if not on_tpu:
+    if not _fused_platform():
         return {}, None
     from vgtpu.ops.coverage import build_cov_gather_map
 
