@@ -68,6 +68,37 @@ def _measure(n: int) -> dict:
         run()
     dt = (time.perf_counter() - t0) / reps * 1e3
 
+    # variant-axis serving batch (raster/batch.render_sharded): one variant
+    # per device, zero collectives — validates the second sharding layout
+    batch_ms = None
+    try:
+        from vgtpu.raster.batch import VariantBatch
+
+        def variant(k):
+            def f(c):
+                draw_benchmark_frame(c, 0.0)
+                vg.beginPath(c)
+                vg.rect(c, 1800, 1000, 60, 40)
+                vg.fillPath(c, vg.color4ub(50 + 13 * k, 120, 200, 180),
+                            vg.FillFlags.ConvexAA)
+            return f
+
+        bgc = (0.12, 0.12, 0.13, 1.0)
+        vb = VariantBatch.bake(ctx, [variant(k) for k in range(n)],
+                               1920, 1080, background=bgc)
+
+        def run_batch():
+            out = vb.render_sharded(mesh, background=bgc)
+            return float(np.asarray(out)[0, 0, 0, 3])
+
+        run_batch()                      # compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            run_batch()
+        batch_ms = round((time.perf_counter() - t0) / reps / n * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"variant batch failed: {e}", file=sys.stderr)
+
     tiles = plan.tile_entries.shape[0]
     chunks = sum(ce.shape[0] for ce, _ in plan.chunk_pools)
     return {
@@ -76,6 +107,7 @@ def _measure(n: int) -> dict:
         "ms_per_frame": round(dt, 2),
         "tiles_per_device": -(-tiles // n),
         "chunks_per_device": -(-chunks // n),
+        "batch_ms_per_variant": batch_ms,
         "collectives": "1 psum over entry coverage (~%d MB)" % (
             d["entry_backdrop"].shape[0] * plan.tile_h * plan.tile_w * 4 // 2**20),
     }
@@ -84,6 +116,12 @@ def _measure(n: int) -> dict:
 def main() -> None:
     ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 4, 8]
     if os.environ.get("_VGTPU_MC_CHILD"):
+        # belt-and-braces like tests/conftest.py: force the cpu platform via
+        # jax.config too — a dead TPU tunnel otherwise makes the axon
+        # plugin's backend init fatal inside plain device_put calls
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         print(json.dumps(_measure(int(os.environ["_VGTPU_MC_CHILD"]))))
         return
     rows = []

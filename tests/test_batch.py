@@ -106,6 +106,23 @@ def test_opacity_class_flip_raises():
                           W, H, background=BG)
 
 
+def test_sharded_batch_matches_per_frame():
+    """Variant-axis sharding over the virtual 8-device mesh: every variant
+    frame matches its per-frame oracle (K pads to the mesh size internally;
+    the program contains no collectives — pure serving data-parallelism)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device platform")
+    mesh = jax.make_mesh((len(jax.devices()),), ("variants",))
+    vb = _bake()
+    imgs = np.asarray(vb.render_sharded(mesh, background=BG))
+    assert imgs.shape == (len(VARIANTS), H, W, 4)
+    for k, ref in enumerate(_oracles()):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
 def test_chained_measure_runs():
     """The chained throughput loop compiles and yields a finite number."""
     vb = _bake()

@@ -35,7 +35,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vgtpu.ops.composite import composite_tiles_body, tiles_to_image
+from vgtpu.ops.composite import (
+    composite_bucketed_body,
+    composite_tiles_body,
+    tiles_to_image,
+)
 from vgtpu.ops.coverage import build_cov_gather_map, entry_coverage_from_pools
 
 
@@ -259,6 +263,63 @@ _render_folded = jax.jit(
 
 
 # --------------------------------------------------------------------------
+# multi-chip: variant-axis sharding over a device mesh
+# --------------------------------------------------------------------------
+
+def _vmapped_batch_body(chunk_pools, ebd, ek, er, ea, epk, esc, ect, buckets,
+                        ep_K, ct_K, background,
+                        *, num_entries, tile_h, tile_w, ntx, nty,
+                        width, height, bucket_flags, ss):
+    """Leading-K formulation: coverage is variant-invariant (computed once,
+    replicated by GSPMD); only the per-variant value tables (ep_K, ct_K)
+    carry a K axis, which shards across the mesh — serving parallelism with
+    ZERO collectives (each device renders its variants independently)."""
+    cov = entry_coverage_from_pools(chunk_pools, num_entries, tile_h, tile_w)
+    ew = cov + ebd[:, :, None]
+    T = ntx * nty
+    th_out = tile_h // ss
+
+    def one(ep, ct):
+        fb = composite_bucketed_body(
+            ew, buckets, ek, er, ea, epk, ep, esc, ect, ct, background,
+            ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=T,
+            bucket_flags=bucket_flags, ss=ss)
+        return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=th_out,
+                              tile_w=tile_w, width=width, height=height)
+
+    return jax.vmap(one)(ep_K, ct_K)
+
+
+def _make_sharded_batch_fn(mesh, axis, n_pools, n_buckets, statics):
+    """jitted shard_map over the variant axis: per-variant value tables
+    shard, everything structural replicates, each device runs the local-K
+    vmapped body — no collective in the program (GSPMD's sharding-in-types
+    cannot propagate through the image-assembly reshape, so the split is
+    explicit here, like the tile-sharded frame in vgtpu/parallel)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_batch(chunk_pools, ebd, ek, er, ea, epk, esc, ect, buckets,
+                    ep_K, ct_K, background):
+        return _vmapped_batch_body(
+            chunk_pools, ebd, ek, er, ea, epk, esc, ect, buckets,
+            ep_K, ct_K, background, **statics)
+
+    sharded = jax.shard_map(
+        local_batch,
+        mesh=mesh,
+        in_specs=(
+            tuple((P(), P()) for _ in range(n_pools)),
+            P(), P(), P(), P(), P(), P(), P(),
+            tuple((P(), P()) for _ in range(n_buckets)),
+            P(axis), P(axis), P(),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+# --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
 
@@ -271,6 +332,8 @@ class VariantBatch:
         self._mode = mode
         self._args = args
         self._statics = statics
+        self._plan = None     # host plan + snapshots, kept for render_sharded
+        self._snaps = None
 
     @staticmethod
     def bake(ctx, draw_fns, width: int, height: int, dpr: float = 1.0,
@@ -351,12 +414,15 @@ class VariantBatch:
                 ss=plan.supersample, pads=pads, ct_flags=ct_flags)
             args = (d["chunk_pools"], d["cov_map"], dev["te"], dev["ids"],
                     dev["pteb"], params, cts)
-            return VariantBatch(K, "fused", args, statics)
-        tabs = _host_folded_tables(plan, snaps)
-        tabs_dev = jax.device_put(tabs)
-        statics["num_entries"] = plan.entry_backdrop.shape[0]
-        args = (d["chunk_pools"], d["entry_backdrop"], tabs_dev)
-        return VariantBatch(K, "folded", args, statics)
+            vb = VariantBatch(K, "fused", args, statics)
+        else:
+            tabs = _host_folded_tables(plan, snaps)
+            tabs_dev = jax.device_put(tabs)
+            statics["num_entries"] = plan.entry_backdrop.shape[0]
+            args = (d["chunk_pools"], d["entry_backdrop"], tabs_dev)
+            vb = VariantBatch(K, "folded", args, statics)
+        vb._plan, vb._snaps = plan, snaps
+        return vb
 
     def render(self, background=(0.0, 0.0, 0.0, 1.0)) -> jax.Array:
         """All K variant frames in one dispatch -> (K, H, W, 4)."""
@@ -364,6 +430,63 @@ class VariantBatch:
         if self._mode == "fused":
             return _render_fused(*self._args, bg, **self._statics)
         return _render_folded(*self._args, bg, **self._statics)
+
+    def render_sharded(self, mesh, background=(0.0, 0.0, 0.0, 1.0)) -> jax.Array:
+        """All K variants data-parallel over a 1-D device mesh -> (K,H,W,4).
+
+        The serving-at-scale mode: the K axis shards across the mesh; the
+        structural plan (geometry, buckets, entry tables) replicates, each
+        device computes coverage locally and renders only its variants — no
+        collective anywhere in the program (contrast the tile-sharded frame
+        in vgtpu/parallel/sharding.py, which psums partial coverage).  K pads
+        to a mesh-size multiple by repeating the last variant; pad frames are
+        rendered and discarded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        plan, snaps = self._plan, self._snaps
+        if plan is None or snaps is None:
+            raise ValueError("render_sharded needs the baked host plan "
+                             "(use VariantBatch.bake)")
+        axis = mesh.axis_names[0]
+        n = mesh.devices.size
+        Kp = -(-self.K // n) * n
+        snaps_p = list(snaps) + [snaps[-1]] * (Kp - self.K)
+        ep_K = np.stack([s["entry_paint"] for s in snaps_p])
+        ct_K = np.stack([np.asarray(s["color_tiles"], np.float32)
+                         for s in snaps_p])
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        host_repl = dict(
+            pools=tuple((np.asarray(ce), np.asarray(cent))
+                        for ce, cent in plan.chunk_pools),
+            ebd=plan.entry_backdrop, ek=plan.entry_kind, er=plan.entry_rule,
+            ea=plan.entry_aa, epk=plan.entry_paint_kind,
+            esc=plan.entry_scissor, ect=plan.entry_color_tile,
+            buckets=tuple((te, ids) for te, ids, _fl in plan.tile_buckets),
+            bg=np.asarray(background, np.float32),
+        )
+        r = jax.device_put(host_repl, repl)
+        ep_K, ct_K = jax.device_put((ep_K, ct_K), shard)
+        statics = dict(
+            num_entries=plan.entry_backdrop.shape[0],
+            tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
+            nty=plan.nty, width=plan.width, height=plan.height,
+            bucket_flags=tuple(fl for _te, _ids, fl in plan.tile_buckets),
+            ss=plan.supersample)
+        key = (id(mesh), axis)
+        cache = getattr(self, "_sharded_fns", None)
+        if cache is None:
+            cache = self._sharded_fns = {}
+        fn = cache.get(key)
+        if fn is None:
+            fn = cache[key] = _make_sharded_batch_fn(
+                mesh, axis, len(host_repl["pools"]),
+                len(host_repl["buckets"]), statics)
+        out = fn(r["pools"], r["ebd"], r["ek"], r["er"], r["ea"], r["epk"],
+                 r["esc"], r["ect"], r["buckets"], ep_K, ct_K, r["bg"])
+        # all-gather the variant-sharded stack before dropping the pad frames
+        # (slicing across the sharded axis is ambiguous for GSPMD)
+        return jax.device_put(out, repl)[: self.K]
 
 
 def _chained_body(args, background, mode, statics, n_frames):
