@@ -30,12 +30,29 @@ def _fresh_font(ctx):
             if FONT_DATA is not None else None)
 
 
+def _draw_variant(c, font, p):
+    draw_scene(c, font, **p)
+    # corner probes: content in flat tile 0 AND the last tile, so batch-axis
+    # scatter bookkeeping (pad-row scratch ids, k*T offsets) is constrained
+    # by the per-frame oracle — a pad row mis-scattered into a neighboring
+    # variant's tile 0 clobbers the first probe (regression: round-5 review)
+    col = p["circ_col"]
+    vg.beginPath(c)
+    vg.rect(c, 1, 1, 40, 5)
+    vg.fillPath(c, vg.color4ub(col[0], col[1], col[2], 200),
+                vg.FillFlags.ConvexAA)
+    vg.beginPath(c)
+    vg.rect(c, W - 30, H - 6, 26, 5)
+    vg.fillPath(c, vg.color4ub(col[2], col[0], col[1], 200),
+                vg.FillFlags.ConvexAA)
+
+
 def _oracles():
     out = []
     for p in VARIANTS:
         ctx = vg.createContext()
         vg.begin(ctx, 0, W, H, 1.0)
-        draw_scene(ctx, _fresh_font(ctx), **p)
+        _draw_variant(ctx, _fresh_font(ctx), p)
         vg.end(ctx, background=BG)
         out.append(np.asarray(ctx.frame_image))
     return out
@@ -45,7 +62,7 @@ def _bake(ctx=None):
     if ctx is None:
         ctx = vg.createContext()
     font = _fresh_font(ctx)
-    fns = [lambda c, p=p: draw_scene(c, font, **p) for p in VARIANTS]
+    fns = [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS]
     return VariantBatch.bake(ctx, fns, W, H, background=BG)
 
 

@@ -75,8 +75,12 @@ def _host_fused_tables(plan, K: int):
         pads.append(extra)
         te_out.append(np.concatenate(
             [te_p] * K + ([np.full((extra, mo), -1, te_b.dtype)] if extra else [])))
+        # bucket tables arrive pre-padded to >=8 rows with scatter id == T
+        # (binning.compute_tile_buckets): those rows must go to the BATCH
+        # scratch row K*T, not T + k*T (= variant k+1's tile 0)
+        ids32 = ids_b.astype(np.int32)
         ids_out.append(np.concatenate(
-            [np.concatenate([ids_b.astype(np.int32) + k * T,
+            [np.concatenate([np.where(ids32 >= T, K * T, ids32 + k * T),
                              np.full(nbp - nb, K * T, np.int32)])
              for k in range(K)]
             + ([np.full(extra, K * T, np.int32)] if extra else [])))
@@ -215,9 +219,12 @@ def _host_folded_tables(plan, snaps):
     for te_b, ids_b, _fl in plan.tile_buckets:
         te_K = np.concatenate([
             np.where(te_b >= 0, te_b + k * ne, -1) for k in range(K)])
-        ids_sc = np.concatenate([ids_b.astype(np.int32) + k * T
+        # pad rows carry scatter id == T (compute_tile_buckets): route them
+        # to the batch scratch row K*T, not T + k*T (variant k+1's tile 0)
+        ids32 = ids_b.astype(np.int32)
+        ids_sc = np.concatenate([np.where(ids32 >= T, K * T, ids32 + k * T)
                                  for k in range(K)])
-        ids_or = np.tile(ids_b.astype(np.int32), K)
+        ids_or = np.tile(np.minimum(ids32, T - 1), K)
         buckets.append((te_K, ids_sc, ids_or))
     return dict(ek=ek, er=er, ea=ea, epk=epk, esc=esc, ep=ep, ect=ect, ct=ct,
                 buckets=tuple(buckets))
@@ -448,42 +455,49 @@ class VariantBatch:
             raise ValueError("render_sharded needs the baked host plan "
                              "(use VariantBatch.bake)")
         axis = mesh.axis_names[0]
-        n = mesh.devices.size
-        Kp = -(-self.K // n) * n
-        snaps_p = list(snaps) + [snaps[-1]] * (Kp - self.K)
-        ep_K = np.stack([s["entry_paint"] for s in snaps_p])
-        ct_K = np.stack([np.asarray(s["color_tiles"], np.float32)
-                         for s in snaps_p])
-        shard = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
-        host_repl = dict(
-            pools=tuple((np.asarray(ce), np.asarray(cent))
-                        for ce, cent in plan.chunk_pools),
-            ebd=plan.entry_backdrop, ek=plan.entry_kind, er=plan.entry_rule,
-            ea=plan.entry_aa, epk=plan.entry_paint_kind,
-            esc=plan.entry_scissor, ect=plan.entry_color_tile,
-            buckets=tuple((te, ids) for te, ids, _fl in plan.tile_buckets),
-            bg=np.asarray(background, np.float32),
-        )
-        r = jax.device_put(host_repl, repl)
-        ep_K, ct_K = jax.device_put((ep_K, ct_K), shard)
-        statics = dict(
-            num_entries=plan.entry_backdrop.shape[0],
-            tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
-            nty=plan.nty, width=plan.width, height=plan.height,
-            bucket_flags=tuple(fl for _te, _ids, fl in plan.tile_buckets),
-            ss=plan.supersample)
+        # everything except the background is bake-static: upload once per
+        # mesh and cache alongside the compiled fn (re-uploading the plan
+        # per call would make serving upload-bound through the tunnel)
         key = (id(mesh), axis)
         cache = getattr(self, "_sharded_fns", None)
         if cache is None:
             cache = self._sharded_fns = {}
-        fn = cache.get(key)
-        if fn is None:
-            fn = cache[key] = _make_sharded_batch_fn(
+        entry = cache.get(key)
+        if entry is None:
+            n = mesh.devices.size
+            Kp = -(-self.K // n) * n
+            snaps_p = list(snaps) + [snaps[-1]] * (Kp - self.K)
+            ep_K = np.stack([s["entry_paint"] for s in snaps_p])
+            ct_K = np.stack([np.asarray(s["color_tiles"], np.float32)
+                             for s in snaps_p])
+            host_repl = dict(
+                pools=tuple((np.asarray(ce), np.asarray(cent))
+                            for ce, cent in plan.chunk_pools),
+                ebd=plan.entry_backdrop, ek=plan.entry_kind,
+                er=plan.entry_rule, ea=plan.entry_aa,
+                epk=plan.entry_paint_kind, esc=plan.entry_scissor,
+                ect=plan.entry_color_tile,
+                buckets=tuple((te, ids)
+                              for te, ids, _fl in plan.tile_buckets),
+            )
+            r = jax.device_put(host_repl, repl)
+            ep_K, ct_K = jax.device_put((ep_K, ct_K),
+                                        NamedSharding(mesh, P(axis)))
+            statics = dict(
+                num_entries=plan.entry_backdrop.shape[0],
+                tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
+                nty=plan.nty, width=plan.width, height=plan.height,
+                bucket_flags=tuple(fl for _te, _ids, fl in plan.tile_buckets),
+                ss=plan.supersample)
+            fn = _make_sharded_batch_fn(
                 mesh, axis, len(host_repl["pools"]),
                 len(host_repl["buckets"]), statics)
+            entry = cache[key] = (fn, r, ep_K, ct_K)
+        fn, r, ep_K, ct_K = entry
+        bg = jax.device_put(np.asarray(background, np.float32), repl)
         out = fn(r["pools"], r["ebd"], r["ek"], r["er"], r["ea"], r["epk"],
-                 r["esc"], r["ect"], r["buckets"], ep_K, ct_K, r["bg"])
+                 r["esc"], r["ect"], r["buckets"], ep_K, ct_K, bg)
         # all-gather the variant-sharded stack before dropping the pad frames
         # (slicing across the sharded axis is ambiguous for GSPMD)
         return jax.device_put(out, repl)[: self.K]
