@@ -47,23 +47,23 @@ def _draw_variant(c, font, p):
                 vg.FillFlags.ConvexAA)
 
 
-def _oracles():
+def _oracles(dpr=1.0):
     out = []
     for p in VARIANTS:
         ctx = vg.createContext()
-        vg.begin(ctx, 0, W, H, 1.0)
+        vg.begin(ctx, 0, W, H, dpr)
         _draw_variant(ctx, _fresh_font(ctx), p)
         vg.end(ctx, background=BG)
         out.append(np.asarray(ctx.frame_image))
     return out
 
 
-def _bake(ctx=None):
+def _bake(ctx=None, dpr=1.0):
     if ctx is None:
         ctx = vg.createContext()
     font = _fresh_font(ctx)
     fns = [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS]
-    return VariantBatch.bake(ctx, fns, W, H, background=BG)
+    return VariantBatch.bake(ctx, fns, W, H, dpr=dpr, background=BG)
 
 
 def test_folded_batch_matches_per_frame():
@@ -140,8 +140,112 @@ def test_sharded_batch_matches_per_frame():
                                    err_msg=f"variant {k}")
 
 
+def test_batch_dpr2_matches_per_frame():
+    """dpr=2 bake: the framebuffer-space fold must match per-frame renders
+    (the dpr viewport scale rides _render_transform into the recorded ops)."""
+    vb = _bake(dpr=2.0)
+    imgs = np.asarray(vb.render(background=BG))
+    assert imgs.shape == (len(VARIANTS), 2 * H, 2 * W, 4)
+    for k, ref in enumerate(_oracles(dpr=2.0)):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
 def test_chained_measure_runs():
     """The chained throughput loop compiles and yields a finite number."""
     vb = _bake()
     ms = measure_batch_ms_per_frame(vb, background=BG, reps_hi=3, reps_lo=1)
     assert np.isfinite(ms)
+
+
+# ---------------------------------------------------------------------------
+# fuzz: random structure, per-variant colors
+# ---------------------------------------------------------------------------
+
+def _fuzz_scene(rng):
+    """Random structure: a list of shape records whose COLORS are resolved
+    per variant (alpha class is structural, chosen here, so every variant
+    stays value-patch eligible).  Exercises varied bucket/pool/pad layouts
+    under the batch fold — the pad-row scatter bug class is layout-dependent."""
+    shapes = []
+    for _ in range(int(rng.integers(8, 16))):
+        kind = rng.choice(["rect", "circle", "rrect", "stroke", "gradrect",
+                           "star"])
+        x, y = rng.uniform(-10, W - 5), rng.uniform(-10, H - 5)
+        w, h = rng.uniform(4, 120), rng.uniform(4, 70)
+        opaque = bool(rng.uniform() < 0.5)
+        shapes.append(dict(kind=str(kind), x=x, y=y, w=w, h=h, opaque=opaque,
+                           r=rng.uniform(2, 30), sw=rng.uniform(0.4, 9),
+                           aa=bool(rng.uniform() < 0.8)))
+    return shapes
+
+
+def _draw_fuzz(ctx, shapes, crng):
+    """Render the structure with colors drawn from crng (per-variant)."""
+    def col(opaque):
+        a = 255 if opaque else int(crng.integers(40, 230))
+        return vg.color4ub(*(int(v) for v in crng.integers(0, 256, 3)), a)
+
+    for s in shapes:
+        fill = (vg.FillFlags.ConvexAA if s["aa"] else vg.FillFlags.Convex)
+        vg.beginPath(ctx)
+        if s["kind"] == "rect":
+            vg.rect(ctx, s["x"], s["y"], s["w"], s["h"])
+        elif s["kind"] == "circle":
+            vg.circle(ctx, s["x"], s["y"], s["r"])
+        elif s["kind"] == "rrect":
+            vg.roundedRect(ctx, s["x"], s["y"], s["w"], s["h"],
+                           min(s["r"], s["w"] / 2, s["h"] / 2))
+        elif s["kind"] == "star":
+            ang = -np.pi / 2 + np.arange(5) * (4 * np.pi / 5)
+            vg.moveTo(ctx, s["x"] + s["r"] * np.cos(ang[0]),
+                      s["y"] + s["r"] * np.sin(ang[0]))
+            for a in ang[1:]:
+                vg.lineTo(ctx, s["x"] + s["r"] * np.cos(a),
+                          s["y"] + s["r"] * np.sin(a))
+            vg.closePath(ctx)
+            fill = (vg.FillFlags.ConcaveEvenOddAA if s["aa"]
+                    else vg.FillFlags.ConcaveEvenOdd)
+        elif s["kind"] == "gradrect":
+            g = vg.createLinearGradient(ctx, s["x"], s["y"],
+                                        s["x"] + s["w"], s["y"] + s["h"],
+                                        col(False), col(False))
+            vg.rect(ctx, s["x"], s["y"], s["w"], s["h"])
+            vg.fillPath(ctx, g, fill)
+            continue
+        if s["kind"] == "stroke":
+            vg.moveTo(ctx, s["x"], s["y"])
+            vg.cubicTo(ctx, s["x"] + s["w"] / 3, s["y"] + s["h"],
+                       s["x"] + 2 * s["w"] / 3, s["y"] - s["h"] / 2,
+                       s["x"] + s["w"], s["y"] + s["h"] / 3)
+            vg.strokePath(ctx, col(s["opaque"]), s["sw"],
+                          vg.StrokeFlags.RoundRoundAA if s["aa"]
+                          else vg.StrokeFlags.ButtMiter)
+        else:
+            vg.fillPath(ctx, col(s["opaque"]), fill)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 41])
+def test_fuzz_batch_matches_per_frame(seed):
+    K = 3
+    shapes = _fuzz_scene(np.random.default_rng(seed))
+
+    def variant_fn(k):
+        return lambda c: _draw_fuzz(c, shapes,
+                                    np.random.default_rng(1000 * seed + k))
+
+    refs = []
+    for k in range(K):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, W, H, 1.0)
+        variant_fn(k)(ctx)
+        vg.end(ctx, background=BG)
+        refs.append(np.asarray(ctx.frame_image))
+
+    vb = VariantBatch.bake(vg.createContext(),
+                           [variant_fn(k) for k in range(K)], W, H,
+                           background=BG)
+    imgs = np.asarray(vb.render(background=BG))
+    for k in range(K):
+        np.testing.assert_allclose(imgs[k], refs[k], atol=3e-6,
+                                   err_msg=f"seed {seed} variant {k}")
