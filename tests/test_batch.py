@@ -158,6 +158,80 @@ def test_chained_measure_runs():
     assert np.isfinite(ms)
 
 
+def test_batch_supersample_matches_per_frame():
+    """Conflation-free plans (coverage_supersample=2) through the batch fold:
+    sub-row coverage, ss-averaged output, per-variant shading."""
+    cfg = vg.ContextConfig(coverage_supersample=2)
+
+    def fresh():
+        return vg.createContext(cfg)
+
+    refs = []
+    for p in VARIANTS:
+        ctx = fresh()
+        vg.begin(ctx, 0, W, H, 1.0)
+        _draw_variant(ctx, _fresh_font(ctx), p)
+        vg.end(ctx, background=BG)
+        refs.append(np.asarray(ctx.frame_image))
+
+    ctx = fresh()
+    font = _fresh_font(ctx)
+    vb = VariantBatch.bake(
+        ctx, [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS],
+        W, H, background=BG)
+    imgs = np.asarray(vb.render(background=BG))
+    for k, ref in enumerate(refs):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
+def test_batch_clip_scissor_pattern_matches_per_frame():
+    """Clip mask + scissor + an image-pattern fill whose tint varies per
+    variant: the texture rows ride the TEXTURES resample in the value patch
+    and the per-variant color tiles must stack correctly in the fold."""
+    rng = np.random.default_rng(5)
+    img_data = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    img_data[..., 3] = 255
+    tints = [(255, 255, 255, 255), (255, 160, 80, 255), (90, 200, 255, 200)]
+
+    def draw(c, img, tint):
+        vg.beginClip(c, vg.ClipRule.In)
+        vg.beginPath(c)
+        vg.circle(c, 120, 80, 70)
+        vg.fillPath(c, vg.Colors.Black, vg.FillFlags.Convex)
+        vg.endClip(c)
+        p = vg.createImagePattern(c, 40, 20, 160, 120, 0.0, img)
+        vg.beginPath(c)
+        vg.rect(c, 40, 20, 160, 120)
+        vg.fillPath(c, p, vg.color4ub(*tint), vg.FillFlags.ConvexAA)
+        vg.resetClip(c)
+        vg.setScissor(c, 180, 40, 120, 100)
+        vg.beginPath(c)
+        vg.rect(c, 160, 30, 150, 120)
+        vg.fillPath(c, vg.color4ub(tint[0], tint[2], tint[1], 220),
+                    vg.FillFlags.ConvexAA)
+        vg.resetScissor(c)
+
+    refs = []
+    for tint in tints:
+        ctx = vg.createContext()
+        img = vg.createImage(ctx, 16, 16, 0, img_data)
+        vg.begin(ctx, 0, W, H, 1.0)
+        draw(ctx, img, tint)
+        vg.end(ctx, background=BG)
+        refs.append(np.asarray(ctx.frame_image))
+
+    ctx = vg.createContext()
+    img = vg.createImage(ctx, 16, 16, 0, img_data)
+    vb = VariantBatch.bake(
+        ctx, [lambda c, t=t: draw(c, img, t) for t in tints],
+        W, H, background=BG)
+    imgs = np.asarray(vb.render(background=BG))
+    for k, ref in enumerate(refs):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+
+
 # ---------------------------------------------------------------------------
 # fuzz: random structure, per-variant colors
 # ---------------------------------------------------------------------------
