@@ -233,6 +233,55 @@ def test_batch_clip_scissor_pattern_matches_per_frame():
 
 
 # ---------------------------------------------------------------------------
+# multi-canvas: K DIFFERENT scenes, one dispatch (renderFrames)
+# ---------------------------------------------------------------------------
+
+def test_render_frames_multi_canvas():
+    """Heterogeneous contexts (different sizes + scenes) fused into one
+    device program must each match their individually-dispatched render."""
+    def scene_a(c):
+        vg.beginPath(c)
+        vg.roundedRect(c, 10, 10, 150, 90, 18)
+        vg.fillPath(c, vg.color4ub(200, 80, 40, 255), vg.FillFlags.ConvexAA)
+
+    def scene_b(c):
+        vg.beginPath(c)
+        vg.circle(c, 100, 60, 45)
+        vg.fillPath(c, vg.color4ub(40, 80, 200, 180), vg.FillFlags.ConvexAA)
+        vg.strokePath(c, vg.Colors.White, 3.0, vg.StrokeFlags.RoundRoundAA)
+
+    sizes = [(256, 128), (320, 160)]
+    scenes = [scene_a, scene_b]
+    refs = []
+    for (w, h), fn in zip(sizes, scenes):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, w, h, 1.0)
+        fn(ctx)
+        vg.end(ctx, background=BG)
+        refs.append(np.asarray(ctx.frame_image))
+
+    ctxs = []
+    for (w, h), fn in zip(sizes, scenes):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, w, h, 1.0)
+        fn(ctx)
+        out = vg.end(ctx, background=BG, dispatch=False)
+        assert out is None and ctx.frame_image is None
+        ctxs.append(ctx)
+    imgs = vg.renderFrames(ctxs)
+    for ctx, img, ref, (w, h) in zip(ctxs, imgs, refs, sizes):
+        assert np.asarray(img).shape == (h, w, 4)
+        assert ctx.frame_image is img
+        np.testing.assert_allclose(np.asarray(img), ref, atol=3e-6)
+
+
+def test_render_frames_requires_resident_plan():
+    ctx = vg.createContext()
+    with pytest.raises(ValueError, match="resident"):
+        vg.renderFrames([ctx])
+
+
+# ---------------------------------------------------------------------------
 # fuzz: random structure, per-variant colors
 # ---------------------------------------------------------------------------
 

@@ -275,7 +275,7 @@ class Context:
         self._block_merge_once = False
         self._path_xf = None
 
-    def end(self, background=None):
+    def end(self, background=None, dispatch=True):
         """Bin + execute the frame on device; returns premultiplied (H,W,4).
 
         Frame memoization (the TPU analogue of the reference's tessellation
@@ -283,7 +283,12 @@ class Context:
         previous frame's — the dominant 'dynamic' pattern is an app
         re-recording a mostly-static scene — binning, texture sampling and
         upload are skipped and the resident device plan re-renders
-        (`ContextConfig.frame_memo`, default on)."""
+        (`ContextConfig.frame_memo`, default on).
+
+        dispatch=False prepares the resident plan (fingerprint/memo/patch or
+        full bin+upload) but skips the device render and returns None — the
+        multi-canvas pattern: end(dispatch=False) each context, then ONE
+        renderFrames(ctxs) dispatch for all of them."""
         if background is not None:
             self.background = tuple(background)
         prof = self.profiler
@@ -297,11 +302,14 @@ class Context:
             and fp == last_fp
             and self.last_device_arrays is not None
         ):
-            with prof.stage("device_dispatch"):
-                self.frame_image = execute_plan(
-                    self.last_plan, background=self.background,
-                    device_arrays=self.last_device_arrays,
-                )
+            if dispatch:
+                with prof.stage("device_dispatch"):
+                    self.frame_image = execute_plan(
+                        self.last_plan, background=self.background,
+                        device_arrays=self.last_device_arrays,
+                    )
+            else:
+                self.frame_image = None
             prof.count("memo_hits", 1)
             prof.frame_done()
             return self.frame_image
@@ -318,11 +326,14 @@ class Context:
                 patched = self._value_only_update(last_fp, fp)
             if patched:
                 self._last_frame_fp = fp
-                with prof.stage("device_dispatch"):
-                    self.frame_image = execute_plan(
-                        self.last_plan, background=self.background,
-                        device_arrays=self.last_device_arrays,
-                    )
+                if dispatch:
+                    with prof.stage("device_dispatch"):
+                        self.frame_image = execute_plan(
+                            self.last_plan, background=self.background,
+                            device_arrays=self.last_device_arrays,
+                        )
+                else:
+                    self.frame_image = None
                 prof.count("memo_paint_hits", 1)
                 prof.frame_done()
                 return self.frame_image
@@ -351,10 +362,14 @@ class Context:
         with prof.stage("upload"):
             self.last_device_arrays = plan_to_device(plan, profiler=prof)
         self._last_frame_fp = fp
-        with prof.stage("device_dispatch"):
-            self.frame_image = execute_plan(
-                plan, background=self.background, device_arrays=self.last_device_arrays
-            )
+        if dispatch:
+            with prof.stage("device_dispatch"):
+                self.frame_image = execute_plan(
+                    plan, background=self.background,
+                    device_arrays=self.last_device_arrays,
+                )
+        else:
+            self.frame_image = None
         prof.count("ops", len(self.ops))
         prof.count("entries", plan.stats.get("entries", 0))
         prof.count("chunks", plan.stats.get("chunks", 0))
@@ -1471,8 +1486,32 @@ def begin(ctx, view_id, w, h, dpr=1.0):
     ctx.begin(view_id, w, h, dpr)
 
 
-def end(ctx, background=None):
-    return ctx.end(background)
+def end(ctx, background=None, dispatch=True):
+    return ctx.end(background, dispatch=dispatch)
+
+
+def renderFrames(ctxs, backgrounds=None):
+    """Render several contexts' resident frames as ONE device dispatch.
+
+    The multi-canvas serving pattern (no reference analogue — bgfx submits
+    one frame at a time): record each canvas through its own context and
+    `end(ctx, dispatch=False)`, then call this once.  Each context's
+    `frame_image` is assigned and the image tuple returned; scenes may
+    differ arbitrarily (geometry, size, config) — unlike VariantBatch,
+    nothing is shared, only the dispatch is fused."""
+    from vgtpu.raster.frame import execute_plans
+
+    if backgrounds is None:
+        backgrounds = [c.background for c in ctxs]
+    for c in ctxs:
+        if c.last_plan is None or c.last_device_arrays is None:
+            raise ValueError("renderFrames needs resident plans: call "
+                             "end(ctx, dispatch=False) on every context first")
+    imgs = execute_plans(
+        [(c.last_plan, c.last_device_arrays) for c in ctxs], backgrounds)
+    for c, img in zip(ctxs, imgs):
+        c.frame_image = img
+    return imgs
 
 
 def frame(ctx):

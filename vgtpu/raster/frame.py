@@ -85,17 +85,13 @@ def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
-                     "height", "bucket_flags", "ss"),
-)
-def _frame_fn(
+def _frame_body(
     chunk_pools, entry_backdrop, d, background,
     *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
     ss=1,
 ):
-    """The whole device frame in ONE compiled program."""
+    """The whole device frame (unjitted body — _frame_fn compiles it alone;
+    execute_plans compiles several plans' bodies into one program)."""
     if d.get("pop") is not None:
         # dedup upload: expand the compact per-pseudo-op tables to the dense
         # per-entry arrays + per-bucket params with on-device gathers (the
@@ -130,6 +126,23 @@ def _frame_fn(
                           tile_w=tile_w, width=width, height=height)
 
 
+_frame_fn = functools.partial(
+    jax.jit,
+    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
+                     "height", "bucket_flags", "ss"),
+)(_frame_body)
+
+
+@functools.partial(jax.jit, static_argnames=("statics_t",))
+def _frames_fn(groups, backgrounds, *, statics_t):
+    """K independent resident frames compiled into ONE program (multi-canvas
+    serving): K eager dispatches through the tunnel cost ~1 ms each, one
+    fused dispatch costs one."""
+    return tuple(
+        _frame_body(pools, ebd, d, bg, **dict(st))
+        for (pools, ebd, d), bg, st in zip(groups, backgrounds, statics_t))
+
+
 _COMPOSITE_KEYS = (
     "tile_buckets", "entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
     "entry_paint", "entry_scissor", "entry_color_tile", "color_tiles",
@@ -155,6 +168,30 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays
         width=plan.width, height=plan.height,
         bucket_flags=d["bucket_flags"], ss=plan.supersample,
     )
+
+
+def _plan_statics(plan: FramePlan, d: dict) -> tuple:
+    return tuple(sorted(dict(
+        num_entries=d["chunk_entry_num"], ntx=plan.ntx, nty=plan.nty,
+        tile_h=plan.tile_h, tile_w=plan.tile_w,
+        width=plan.width, height=plan.height,
+        bucket_flags=d["bucket_flags"], ss=plan.supersample,
+    ).items()))
+
+
+def execute_plans(plans_arrays, backgrounds) -> tuple:
+    """Render K resident (plan, device_arrays) pairs as ONE device program
+    -> tuple of (H_k, W_k, 4) images.  The multi-canvas serving analogue of
+    execute_plan: the scenes are independent (different geometry, sizes,
+    configs), but fusing their dispatch amortizes the per-dispatch tunnel
+    cost, and XLA schedules the K pipelines together."""
+    groups, bgs, statics = [], [], []
+    for (plan, d), bg in zip(plans_arrays, backgrounds):
+        groups.append((d["chunk_pools"], d["entry_backdrop"],
+                       composite_arrays(d)))
+        bgs.append(jnp.asarray(np.asarray(bg, np.float32)))
+        statics.append(_plan_statics(plan, d))
+    return _frames_fn(tuple(groups), tuple(bgs), statics_t=tuple(statics))
 
 
 def plan_to_device(plan: FramePlan, profiler=None) -> dict:
