@@ -281,6 +281,32 @@ def test_render_frames_requires_resident_plan():
         vg.renderFrames([ctx])
 
 
+def test_render_frames_rejects_stale_plan():
+    """begin() without end() leaves the resident plan stale — serving the
+    previous frame silently would be a correctness trap."""
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 5, 5, 40, 30)
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.Convex)
+    vg.end(ctx, background=BG, dispatch=False)
+    vg.renderFrames([ctx])          # fine: prepared
+    vg.begin(ctx, 0, 128, 64, 1.0)  # new recording, no end(): STALE
+    with pytest.raises(ValueError, match="STALE"):
+        vg.renderFrames([ctx])
+
+
+def test_render_frames_backgrounds_length_checked():
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 128, 64, 1.0)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 5, 5, 40, 30)
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.Convex)
+    vg.end(ctx, background=BG, dispatch=False)
+    with pytest.raises(ValueError, match="backgrounds"):
+        vg.renderFrames([ctx], backgrounds=[BG, BG])
+
+
 # ---------------------------------------------------------------------------
 # fuzz: random structure, per-variant colors
 # ---------------------------------------------------------------------------

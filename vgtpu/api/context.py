@@ -224,6 +224,7 @@ class Context:
         self.frame_image = None      # premultiplied (H,W,4) device array after end()
         self.last_plan = None
         self.last_device_arrays = None
+        self._frame_prepared = False
         self.background = (1.0, 1.0, 1.0, 1.0)
 
         # command lists
@@ -274,6 +275,7 @@ class Context:
         self._active_cl = None
         self._block_merge_once = False
         self._path_xf = None
+        self._frame_prepared = False   # set by end(); renderFrames guard
 
     def end(self, background=None, dispatch=True):
         """Bin + execute the frame on device; returns premultiplied (H,W,4).
@@ -291,6 +293,7 @@ class Context:
         renderFrames(ctxs) dispatch for all of them."""
         if background is not None:
             self.background = tuple(background)
+        self._frame_prepared = True
         prof = self.profiler
         with prof.stage("fingerprint"):
             # before geometry finalization: memo hits skip the native
@@ -302,14 +305,7 @@ class Context:
             and fp == last_fp
             and self.last_device_arrays is not None
         ):
-            if dispatch:
-                with prof.stage("device_dispatch"):
-                    self.frame_image = execute_plan(
-                        self.last_plan, background=self.background,
-                        device_arrays=self.last_device_arrays,
-                    )
-            else:
-                self.frame_image = None
+            self._maybe_dispatch(prof, dispatch)
             prof.count("memo_hits", 1)
             prof.frame_done()
             return self.frame_image
@@ -326,14 +322,7 @@ class Context:
                 patched = self._value_only_update(last_fp, fp)
             if patched:
                 self._last_frame_fp = fp
-                if dispatch:
-                    with prof.stage("device_dispatch"):
-                        self.frame_image = execute_plan(
-                            self.last_plan, background=self.background,
-                            device_arrays=self.last_device_arrays,
-                        )
-                else:
-                    self.frame_image = None
+                self._maybe_dispatch(prof, dispatch)
                 prof.count("memo_paint_hits", 1)
                 prof.frame_done()
                 return self.frame_image
@@ -362,19 +351,24 @@ class Context:
         with prof.stage("upload"):
             self.last_device_arrays = plan_to_device(plan, profiler=prof)
         self._last_frame_fp = fp
-        if dispatch:
-            with prof.stage("device_dispatch"):
-                self.frame_image = execute_plan(
-                    plan, background=self.background,
-                    device_arrays=self.last_device_arrays,
-                )
-        else:
-            self.frame_image = None
+        self._maybe_dispatch(prof, dispatch)
         prof.count("ops", len(self.ops))
         prof.count("entries", plan.stats.get("entries", 0))
         prof.count("chunks", plan.stats.get("chunks", 0))
         prof.frame_done()
         return self.frame_image
+
+    def _maybe_dispatch(self, prof, dispatch: bool):
+        """Render the resident plan (or leave frame_image None when the
+        caller defers to a fused renderFrames dispatch)."""
+        if dispatch:
+            with prof.stage("device_dispatch"):
+                self.frame_image = execute_plan(
+                    self.last_plan, background=self.background,
+                    device_arrays=self.last_device_arrays,
+                )
+        else:
+            self.frame_image = None
 
     def _frame_fingerprint(self):
         """Content fingerprint of the recorded frame: per-op scalar fields +
@@ -1499,18 +1493,33 @@ def renderFrames(ctxs, backgrounds=None):
     `frame_image` is assigned and the image tuple returned; scenes may
     differ arbitrarily (geometry, size, config) — unlike VariantBatch,
     nothing is shared, only the dispatch is fused."""
+    import time as _time
+
     from vgtpu.raster.frame import execute_plans
 
+    ctxs = list(ctxs)
     if backgrounds is None:
         backgrounds = [c.background for c in ctxs]
+    elif len(backgrounds) != len(ctxs):
+        raise ValueError(f"backgrounds has {len(backgrounds)} entries for "
+                         f"{len(ctxs)} contexts")
     for c in ctxs:
         if c.last_plan is None or c.last_device_arrays is None:
             raise ValueError("renderFrames needs resident plans: call "
                              "end(ctx, dispatch=False) on every context first")
+        if not c._frame_prepared:
+            raise ValueError("a context was begun but not ended this frame: "
+                             "its resident plan is STALE — call "
+                             "end(ctx, dispatch=False) before renderFrames")
+    t0 = _time.perf_counter()
     imgs = execute_plans(
         [(c.last_plan, c.last_device_arrays) for c in ctxs], backgrounds)
+    dt = (_time.perf_counter() - t0) * 1e3
     for c, img in zip(ctxs, imgs):
         c.frame_image = img
+        # the fused dispatch is shared: each profiler records the TOTAL under
+        # its own stage name (per-context attribution is not meaningful)
+        c.profiler.times_ms["fused_dispatch"] += dt
     return imgs
 
 

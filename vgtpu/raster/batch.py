@@ -363,7 +363,9 @@ class VariantBatch:
         for k, fn in enumerate(draw_fns):
             ctx.begin(0, width, height, dpr)
             fn(ctx)
-            ctx.end(background=background)
+            # the bake needs only the resident plan + paint tables; skip the
+            # K per-variant device renders (their images are never read)
+            ctx.end(background=background, dispatch=False)
             plan = ctx.last_plan
             if k == 0:
                 plan0, d0 = plan, ctx.last_device_arrays

@@ -137,10 +137,11 @@ _frame_fn = functools.partial(
 def _frames_fn(groups, backgrounds, *, statics_t):
     """K independent resident frames compiled into ONE program (multi-canvas
     serving): K eager dispatches through the tunnel cost ~1 ms each, one
-    fused dispatch costs one."""
+    fused dispatch costs one.  backgrounds: one (K, 4) array (a single
+    upload; K separate puts would eat the saving)."""
     return tuple(
-        _frame_body(pools, ebd, d, bg, **dict(st))
-        for (pools, ebd, d), bg, st in zip(groups, backgrounds, statics_t))
+        _frame_body(pools, ebd, d, backgrounds[i], **dict(st))
+        for i, ((pools, ebd, d), st) in enumerate(zip(groups, statics_t)))
 
 
 _COMPOSITE_KEYS = (
@@ -156,21 +157,10 @@ def composite_arrays(d: dict) -> dict:
     return {k: d[k] for k in _COMPOSITE_KEYS if k in d}
 
 
-def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
-    """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
-    d = device_arrays if device_arrays is not None else plan_to_device(plan)
-    return _frame_fn(
-        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
-        jnp.asarray(np.asarray(background, np.float32)),
-        num_entries=d["chunk_entry_num"],
-        ntx=plan.ntx, nty=plan.nty,
-        tile_h=plan.tile_h, tile_w=plan.tile_w,
-        width=plan.width, height=plan.height,
-        bucket_flags=d["bucket_flags"], ss=plan.supersample,
-    )
-
-
 def _plan_statics(plan: FramePlan, d: dict) -> tuple:
+    """The frame body's static kwargs as a hashable sorted tuple — the ONE
+    definition shared by execute_plan and execute_plans (drift between the
+    two paths would make fused renders diverge from single renders)."""
     return tuple(sorted(dict(
         num_entries=d["chunk_entry_num"], ntx=plan.ntx, nty=plan.nty,
         tile_h=plan.tile_h, tile_w=plan.tile_w,
@@ -179,19 +169,34 @@ def _plan_statics(plan: FramePlan, d: dict) -> tuple:
     ).items()))
 
 
+def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
+    """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
+    d = device_arrays if device_arrays is not None else plan_to_device(plan)
+    return _frame_fn(
+        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
+        jnp.asarray(np.asarray(background, np.float32)),
+        **dict(_plan_statics(plan, d)),
+    )
+
+
 def execute_plans(plans_arrays, backgrounds) -> tuple:
     """Render K resident (plan, device_arrays) pairs as ONE device program
     -> tuple of (H_k, W_k, 4) images.  The multi-canvas serving analogue of
     execute_plan: the scenes are independent (different geometry, sizes,
     configs), but fusing their dispatch amortizes the per-dispatch tunnel
     cost, and XLA schedules the K pipelines together."""
-    groups, bgs, statics = [], [], []
-    for (plan, d), bg in zip(plans_arrays, backgrounds):
+    plans_arrays = list(plans_arrays)
+    backgrounds = list(backgrounds)
+    if len(backgrounds) != len(plans_arrays):
+        raise ValueError(f"{len(backgrounds)} backgrounds for "
+                         f"{len(plans_arrays)} plans")
+    groups, statics = [], []
+    for plan, d in plans_arrays:
         groups.append((d["chunk_pools"], d["entry_backdrop"],
                        composite_arrays(d)))
-        bgs.append(jnp.asarray(np.asarray(bg, np.float32)))
         statics.append(_plan_statics(plan, d))
-    return _frames_fn(tuple(groups), tuple(bgs), statics_t=tuple(statics))
+    bgs = jnp.asarray(np.asarray(backgrounds, np.float32))   # one (K,4) put
+    return _frames_fn(tuple(groups), bgs, statics_t=tuple(statics))
 
 
 def plan_to_device(plan: FramePlan, profiler=None) -> dict:
