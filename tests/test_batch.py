@@ -78,16 +78,31 @@ def test_folded_batch_matches_per_frame():
 
 def test_fused_batch_matches_per_frame(monkeypatch):
     """Fused Pallas batch path (lane-axis folding), interpret mode off-TPU:
-    force the fused aux build and compare against the per-frame oracles."""
+    force the fused aux build and compare against the per-frame oracles;
+    then update_values and re-check (the fused value-plane rebuild)."""
     from vgtpu.raster import frame as frame_mod
 
     monkeypatch.setattr(frame_mod, "_fused_platform", lambda: True)
-    vb = _bake()
+    ctx = vg.createContext()
+    font = _fresh_font(ctx)
+    vb = VariantBatch.bake(
+        ctx, [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS],
+        W, H, background=BG)
     assert vb._mode == "fused"
     imgs = np.asarray(vb.render(background=BG))
     for k, ref in enumerate(_oracles()):
         np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
                                    err_msg=f"variant {k}")
+    vb.update_values(
+        [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS2])
+    imgs = np.asarray(vb.render(background=BG))
+    for k, p in enumerate(VARIANTS2):
+        c2 = vg.createContext()
+        vg.begin(c2, 0, W, H, 1.0)
+        _draw_variant(c2, _fresh_font(c2), p)
+        vg.end(c2, background=BG)
+        np.testing.assert_allclose(imgs[k], np.asarray(c2.frame_image),
+                                   atol=3e-6, err_msg=f"variant {k}")
 
 
 def test_structural_variant_raises():
@@ -156,6 +171,70 @@ def test_chained_measure_runs():
     vb = _bake()
     ms = measure_batch_ms_per_frame(vb, background=BG, reps_hi=3, reps_lo=1)
     assert np.isfinite(ms)
+
+
+VARIANTS2 = [
+    dict(rect_col=(30, 30, 200, 160), circ_col=(10, 250, 110, 255)),
+    dict(rect_col=(180, 180, 40, 160), circ_col=(250, 10, 110, 255),
+         grad=((250, 250, 60, 255), (60, 250, 250, 255))),
+    dict(rect_col=(90, 90, 90, 160), circ_col=(250, 250, 250, 255),
+         stroke_col=(40, 40, 220, 255)),
+]
+
+
+def test_update_values_refreshes_in_place():
+    """The per-tick serving loop: update_values swaps the K variants' paint
+    values without rebuilding static tables; render matches fresh oracles,
+    and the sharded path re-uploads the new values."""
+    import jax
+
+    ctx = vg.createContext()
+    font = _fresh_font(ctx)
+    vb = VariantBatch.bake(
+        ctx, [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS],
+        W, H, background=BG)
+    if len(jax.devices()) >= 2:
+        mesh = jax.make_mesh((len(jax.devices()),), ("variants",))
+        np.asarray(vb.render_sharded(mesh, background=BG))  # prime cache
+    else:
+        mesh = None
+
+    vb.update_values(
+        [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS2])
+    refs = []
+    for p in VARIANTS2:
+        c2 = vg.createContext()
+        vg.begin(c2, 0, W, H, 1.0)
+        _draw_variant(c2, _fresh_font(c2), p)
+        vg.end(c2, background=BG)
+        refs.append(np.asarray(c2.frame_image))
+    imgs = np.asarray(vb.render(background=BG))
+    for k, ref in enumerate(refs):
+        np.testing.assert_allclose(imgs[k], ref, atol=3e-6,
+                                   err_msg=f"variant {k}")
+    if mesh is not None:
+        sh = np.asarray(vb.render_sharded(mesh, background=BG))
+        for k, ref in enumerate(refs):
+            np.testing.assert_allclose(sh[k], ref, atol=3e-6,
+                                       err_msg=f"sharded variant {k}")
+
+
+def test_update_values_rejects_structural_delta():
+    ctx = vg.createContext()
+    font = _fresh_font(ctx)
+    vb = VariantBatch.bake(
+        ctx, [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS],
+        W, H, background=BG)
+
+    def structural(c):
+        _draw_variant(c, font, VARIANTS[0])
+        vg.beginPath(c)
+        vg.circle(c, 77, 77, 9)
+        vg.fillPath(c, vg.Colors.Red, vg.FillFlags.ConvexAA)
+
+    good = [lambda c, p=p: _draw_variant(c, font, p) for p in VARIANTS]
+    with pytest.raises(ValueError, match="structure"):
+        vb.update_values([good[0], structural, good[2]])
 
 
 def test_batch_supersample_matches_per_frame():

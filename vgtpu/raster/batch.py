@@ -330,6 +330,40 @@ def _make_sharded_batch_fn(mesh, axis, n_pools, n_buckets, statics):
 # public API
 # --------------------------------------------------------------------------
 
+def _record_snaps(ctx, draw_fns, width, height, dpr, background,
+                  expect_plan=None, expect_d=None):
+    """Record the K variants through the ordinary API and snapshot the
+    value tables after each frame.  Every frame after the first (or ALL
+    frames, when re-recording against an existing bake via expect_plan)
+    must leave the resident plan object untouched — i.e. hit the memo or
+    paint-value-patch path — or ValueError."""
+    snaps = []
+    plan0, d0 = expect_plan, expect_d
+    for k, fn in enumerate(draw_fns):
+        ctx.begin(0, width, height, dpr)
+        fn(ctx)
+        # only the resident plan + paint tables are needed; skip the K
+        # per-variant device renders (their images are never read)
+        ctx.end(background=background, dispatch=False)
+        plan = ctx.last_plan
+        if plan0 is None:
+            plan0, d0 = plan, ctx.last_device_arrays
+        elif plan is not plan0 or ctx.last_device_arrays is not d0:
+            raise ValueError(
+                f"variant {k} changed the frame structure (geometry, "
+                "draw order, clips, texture topology or an opacity "
+                "class); only paint/texture VALUES may differ")
+        ct = plan.color_tiles
+        snaps.append({
+            "entry_paint": plan.entry_paint.copy(),
+            "pop_paint": (None if plan.pop is None
+                          else plan.pop["paint"].copy()),
+            "color_tiles": (ct.copy() if isinstance(ct, np.ndarray)
+                            else ct),
+        })
+    return plan0, d0, snaps
+
+
 class VariantBatch:
     """K baked value-variants of one structural plan; render() produces all
     K frames in one device dispatch -> (K, H, W, 4) premultiplied f32."""
@@ -341,6 +375,9 @@ class VariantBatch:
         self._statics = statics
         self._plan = None     # host plan + snapshots, kept for render_sharded
         self._snaps = None
+        self._d = None        # resident device arrays (fused value rebuilds)
+        self._fused = None    # static fused tables kept for update_values
+        self._record = None   # (ctx, w, h, dpr, background) from bake
 
     @staticmethod
     def bake(ctx, draw_fns, width: int, height: int, dpr: float = 1.0,
@@ -358,31 +395,11 @@ class VariantBatch:
             raise ValueError("VariantBatch.bake requires frame_memo and "
                              "paint_memo enabled (they gate the value-patch "
                              "path the bake snapshots)")
-        snaps = []
-        plan0 = d0 = None
-        for k, fn in enumerate(draw_fns):
-            ctx.begin(0, width, height, dpr)
-            fn(ctx)
-            # the bake needs only the resident plan + paint tables; skip the
-            # K per-variant device renders (their images are never read)
-            ctx.end(background=background, dispatch=False)
-            plan = ctx.last_plan
-            if k == 0:
-                plan0, d0 = plan, ctx.last_device_arrays
-            elif plan is not plan0 or ctx.last_device_arrays is not d0:
-                raise ValueError(
-                    f"variant {k} changed the frame structure (geometry, "
-                    "draw order, clips, texture topology or an opacity "
-                    "class); only paint/texture VALUES may differ")
-            ct = plan.color_tiles
-            snaps.append({
-                "entry_paint": plan.entry_paint.copy(),
-                "pop_paint": (None if plan.pop is None
-                              else plan.pop["paint"].copy()),
-                "color_tiles": (ct.copy() if isinstance(ct, np.ndarray)
-                                else ct),
-            })
-        return VariantBatch._build(plan0, d0, snaps)
+        plan0, d0, snaps = _record_snaps(ctx, draw_fns, width, height, dpr,
+                                         background)
+        vb = VariantBatch._build(plan0, d0, snaps)
+        vb._record = (ctx, width, height, dpr, background)
+        return vb
 
     @staticmethod
     def _build(plan, d, snaps) -> "VariantBatch":
@@ -424,14 +441,51 @@ class VariantBatch:
             args = (d["chunk_pools"], d["cov_map"], dev["te"], dev["ids"],
                     dev["pteb"], params, cts)
             vb = VariantBatch(K, "fused", args, statics)
+            vb._fused = dict(dev_te=dev["te"], ctile_list=ctile_list,
+                             pads=pads, ct_flags=ct_flags)
         else:
             tabs = _host_folded_tables(plan, snaps)
             tabs_dev = jax.device_put(tabs)
             statics["num_entries"] = plan.entry_backdrop.shape[0]
             args = (d["chunk_pools"], d["entry_backdrop"], tabs_dev)
             vb = VariantBatch(K, "folded", args, statics)
-        vb._plan, vb._snaps = plan, snaps
+        vb._plan, vb._snaps, vb._d = plan, snaps, d
         return vb
+
+    def update_values(self, draw_fns) -> None:
+        """Refresh the K variants' VALUES in place — the per-tick serving
+        loop.  Re-records each variant (every frame must hit the memo or
+        paint-value-patch path against the baked structure, else ValueError)
+        and rebuilds only the value planes: the static tables (coverage
+        gather maps, entry/scatter tables, compiled programs) are reused, so
+        a tick costs K records + one value bake instead of a full rebake."""
+        if self._record is None:
+            raise ValueError("update_values needs a bake()-built batch")
+        draw_fns = list(draw_fns)
+        if len(draw_fns) != self.K:
+            raise ValueError(f"{len(draw_fns)} draw_fns for K={self.K}")
+        ctx, w, h, dpr, bg = self._record
+        _plan, _d, snaps = _record_snaps(ctx, draw_fns, w, h, dpr, bg,
+                                         expect_plan=self._plan,
+                                         expect_d=self._d)
+        self._snaps = snaps
+        if self._mode == "fused":
+            f, d, st = self._fused, self._d, self._statics
+            cts_in = (tuple(jnp.asarray(s["color_tiles"], jnp.float32)
+                            for s in snaps) if any(f["ct_flags"]) else None)
+            paints = jax.device_put(tuple(s["pop_paint"] for s in snaps))
+            params, cts = _bake_fused_values(
+                paints, cts_in, d["pop"], d["entry_pop"],
+                d["entry_color_tile"], d["entry_tile"], d["entry_backdrop"],
+                f["dev_te"], f["ctile_list"],
+                tile_h=st["tile_h"], tile_w=st["tile_w"], ntx=st["ntx"],
+                ss=st["ss"], pads=f["pads"], ct_flags=f["ct_flags"])
+            self._args = self._args[:5] + (params, cts)
+        else:
+            tabs = _host_folded_tables(self._plan, snaps)
+            self._args = self._args[:2] + (jax.device_put(tabs),)
+        for entry in (getattr(self, "_sharded_fns", None) or {}).values():
+            entry["ep"] = entry["ct"] = None   # re-upload on next render
 
     def render(self, background=(0.0, 0.0, 0.0, 1.0)) -> jax.Array:
         """All K variant frames in one dispatch -> (K, H, W, 4)."""
@@ -467,12 +521,6 @@ class VariantBatch:
             cache = self._sharded_fns = {}
         entry = cache.get(key)
         if entry is None:
-            n = mesh.devices.size
-            Kp = -(-self.K // n) * n
-            snaps_p = list(snaps) + [snaps[-1]] * (Kp - self.K)
-            ep_K = np.stack([s["entry_paint"] for s in snaps_p])
-            ct_K = np.stack([np.asarray(s["color_tiles"], np.float32)
-                             for s in snaps_p])
             host_repl = dict(
                 pools=tuple((np.asarray(ce), np.asarray(cent))
                             for ce, cent in plan.chunk_pools),
@@ -483,23 +531,33 @@ class VariantBatch:
                 buckets=tuple((te, ids)
                               for te, ids, _fl in plan.tile_buckets),
             )
-            r = jax.device_put(host_repl, repl)
-            ep_K, ct_K = jax.device_put((ep_K, ct_K),
-                                        NamedSharding(mesh, P(axis)))
             statics = dict(
                 num_entries=plan.entry_backdrop.shape[0],
                 tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
                 nty=plan.nty, width=plan.width, height=plan.height,
                 bucket_flags=tuple(fl for _te, _ids, fl in plan.tile_buckets),
                 ss=plan.supersample)
-            fn = _make_sharded_batch_fn(
-                mesh, axis, len(host_repl["pools"]),
-                len(host_repl["buckets"]), statics)
-            entry = cache[key] = (fn, r, ep_K, ct_K)
-        fn, r, ep_K, ct_K = entry
+            entry = cache[key] = {
+                "fn": _make_sharded_batch_fn(
+                    mesh, axis, len(host_repl["pools"]),
+                    len(host_repl["buckets"]), statics),
+                "r": jax.device_put(host_repl, repl),
+                "ep": None, "ct": None,   # value tables upload lazily
+            }
+        if entry["ep"] is None:
+            n = mesh.devices.size
+            Kp = -(-self.K // n) * n
+            snaps_p = list(snaps) + [snaps[-1]] * (Kp - self.K)
+            ep_K = np.stack([s["entry_paint"] for s in snaps_p])
+            ct_K = np.stack([np.asarray(s["color_tiles"], np.float32)
+                             for s in snaps_p])
+            entry["ep"], entry["ct"] = jax.device_put(
+                (ep_K, ct_K), NamedSharding(mesh, P(axis)))
+        fn, r = entry["fn"], entry["r"]
         bg = jax.device_put(np.asarray(background, np.float32), repl)
         out = fn(r["pools"], r["ebd"], r["ek"], r["er"], r["ea"], r["epk"],
-                 r["esc"], r["ect"], r["buckets"], ep_K, ct_K, bg)
+                 r["esc"], r["ect"], r["buckets"], entry["ep"], entry["ct"],
+                 bg)
         # all-gather the variant-sharded stack before dropping the pad frames
         # (slicing across the sharded axis is ambiguous for GSPMD)
         return jax.device_put(out, repl)[: self.K]
