@@ -67,6 +67,27 @@ def main() -> None:
     ms = vg.measure_batch_ms_per_frame(vb, background=BG)
     print(f"chained throughput: {ms:.3f} ms per variant frame")
 
+    # the per-tick serving loop: refresh the K variants' VALUES in place
+    # (statics + compiled programs reused), then render the new burst
+    t0 = time.perf_counter()
+    vb.update_values([lambda c, k=k: draw(c, 0.35 * k + 1.7)
+                      for k in range(K)])
+    imgs = np.asarray(vb.render(background=BG))
+    print(f"update_values tick (K records + value bake + render): "
+          f"{time.perf_counter() - t0:.3f} s")
+
+    # multi-canvas: two UNRELATED contexts fused into one dispatch
+    ctx_a, ctx_b = vg.createContext(), vg.createContext()
+    vg.begin(ctx_a, 0, 320, 180, 1.0)
+    draw(ctx_a, 0.2)
+    vg.end(ctx_a, background=BG, dispatch=False)
+    vg.begin(ctx_b, 0, 480, 270, 1.0)
+    draw(ctx_b, 2.9)
+    vg.end(ctx_b, background=BG, dispatch=False)
+    a, b = vg.renderFrames([ctx_a, ctx_b])
+    print(f"renderFrames fused 2 canvases: {np.asarray(a).shape} "
+          f"+ {np.asarray(b).shape}")
+
     try:
         from PIL import Image
 
