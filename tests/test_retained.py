@@ -106,6 +106,27 @@ def test_pan_pallas_path_matches_direct():
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def test_render_views_matches_per_view():
+    """Multi-view serving (minimap/main-view, K pan clients): V viewports in
+    one dispatch must each match their single-view render."""
+    scene = _bake()
+    stack = np.asarray(scene.render_views(VIEWS))
+    assert stack.shape[0] == len(VIEWS)
+    for k, view in enumerate(VIEWS):
+        np.testing.assert_allclose(stack[k], np.asarray(scene.render(*view)),
+                                   atol=2e-6, err_msg=f"view {view}")
+
+
+def test_render_views_pallas_matches_per_view():
+    scene = _bake()
+    views = [(37, 5), (-45, -13), (300, 100)]
+    stack = np.asarray(scene.render_views(views, use_pallas=True))
+    for k, view in enumerate(views):
+        np.testing.assert_allclose(
+            stack[k], np.asarray(scene.render(*view, use_pallas=True)),
+            atol=2e-6, err_msg=f"view {view}")
+
+
 def test_pan_off_scene_is_background():
     scene = _bake()
     img = np.asarray(scene.render(5000, 5000))

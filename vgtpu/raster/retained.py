@@ -369,12 +369,39 @@ class RetainedScene:
         return _render_pan(
             self.d, self.background,
             np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
+            **self._pan_statics(use_pallas),
+        )
+
+    def _pan_statics(self, use_pallas=None) -> dict:
+        tw, th = self.tile_w, self.tile_h
+        return dict(
             NTX=self.plan.ntx, NTY=self.plan.nty, th=th, tw=tw,
             ntx_o=-(-self.out_w // tw), nty_o=-(-self.out_h // th),
             out_w=self.out_w, out_h=self.out_h,
             bucket_flags=self.d["bucket_flags"],
             ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
             samp_meta=self.samp_meta, samp_nct=self.samp_nct,
+        )
+
+    def render_views(self, views, use_pallas: bool | None = None) -> jax.Array:
+        """V viewports of the scene in ONE device dispatch
+        -> (V, out_h, out_w, 4).  views: sequence of integer (view_x,
+        view_y) offsets, same semantics as render().  The multi-view
+        serving pattern (minimap + main view; K pan clients sharing one
+        resident scene): the scene stays resident, only 2V offset scalars
+        upload, and the per-dispatch cost is paid once."""
+        tw, th = self.tile_w, self.tile_h
+        offs = np.asarray([(int(x) + self.off[0], int(y) + self.off[1])
+                           for x, y in views], np.int64)
+        if offs.ndim != 2 or offs.shape[1] != 2:
+            raise ValueError("views must be (view_x, view_y) pairs")
+        vxs, rxs = np.divmod(offs[:, 0], tw)
+        vys, rys = np.divmod(offs[:, 1], th)
+        return _render_pan_views(
+            self.d, self.background,
+            vxs.astype(np.int32), vys.astype(np.int32),
+            rxs.astype(np.float32), rys.astype(np.int32),
+            **self._pan_statics(use_pallas),
         )
 
 
@@ -467,6 +494,32 @@ _render_pan = jax.jit(
                      "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
                      "samp_meta", "samp_nct"),
 )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
+                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
+                     "samp_meta", "samp_nct"),
+)
+def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
+                      ntx_o, nty_o, out_w, out_h, bucket_flags, ne,
+                      use_pallas=None, samp_meta=None, samp_nct=0):
+    """V viewports of one retained scene in ONE compiled dispatch
+    -> (V, out_h, out_w, 4).  A lax.scan over the traced offsets (scan, not
+    vmap: the Pallas composite runs unbatched per view, and the win here is
+    dispatch fusion — minimap+main-view UIs, K pan clients of one scene)."""
+    def one(carry, v):
+        vx, vy, rx, ry = v
+        img = _render_pan_body(
+            d, bg, vx, vy, rx, ry, NTX=NTX, NTY=NTY, th=th, tw=tw,
+            ntx_o=ntx_o, nty_o=nty_o, out_w=out_w, out_h=out_h,
+            bucket_flags=bucket_flags, ne=ne, use_pallas=use_pallas,
+            samp_meta=samp_meta, samp_nct=samp_nct)
+        return carry, img
+
+    _, imgs = jax.lax.scan(one, jnp.float32(0.0), (vxs, vys, rxs, rys))
+    return imgs
 
 
 @functools.partial(
