@@ -24,26 +24,32 @@ import vgtpu as vg  # noqa: E402
 from vgtpu.raster.retained import RetainedScene  # noqa: E402
 
 
-def main() -> None:
-    ctx = vg.createContext()
-    out_w, out_h = 960, 540
-    vg.begin(ctx, 0, out_w, out_h, 1.0)
+def _draw_scene(ctx, t: float = 0.0) -> None:
     # artwork larger than the viewport: the tiger plus surrounding cards
     from vgtpu.scenes.tiger import draw_tiger
 
     draw_tiger(ctx, 40, 40, 0.9)
+    ph = int(80 * (0.5 + 0.5 * np.sin(3.0 * t)))
     for i in range(6):
         x, y = 650 + (i % 2) * 220, 60 + (i // 2) * 220
         g = vg.createLinearGradient(ctx, x, y, x + 180, y + 180,
-                                    vg.color4ub(40 + 30 * i, 120, 255 - 30 * i, 255),
-                                    vg.color4ub(255, 160, 40, 255))
+                                    vg.color4ub(40 + 30 * i + ph, 120,
+                                                255 - 30 * i - ph, 255),
+                                    vg.color4ub(255, 160, 40 + ph, 255))
         vg.beginPath(ctx)
         vg.roundedRect(ctx, x, y, 180, 180, 18)
         vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
         vg.beginPath(ctx)
         vg.circle(ctx, x + 90, y + 90, 60)
-        vg.strokePath(ctx, vg.color4ub(255, 255, 255, 200), 4.0,
+        vg.strokePath(ctx, vg.color4ub(255 - ph, 255, 255, 200), 4.0,
                       vg.StrokeFlags.RoundRoundAA)
+
+
+def main() -> None:
+    ctx = vg.createContext()
+    out_w, out_h = 960, 540
+    vg.begin(ctx, 0, out_w, out_h, 1.0)
+    _draw_scene(ctx)
 
     t0 = time.perf_counter()
     scene = RetainedScene.bake(ctx, scene_width=1400, scene_height=800,
@@ -90,6 +96,20 @@ def main() -> None:
     ms = measure_pan_ms_per_frame(scene, reps_hi=32, reps_lo=2)
     print(f"pan render: {ms:.2f} ms/frame on {out_w}x{out_h} "
           f"({1e3 / ms:.0f} fps), all on device (chained loop)")
+
+    # multi-view serving: V viewports of the resident scene, one dispatch
+    stack = scene.render_views([(0, 0), (200, 60), (430, 170)])
+    print(f"render_views: {np.asarray(stack).shape} in one dispatch")
+
+    # pan + color animation: re-record with new colors, patch the values in
+    # place (plan, coverage chunks, compiled pan programs all reused)
+    t0 = time.perf_counter()
+    vg.begin(ctx, 0, out_w, out_h, 1.0)
+    _draw_scene(ctx, t=0.8)
+    scene.update_paint_values(ctx)
+    np.asarray(scene.render(200, 60))
+    print(f"paint-update tick (re-record + patch + render): "
+          f"{(time.perf_counter() - t0) * 1e3:.0f} ms")
 
 
 if __name__ == "__main__":

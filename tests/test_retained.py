@@ -106,6 +106,90 @@ def test_pan_pallas_path_matches_direct():
         np.testing.assert_allclose(got, want, atol=2e-4)
 
 
+def _scene_colored(ctx, card, star, g0, g1, stroke):
+    """_scene with parameterized solid/gradient VALUES (structure fixed)."""
+    vg.beginPath(ctx)
+    vg.roundedRect(ctx, 8, 8, 200, 120, 12)
+    vg.fillPath(ctx, vg.color4ub(*card), vg.FillFlags.ConvexAA)
+    pts = [(60 + 50 * np.cos(-np.pi / 2 + k * 4 * np.pi / 5),
+            70 + 50 * np.sin(-np.pi / 2 + k * 4 * np.pi / 5)) for k in range(5)]
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, *pts[0])
+    for p in pts[1:]:
+        vg.lineTo(ctx, *p)
+    vg.closePath(ctx)
+    vg.fillPath(ctx, vg.color4ub(*star), vg.FillFlags.ConcaveEvenOddAA)
+    g = vg.createLinearGradient(ctx, 220, 20, 360, 20,
+                                vg.color4ub(*g0), vg.color4ub(*g1))
+    vg.beginPath(ctx)
+    vg.rect(ctx, 220, 20, 140, 40)
+    vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 230, 90)
+    vg.cubicTo(ctx, 260, 60, 320, 140, 360, 100)
+    vg.strokePath(ctx, vg.color4ub(*stroke), 3.0, vg.StrokeFlags.RoundRoundAA)
+
+
+COLORS_A = dict(card=(40, 90, 160, 255), star=(250, 200, 40, 200),
+                g0=(255, 0, 80, 255), g1=(0, 220, 255, 255),
+                stroke=(240, 240, 240, 255))
+COLORS_B = dict(card=(160, 40, 90, 255), star=(40, 250, 160, 140),
+                g0=(80, 255, 0, 255), g1=(255, 0, 220, 255),
+                stroke=(20, 20, 220, 255))
+
+
+def test_update_paint_values_matches_fresh_bake():
+    """Pan + color animation: patching new solid/gradient values into a
+    retained scene must render exactly like a fresh bake of those values."""
+    bg = (0.1, 0.1, 0.12, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **COLORS_A)
+    scene = RetainedScene.bake(ctx, background=bg)
+    before = np.asarray(scene.render(37, 5))
+
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **COLORS_B)
+    scene.update_paint_values(ctx)
+
+    ctx2 = vg.createContext()
+    vg.begin(ctx2, 0, W, H, 1.0)
+    _scene_colored(ctx2, **COLORS_B)
+    want_scene = RetainedScene.bake(ctx2, background=bg)
+
+    for view in [(0, 0), (37, 5), (-45, -13)]:
+        got = np.asarray(scene.render(*view))
+        want = np.asarray(want_scene.render(*view))
+        np.testing.assert_allclose(got, want, atol=2e-6,
+                                   err_msg=f"view {view}")
+    assert np.abs(np.asarray(scene.render(37, 5)) - before).max() > 0.05
+    # the fused Pallas pan path reads the rebuilt base params
+    got = np.asarray(scene.render(37, 5, use_pallas=True))
+    want = np.asarray(want_scene.render(37, 5, use_pallas=True))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_update_paint_values_rejects_structure_and_opacity_flip():
+    bg = (0.1, 0.1, 0.12, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **COLORS_A)
+    scene = RetainedScene.bake(ctx, background=bg)
+
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **COLORS_A)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 300, 30, 9)
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.ConvexAA)
+    with pytest.raises(ValueError, match="structure"):
+        scene.update_paint_values(ctx)
+
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **dict(COLORS_A, card=(40, 90, 160, 120)))
+    with pytest.raises(ValueError, match="opacity"):
+        scene.update_paint_values(ctx)
+
+
 def test_render_views_matches_per_view():
     """Multi-view serving (minimap/main-view, K pan clients): V viewports in
     one dispatch must each match their single-view render."""

@@ -192,6 +192,7 @@ class RetainedScene:
         self.off = off          # baked-grid origin in view coords (tile-multiples)
         self.samp_meta = None   # sampling-group signature (textured scenes)
         self.samp_nct = 0
+        self._ops = None        # translated expanded ops (update_paint_values)
 
     @staticmethod
     def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
@@ -351,10 +352,95 @@ class RetainedScene:
             th=th, tw=tw, ntx=plan.ntx)
         scene = RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
                               off=(offx, offy))
+        scene._ops = ops
         if samp is not None:
             scene.samp_meta = samp["meta"]
             scene.samp_nct = samp["nct"]
         return scene
+
+    def update_paint_values(self, ctx) -> None:
+        """Patch solid/gradient paint VALUES into the baked scene — the
+        pan-plus-color-animation pattern (scrolling map with pulsing
+        markers).  Record the scene again through the same context (same
+        geometry, draw order, scissors, texture content; only solid/gradient
+        paint values may differ — the retained analogue of the frame path's
+        paint memo, Context._value_only_update), then call this instead of
+        re-baking: the binned plan, coverage chunks, sampling groups and
+        compiled pan programs are all reused; only the paint tables and the
+        bake-constant param planes refresh (~one jitted rebuild + a small
+        upload)."""
+        from vgtpu.raster.binning import (
+            K_DRAW,
+            P_GRADIENT,
+            P_SOLID,
+            expand_tri_batches,
+        )
+
+        if self._ops is None:
+            raise ValueError("this scene was baked without retained ops")
+
+        def same(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            return np.array_equal(np.asarray(a), np.asarray(b))
+
+        ctx._finalize_ops()
+        ops2 = expand_tri_batches(ctx.ops)
+        for op in ops2:
+            if isinstance(op.edges, list):
+                op.edges = np.concatenate(op.edges, axis=0)
+        ops2 = translate_ops(ops2, float(self.off[0]), float(self.off[1]))
+        old = self._ops
+        if len(ops2) != len(old):
+            raise ValueError(
+                f"scene structure changed: {len(old)} -> {len(ops2)} draws")
+        changed = []
+        for i, (a, b) in enumerate(zip(old, ops2)):
+            if (a.kind != b.kind or a.fill_rule != b.fill_rule
+                    or a.aa != b.aa or a.paint_kind != b.paint_kind
+                    or a.scissor != b.scissor or a.image_id != b.image_id
+                    or not same(a.edges, b.edges)
+                    or not same(a.tex_quads, b.tex_quads)
+                    or not same(a.tri_paints, b.tri_paints)):
+                raise ValueError(f"draw {i} changed structurally; only "
+                                 "solid/gradient paint values may differ")
+            if same(a.paint, b.paint):
+                continue
+            if not (a.kind == K_DRAW
+                    and a.paint_kind in (P_SOLID, P_GRADIENT)
+                    and a.paint is not None and b.paint is not None):
+                raise ValueError(
+                    f"draw {i}: only solid/gradient paint VALUES can be "
+                    "patched into a retained scene (texture/text tints need "
+                    "a re-bake)")
+            if (a.paint_kind == P_SOLID
+                    and (float(np.asarray(a.paint)[13]) >= 1.0)
+                    != (float(np.asarray(b.paint)[13]) >= 1.0)):
+                raise ValueError(
+                    f"draw {i}: opacity-class flip would invalidate the "
+                    "bake's view-invariant occlusion culling")
+            changed.append(i)
+        self._ops = ops2
+        if not changed:
+            return
+        plan = self.plan
+        lut = np.zeros((len(ops2), plan.entry_paint.shape[1]), np.float32)
+        for i in changed:
+            lut[i] = np.asarray(ops2[i].paint, np.float32)
+        eo = plan.entry_op
+        chmask = np.zeros(len(ops2), bool)
+        chmask[changed] = True
+        mask = (eo >= 0) & chmask[np.clip(eo, 0, len(ops2) - 1)]
+        plan.entry_paint[mask] = lut[eo[mask]]
+        d = self.d
+        d["entry_paint"] = jax.device_put(plan.entry_paint)
+        d["bucket_params_base"] = _bake_base_params(
+            tuple(te for te, _ids in d["tile_buckets"]),
+            d["entry_kind"], d["entry_rule"], d["entry_aa"],
+            d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
+            d["entry_color_tile"], d["entry_tile"],
+            plan.entry_backdrop.shape[0],
+            th=self.tile_h, tw=self.tile_w, ntx=plan.ntx)
 
     def render(self, view_x: int = 0, view_y: int = 0,
                use_pallas: bool | None = None) -> jax.Array:
