@@ -33,8 +33,10 @@ def _draw_scene(ctx, t: float = 0.0) -> None:
     for i in range(6):
         x, y = 650 + (i % 2) * 220, 60 + (i // 2) * 220
         g = vg.createLinearGradient(ctx, x, y, x + 180, y + 180,
-                                    vg.color4ub(40 + 30 * i + ph, 120,
-                                                255 - 30 * i - ph, 255),
+                                    vg.color4ub(min(255, 40 + 30 * i + ph),
+                                                120,
+                                                max(0, 255 - 30 * i - ph),
+                                                255),
                                     vg.color4ub(255, 160, 40 + ph, 255))
         vg.beginPath(ctx)
         vg.roundedRect(ctx, x, y, 180, 180, 18)

@@ -190,6 +190,75 @@ def test_update_paint_values_rejects_structure_and_opacity_flip():
         scene.update_paint_values(ctx)
 
 
+def test_update_paint_values_evenodd_alpha_flip_allowed():
+    """Only NonZero solids can be occlusion covers (binner solid_opaque
+    test), so an even-odd fill may cross the alpha>=1 boundary freely."""
+    bg = (0.1, 0.1, 0.12, 1.0)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **COLORS_A)             # star alpha 200 (even-odd)
+    scene = RetainedScene.bake(ctx, background=bg)
+
+    new = dict(COLORS_A, star=(250, 200, 40, 255))   # crosses the class
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene_colored(ctx, **new)
+    scene.update_paint_values(ctx)
+
+    ctx2 = vg.createContext()
+    vg.begin(ctx2, 0, W, H, 1.0)
+    _scene_colored(ctx2, **new)
+    want = RetainedScene.bake(ctx2, background=bg)
+    np.testing.assert_allclose(np.asarray(scene.render(11, 3)),
+                               np.asarray(want.render(11, 3)), atol=2e-6)
+
+
+def test_textured_scene_views_and_paint_update():
+    """render_views and update_paint_values on a scene WITH sampling groups:
+    the in-trace resample runs under lax.scan, and solid patches coexist
+    with byte-identical texture draws."""
+    bg = (0.08, 0.08, 0.1, 1.0)
+    rng = np.random.default_rng(11)
+    img_data = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    img_data[..., 3] = 255
+
+    def scene_fn(ctx, h, rect_col):
+        # NB: the image handle is created ONCE per context — re-creating it
+        # per record would be a structural delta (new image id), as it is
+        # in the frame path's fingerprint
+        p = vg.createImagePattern(ctx, 40, 20, 64, 64, 0.0, h)
+        vg.beginPath(ctx)
+        vg.roundedRect(ctx, 30, 15, 200, 90, 10)
+        vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+        vg.beginPath(ctx)
+        vg.rect(ctx, 250, 30, 80, 60)
+        vg.fillPath(ctx, vg.color4ub(*rect_col), vg.FillFlags.ConvexAA)
+
+    ctx = vg.createContext()
+    himg = vg.createImage(ctx, 16, 16, 0, img_data)
+    vg.begin(ctx, 0, W, H, 1.0)
+    scene_fn(ctx, himg, (200, 60, 40, 255))
+    s = RetainedScene.bake(ctx, background=bg)
+    assert s.samp_meta is not None
+    views = [(0, 0), (41, 6), (-23, -11)]
+    stack = np.asarray(s.render_views(views))
+    for k, view in enumerate(views):
+        np.testing.assert_allclose(stack[k], np.asarray(s.render(*view)),
+                                   atol=2e-6, err_msg=f"view {view}")
+
+    vg.begin(ctx, 0, W, H, 1.0)
+    scene_fn(ctx, himg, (40, 200, 160, 255))
+    s.update_paint_values(ctx)
+    ctx2 = vg.createContext()
+    himg2 = vg.createImage(ctx2, 16, 16, 0, img_data)
+    vg.begin(ctx2, 0, W, H, 1.0)
+    scene_fn(ctx2, himg2, (40, 200, 160, 255))
+    want = RetainedScene.bake(ctx2, background=bg)
+    for view in views:
+        np.testing.assert_allclose(np.asarray(s.render(*view)),
+                                   np.asarray(want.render(*view)),
+                                   atol=2e-6, err_msg=f"view {view}")
+
+
 def test_render_views_matches_per_view():
     """Multi-view serving (minimap/main-view, K pan clients): V viewports in
     one dispatch must each match their single-view render."""

@@ -508,8 +508,6 @@ class Context:
         if not has_pop and "entry_paint" not in d:
             return False
 
-        from vgtpu.raster.binning import PAINT_NF
-
         ops = self.ops
         changed = changed_k + changed_t
         if any(ops[i].paint is None for i in changed):
@@ -557,15 +555,9 @@ class Context:
         # ---- all checks passed: mutate host plan + device arrays ----
         import jax
 
-        lut = np.zeros((len(ops), PAINT_NF), np.float32)
-        lut[changed] = new_rows
-        eo = plan.entry_op
-        mask = (eo >= 0)
-        chmask = np.zeros(len(ops), bool)
-        chmask[changed] = True
-        mask &= chmask[np.clip(eo, 0, len(ops) - 1)]
-        if mask.any():
-            plan.entry_paint[mask] = lut[eo[mask]]
+        from vgtpu.raster.binning import patch_entry_paint
+
+        patch_entry_paint(plan, len(ops), changed, new_rows)
         if plan.pop is not None:
             plan.pop["paint"][pids] = new_rows
 

@@ -421,6 +421,23 @@ def _bucket_pow2(n: int, minimum: int = 4) -> int:
     return b
 
 
+def patch_entry_paint(plan, n_ops: int, changed, new_rows) -> None:
+    """In-place patch of plan.entry_paint rows for the changed op ids
+    (via the plan's entry_op map).  The ONE definition shared by the frame
+    paint-memo fast path (Context._value_only_update) and retained scenes
+    (RetainedScene.update_paint_values) — the patch semantics must not
+    drift between them (CLAUDE.md: any new plan-build dependence on paint
+    values must be gated in BOTH)."""
+    lut = np.zeros((n_ops, PAINT_NF), np.float32)
+    lut[np.asarray(changed)] = np.asarray(new_rows, np.float32)
+    eo = plan.entry_op
+    chmask = np.zeros(n_ops, bool)
+    chmask[np.asarray(changed)] = True
+    mask = (eo >= 0) & chmask[np.clip(eo, 0, n_ops - 1)]
+    if mask.any():
+        plan.entry_paint[mask] = lut[eo[mask]]
+
+
 def expand_tri_batches(ops: list[RasterOp]) -> list[RasterOp]:
     """Per-triangle pseudo-ops from batched tri-list ops (oracle path; the
     native packing expands vectorized without python objects)."""

@@ -112,6 +112,31 @@ def translate_ops(ops: list[RasterOp], dx: float, dy: float) -> list[RasterOp]:
     return out
 
 
+def _op_fingerprints(ops) -> list:
+    """Per-op (structural_crc, paint_crc) pairs over PRE-translate ops —
+    update_paint_values' structural-identity check (collisions are not
+    adversarial here, same argument as Context._frame_fingerprint)."""
+    import zlib
+
+    out = []
+    for op in ops:
+        c = 0
+        for a in (op.edges, op.tex_quads, op.tri_paints):
+            if a is not None:
+                a = np.asarray(a)
+                if not a.flags.c_contiguous:
+                    a = np.ascontiguousarray(a)
+                c = zlib.crc32(a, c)
+        c ^= hash((op.kind, op.fill_rule, op.aa, op.paint_kind,
+                   op.image_id, op.scissor)) & 0xFFFFFFFF
+        p = 0
+        if op.paint is not None:
+            p = zlib.crc32(np.ascontiguousarray(
+                np.asarray(op.paint, np.float32)))
+        out.append((c, p))
+    return out
+
+
 def _repack_ladder(chunk_pools, num_entries: int, ladder=(2, 4, 8, 24)):
     """Repack the numpy binner's single fixed-size chunk pool into the
     finer slot ladder the coverage kernels like (one-time, at bake): each
@@ -192,7 +217,8 @@ class RetainedScene:
         self.off = off          # baked-grid origin in view coords (tile-multiples)
         self.samp_meta = None   # sampling-group signature (textured scenes)
         self.samp_nct = 0
-        self._ops = None        # translated expanded ops (update_paint_values)
+        self._ops_fp = None       # per-op (structural, paint) crc pairs
+        self._op_solid_cls = None  # per-op solid alpha>=1 class at bake
 
     @staticmethod
     def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
@@ -246,6 +272,16 @@ class RetainedScene:
                 ymax = max(ymax, float(cy.max()) + 2.0)
         offx = tw * (1 + int(np.ceil(-xmin / tw)))
         offy = th * (1 + int(np.ceil(-ymin / th)))
+        # fingerprints are taken PRE-translate so per-tick re-records
+        # (update_paint_values) compare without re-translating the scene;
+        # paint alpha (row 13) is translate-invariant, so the solid class
+        # can be captured here too
+        ops_fp = _op_fingerprints(ops)
+        solid_cls = [
+            (op.paint is not None
+             and float(np.asarray(op.paint)[13]) >= 1.0)
+            for op in ops
+        ]
         ops = translate_ops(ops, float(offx), float(offy))
         plan = bin_frame_numpy(
             ops, int(np.ceil(xmax)) + offx, int(np.ceil(ymax)) + offy,
@@ -352,7 +388,8 @@ class RetainedScene:
             th=th, tw=tw, ntx=plan.ntx)
         scene = RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
                               off=(offx, offy))
-        scene._ops = ops
+        scene._ops_fp = ops_fp
+        scene._op_solid_cls = solid_cls
         if samp is not None:
             scene.samp_meta = samp["meta"]
             scene.samp_nct = samp["nct"]
@@ -368,70 +405,63 @@ class RetainedScene:
         re-baking: the binned plan, coverage chunks, sampling groups and
         compiled pan programs are all reused; only the paint tables and the
         bake-constant param planes refresh (~one jitted rebuild + a small
-        upload)."""
+        upload).  The structural check is per-op crc fingerprints, so an
+        unchanged-scene tick costs O(scene crc), not O(scene copies)."""
         from vgtpu.raster.binning import (
             K_DRAW,
             P_GRADIENT,
             P_SOLID,
             expand_tri_batches,
+            patch_entry_paint,
         )
 
-        if self._ops is None:
-            raise ValueError("this scene was baked without retained ops")
-
-        def same(a, b):
-            if a is None or b is None:
-                return a is None and b is None
-            return np.array_equal(np.asarray(a), np.asarray(b))
-
+        if self._ops_fp is None:
+            raise ValueError("this scene was baked without retained "
+                             "fingerprints")
         ctx._finalize_ops()
         ops2 = expand_tri_batches(ctx.ops)
         for op in ops2:
             if isinstance(op.edges, list):
                 op.edges = np.concatenate(op.edges, axis=0)
-        ops2 = translate_ops(ops2, float(self.off[0]), float(self.off[1]))
-        old = self._ops
-        if len(ops2) != len(old):
+        fp2 = _op_fingerprints(ops2)
+        old = self._ops_fp
+        if len(fp2) != len(old):
             raise ValueError(
-                f"scene structure changed: {len(old)} -> {len(ops2)} draws")
+                f"scene structure changed: {len(old)} -> {len(fp2)} draws")
         changed = []
-        for i, (a, b) in enumerate(zip(old, ops2)):
-            if (a.kind != b.kind or a.fill_rule != b.fill_rule
-                    or a.aa != b.aa or a.paint_kind != b.paint_kind
-                    or a.scissor != b.scissor or a.image_id != b.image_id
-                    or not same(a.edges, b.edges)
-                    or not same(a.tex_quads, b.tex_quads)
-                    or not same(a.tri_paints, b.tri_paints)):
+        for i, ((s1, p1), (s2, p2)) in enumerate(zip(old, fp2)):
+            if s1 != s2:
                 raise ValueError(f"draw {i} changed structurally; only "
                                  "solid/gradient paint values may differ")
-            if same(a.paint, b.paint):
+            if p1 == p2:
                 continue
-            if not (a.kind == K_DRAW
-                    and a.paint_kind in (P_SOLID, P_GRADIENT)
-                    and a.paint is not None and b.paint is not None):
+            op = ops2[i]
+            if not (op.kind == K_DRAW
+                    and op.paint_kind in (P_SOLID, P_GRADIENT)
+                    and op.paint is not None):
                 raise ValueError(
                     f"draw {i}: only solid/gradient paint VALUES can be "
                     "patched into a retained scene (texture/text tints need "
                     "a re-bake)")
-            if (a.paint_kind == P_SOLID
-                    and (float(np.asarray(a.paint)[13]) >= 1.0)
-                    != (float(np.asarray(b.paint)[13]) >= 1.0)):
+            # occlusion covers are NonZero solids with alpha>=1 (the
+            # binner's solid_opaque test): only those classes must hold
+            if (op.paint_kind == P_SOLID and op.fill_rule == 0
+                    and self._op_solid_cls[i]
+                    != (float(np.asarray(op.paint)[13]) >= 1.0)):
                 raise ValueError(
                     f"draw {i}: opacity-class flip would invalidate the "
                     "bake's view-invariant occlusion culling")
             changed.append(i)
-        self._ops = ops2
+        self._ops_fp = fp2
         if not changed:
             return
+        # translate ONLY the changed ops (gradient rows carry scene-space
+        # inverse transforms; solid rows are translate-invariant)
+        tr = translate_ops([ops2[i] for i in changed],
+                           float(self.off[0]), float(self.off[1]))
+        new_rows = np.stack([np.asarray(o.paint, np.float32) for o in tr])
         plan = self.plan
-        lut = np.zeros((len(ops2), plan.entry_paint.shape[1]), np.float32)
-        for i in changed:
-            lut[i] = np.asarray(ops2[i].paint, np.float32)
-        eo = plan.entry_op
-        chmask = np.zeros(len(ops2), bool)
-        chmask[changed] = True
-        mask = (eo >= 0) & chmask[np.clip(eo, 0, len(ops2) - 1)]
-        plan.entry_paint[mask] = lut[eo[mask]]
+        patch_entry_paint(plan, len(ops2), changed, new_rows)
         d = self.d
         d["entry_paint"] = jax.device_put(plan.entry_paint)
         d["bucket_params_base"] = _bake_base_params(
@@ -477,10 +507,11 @@ class RetainedScene:
         resident scene): the scene stays resident, only 2V offset scalars
         upload, and the per-dispatch cost is paid once."""
         tw, th = self.tile_w, self.tile_h
-        offs = np.asarray([(int(x) + self.off[0], int(y) + self.off[1])
-                           for x, y in views], np.int64)
-        if offs.ndim != 2 or offs.shape[1] != 2:
-            raise ValueError("views must be (view_x, view_y) pairs")
+        views = np.asarray(views)
+        if views.ndim != 2 or views.shape[1] != 2 or not len(views):
+            raise ValueError(
+                "views must be a non-empty sequence of (view_x, view_y) pairs")
+        offs = views.astype(np.int64) + np.asarray(self.off, np.int64)
         vxs, rxs = np.divmod(offs[:, 0], tw)
         vys, rys = np.divmod(offs[:, 1], th)
         return _render_pan_views(
