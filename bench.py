@@ -179,6 +179,23 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     }
 
 
+def _backend_alive(timeout_s: int = 180) -> bool:
+    """Bounded probe of the default JAX backend in a subprocess: a dead
+    axon TPU tunnel makes jax.devices() hang INDEFINITELY in-process
+    (observed: worker crash, no recovery for hours) — better to emit an
+    honest null metric than hang the driver."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
     if "--cpu-baseline" in sys.argv:
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
@@ -187,6 +204,18 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
         r = measure(reps=5, warmup=2)
         print(json.dumps(r))
+        return
+
+    if not _backend_alive():
+        print("[bench] default JAX backend unreachable (dead TPU tunnel?) — "
+              "emitting null metric instead of hanging", file=sys.stderr)
+        print(json.dumps({
+            "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "note": "TPU backend unreachable at bench time",
+        }))
         return
 
     r = measure()
