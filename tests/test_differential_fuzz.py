@@ -266,6 +266,17 @@ def render_command_list(steps, seed, flags=0, submits=1, dpr=1.0):
     return out
 
 
+def render_deferred_dispatch(steps, seed, dpr=1.0):
+    """Execution path 6: prepare with end(dispatch=False), then render
+    through the fused multi-canvas dispatch (renderFrames)."""
+    ctx, font, img = fresh_ctx(np.random.default_rng(seed), dpr)
+    apply_program(ctx, steps, font, img)
+    assert vg.end(ctx, background=BG, dispatch=False) is None
+    (out,) = vg.renderFrames([ctx])
+    assert ctx.frame_image is out
+    return np.asarray(out)
+
+
 def render_save_load(steps, seed, tmpdir, dpr=1.0):
     ctx, font, img = fresh_ctx(np.random.default_rng(seed), dpr)
     cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
@@ -294,6 +305,7 @@ def test_fuzz_all_execution_paths_agree(seed, tmp_path):
         "cl_cached_2nd": render_command_list(
             steps, seed, flags=vg.CommandListFlags.Cacheable, submits=2),
         "save_load": render_save_load(steps, seed, tmp_path),
+        "deferred_dispatch": render_deferred_dispatch(steps, seed),
     }
     for name, img in paths.items():
         np.testing.assert_allclose(
@@ -315,6 +327,7 @@ def test_fuzz_all_execution_paths_agree_dpr2(seed, tmp_path):
         "cl_cached_2nd": render_command_list(
             steps, seed, flags=vg.CommandListFlags.Cacheable, submits=2, dpr=2.0),
         "save_load": render_save_load(steps, seed, tmp_path, dpr=2.0),
+        "deferred_dispatch": render_deferred_dispatch(steps, seed, dpr=2.0),
     }
     for name, img in paths.items():
         np.testing.assert_allclose(
