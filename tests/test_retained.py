@@ -259,6 +259,29 @@ def test_textured_scene_views_and_paint_update():
                                    atol=2e-6, err_msg=f"view {view}")
 
 
+def test_fractional_x_pan_matches_direct():
+    """Smooth horizontal scrolling: FRACTIONAL view_x offsets render exactly
+    (backdrop rows are x-shift-invariant; coverage is analytic in edge
+    position).  Fractional view_y is rejected (piecewise-linear backdrops)."""
+    scene = _bake()
+    for view in [(37.5, 5), (12.25, 0), (-3.75, -13)]:
+        got = np.asarray(scene.render(*view))
+        want = _direct(view)
+        np.testing.assert_allclose(got, want, atol=2e-4,
+                                   err_msg=f"view {view}")
+    # pallas pan path takes the same residual
+    got = np.asarray(scene.render(37.5, 5, use_pallas=True))
+    np.testing.assert_allclose(got, _direct((37.5, 5)), atol=2e-4)
+    # multi-view with fractional x
+    stack = np.asarray(scene.render_views([(37.5, 5), (12.25, 0)]))
+    np.testing.assert_allclose(stack[0], _direct((37.5, 5)), atol=2e-4)
+    np.testing.assert_allclose(stack[1], _direct((12.25, 0)), atol=2e-4)
+    with pytest.raises(ValueError, match="view_y"):
+        scene.render(0, 2.5)
+    with pytest.raises(ValueError, match="view_y"):
+        scene.render_views([(0, 2.5)])
+
+
 def test_render_views_matches_per_view():
     """Multi-view serving (minimap/main-view, K pan clients): V viewports in
     one dispatch must each match their single-view render."""

@@ -472,15 +472,29 @@ class RetainedScene:
             plan.entry_backdrop.shape[0],
             th=self.tile_h, tw=self.tile_w, ntx=plan.ntx)
 
-    def render(self, view_x: int = 0, view_y: int = 0,
+    def render(self, view_x: float = 0, view_y: int = 0,
                use_pallas: bool | None = None) -> jax.Array:
-        """Premultiplied (out_h, out_w, 4) of the scene viewed at integer
-        offset (view_x, view_y): output pixel (x, y) shows scene point
+        """Premultiplied (out_h, out_w, 4) of the scene viewed at offset
+        (view_x, view_y): output pixel (x, y) shows scene point
         (view_x + x, view_y + y).  All device work; one compiled program
-        serves every offset."""
+        serves every offset.
+
+        view_x may be FRACTIONAL (smooth horizontal scrolling/marquees):
+        backdrop rows are x-shift-invariant and the coverage kernel is
+        analytic in edge position, so subpixel x-offsets render exactly
+        (verified vs direct translated renders to float tolerance).
+        view_y must be an integer — the per-row backdrop windows are
+        piecewise-linear in y, so fractional vertical offsets are not
+        representable in this formulation."""
         tw, th = self.tile_w, self.tile_h
+        if float(view_y) != int(view_y):
+            raise ValueError(
+                "fractional view_y is not representable (backdrop rows are "
+                "piecewise-linear in y); use integer vertical offsets")
         # baked-grid origin offset (content bbox + 1-tile border)
-        vx, rx = divmod(int(view_x) + self.off[0], tw)
+        ox = float(view_x) + self.off[0]
+        vx = int(np.floor(ox / tw))
+        rx = ox - vx * tw
         vy, ry = divmod(int(view_y) + self.off[1], th)
         return _render_pan(
             self.d, self.background,
@@ -507,13 +521,18 @@ class RetainedScene:
         resident scene): the scene stays resident, only 2V offset scalars
         upload, and the per-dispatch cost is paid once."""
         tw, th = self.tile_w, self.tile_h
-        views = np.asarray(views)
+        views = np.asarray(views, np.float64)
         if views.ndim != 2 or views.shape[1] != 2 or not len(views):
             raise ValueError(
                 "views must be a non-empty sequence of (view_x, view_y) pairs")
-        offs = views.astype(np.int64) + np.asarray(self.off, np.int64)
-        vxs, rxs = np.divmod(offs[:, 0], tw)
-        vys, rys = np.divmod(offs[:, 1], th)
+        if not np.all(views[:, 1] == np.round(views[:, 1])):
+            raise ValueError(
+                "fractional view_y is not representable (backdrop rows are "
+                "piecewise-linear in y); use integer vertical offsets")
+        ox = views[:, 0] + self.off[0]   # view_x may be fractional (render())
+        vxs = np.floor(ox / tw).astype(np.int64)
+        rxs = ox - vxs * tw
+        vys, rys = np.divmod(views[:, 1].astype(np.int64) + self.off[1], th)
         return _render_pan_views(
             self.d, self.background,
             vxs.astype(np.int32), vys.astype(np.int32),
