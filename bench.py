@@ -191,8 +191,16 @@ def _backend_alive(timeout_s: int = 180) -> bool:
             capture_output=True, text=True, timeout=timeout_s,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        return out.returncode == 0 and "ok" in out.stdout
+        if out.returncode == 0 and "ok" in out.stdout:
+            return True
+        # a FAST failure is an environment bug, not a tunnel outage — the
+        # diagnostic must not be swallowed by the null-metric path
+        print(f"[bench] backend probe rc={out.returncode}: "
+              f"{out.stderr[-600:]}", file=sys.stderr)
+        return False
     except subprocess.TimeoutExpired:
+        print("[bench] backend probe timed out (hung backend init)",
+              file=sys.stderr)
         return False
 
 

@@ -11,9 +11,11 @@ The engine has several ways to execute the same sequence of vg.* calls:
   4. a Cacheable list submitted twice — the second submit replays the
      tessellation cache (vg.cpp:5843-6211 semantics),
   5. a list serialized to disk and loaded into a FRESH context
-     (saveCommandList/loadCommandList, the checkpoint/resume analogue).
+     (saveCommandList/loadCommandList, the checkpoint/resume analogue),
+  6. prepared with end(dispatch=False) and rendered through the fused
+     multi-canvas dispatch (renderFrames).
 
-All five must produce the same frame.  Each historical divergence here was a
+All six must produce the same frame.  Each historical divergence here was a
 real bug (first-draw transform capture, cached thin-stroke alpha, clip-state
 replay kind, dpr rebase), so this fuzzer pins the whole equivalence class at
 once, across paints (solid/gradient/pattern), both fill rules, strokes with

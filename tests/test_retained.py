@@ -282,6 +282,40 @@ def test_fractional_x_pan_matches_direct():
         scene.render_views([(0, 2.5)])
 
 
+def test_fractional_x_pan_textured_matches_direct():
+    """Fractional x through the in-trace texture resample: bilinear sampling
+    at a fractional shift must equal the direct translated render (sample
+    positions differ by exactly the translation)."""
+    bg = (0.08, 0.08, 0.1, 1.0)
+    rng = np.random.default_rng(11)
+    img_data = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    img_data[..., 3] = 255
+
+    def scene(ctx):
+        h = vg.createImage(ctx, 16, 16, 0, img_data)
+        p = vg.createImagePattern(ctx, 40, 20, 64, 64, 0.0, h)
+        vg.beginPath(ctx)
+        vg.roundedRect(ctx, 30, 15, 200, 90, 10)
+        vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, W, H, 1.0)
+    scene(ctx)
+    s = RetainedScene.bake(ctx, background=bg)
+    assert s.samp_meta is not None
+    for view in [(41.5, 6), (-22.75, -11)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, W, H, 1.0)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0], -view[1])
+        scene(ctx2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=3e-3,
+                                   err_msg=f"view {view}")
+
+
 def test_render_views_matches_per_view():
     """Multi-view serving (minimap/main-view, K pan clients): V viewports in
     one dispatch must each match their single-view render."""

@@ -34,7 +34,41 @@ def main() -> None:
     ap.add_argument("--background", default="1,1,1,1",
                     help="r,g,b,a floats in [0,1] (default white)")
     ap.add_argument("--no-aa", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the TPU plugin ignores "
+                         "JAX_PLATFORMS env alone, and a dead tunnel hangs "
+                         "backend init forever)")
     args = ap.parse_args()
+
+    try:
+        bg = tuple(float(v) for v in args.background.split(","))
+    except ValueError:
+        bg = ()
+    if len(bg) != 4:
+        sys.exit("--background needs 4 comma-separated floats")
+    if args.scale is not None and args.scale <= 0:
+        sys.exit("--scale must be positive")
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        # bounded liveness probe: a dead TPU tunnel hangs jax backend init
+        # UNINTERRUPTIBLY in-process; fail fast with a hint instead
+        import subprocess
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=180)
+            alive = probe.returncode == 0 and "ok" in probe.stdout
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            sys.exit("default JAX backend unreachable (dead TPU tunnel?) — "
+                     "re-run with --cpu")
 
     import numpy as np
 
@@ -45,14 +79,13 @@ def main() -> None:
     doc = load_svg(args.svg)
     if not doc.paths:
         sys.exit(f"{args.svg}: no drawable paths found")
-    scale = args.scale or 1.0
+    if doc.width <= 0 or doc.height <= 0:
+        sys.exit(f"{args.svg}: no usable size (no width/height or viewBox)")
+    scale = args.scale if args.scale is not None else 1.0
     if args.width:
         scale = args.width / doc.width
     w = max(1, int(round(doc.width * scale)))
     h = max(1, int(round(doc.height * scale)))
-    bg = tuple(float(v) for v in args.background.split(","))
-    if len(bg) != 4:
-        sys.exit("--background needs 4 comma-separated floats")
 
     cfg = vg.ContextConfig(coverage_supersample=args.ss)
     ctx = vg.createContext(cfg)

@@ -201,9 +201,11 @@ def _bake_base_params(te_tuple, ek, er, ea, epk, esc, ep, ect, etile, ne, *,
 
 
 class RetainedScene:
-    """A baked, device-resident scene renderable at any integer-pixel view
-    offset without host work.  Build with `bake(ctx)` after recording a frame
-    (begin ... draw calls ... bake instead of end)."""
+    """A baked, device-resident scene renderable at any view offset without
+    host work — integer (or fractional-x: smooth horizontal scrolling)
+    offsets in both render() and render_views().  Build with `bake(ctx)`
+    after recording a frame (begin ... draw calls ... bake instead of
+    end)."""
 
     def __init__(self, plan, device, out_w: int, out_h: int, background,
                  off=(0, 0)):
@@ -515,8 +517,9 @@ class RetainedScene:
 
     def render_views(self, views, use_pallas: bool | None = None) -> jax.Array:
         """V viewports of the scene in ONE device dispatch
-        -> (V, out_h, out_w, 4).  views: sequence of integer (view_x,
-        view_y) offsets, same semantics as render().  The multi-view
+        -> (V, out_h, out_w, 4).  views: sequence of (view_x, view_y)
+        offsets, same semantics as render() — view_x may be fractional,
+        view_y must be integer.  The multi-view
         serving pattern (minimap + main view; K pan clients sharing one
         resident scene): the scene stays resident, only 2V offset scalars
         upload, and the per-dispatch cost is paid once."""
