@@ -79,6 +79,7 @@ def _draw(ctx, steps):
                         vg.FillFlags.ConvexAA if aa else vg.FillFlags.Convex)
         elif s[0] == "poly":
             _k, pts, rgb, a, eo = s
+            vg.beginPath(ctx)
             vg.polyline(ctx, pts)
             vg.closePath(ctx)
             vg.fillPath(ctx, vg.color4ub(*rgb, a),
@@ -94,9 +95,73 @@ def _draw(ctx, steps):
             vg.fillPath(ctx, g, vg.FillFlags.ConvexAA)
         elif s[0] == "stroke":
             _k, pts, rgb, w = s
+            # beginPath matters: without it a SAME-context re-record appends
+            # to the previous frame's path (reference semantics — paths
+            # reset only at beginPath, vg.cpp ctxBeginPath), which
+            # update_paint_values correctly rejects as a structural delta
+            vg.beginPath(ctx)
             vg.polyline(ctx, s[1])
             vg.strokePath(ctx, vg.color4ub(*rgb, 255), w,
                           vg.StrokeFlags.RoundRoundAA)
+
+
+def _recolor(steps, rng):
+    """Value-only mutation of a recipe: new colors everywhere, alpha class
+    preserved for NonZero solids (occlusion covers), free for even-odd
+    fills (exercises the guard's rule exemption)."""
+    out = []
+    for s in steps:
+        if s[0] == "circle":
+            k, cx, cy, rr, _rgb, a, aa = s
+            a2 = 255 if a == 255 else int(rng.integers(40, 255))
+            out.append((k, cx, cy, rr, tuple(rng.integers(0, 256, 3)), a2, aa))
+        elif s[0] == "poly":
+            k, pts, _rgb, a, eo = s
+            a2 = (int(rng.integers(60, 256)) if eo
+                  else (255 if a == 255 else int(rng.integers(60, 255))))
+            out.append((k, pts, tuple(rng.integers(0, 256, 3)), a2, eo))
+        elif s[0] == "grad":
+            k, x, y, w, h, _c0, _c1 = s
+            out.append((k, x, y, w, h, tuple(rng.integers(0, 256, 3)),
+                        tuple(rng.integers(0, 256, 3))))
+        elif s[0] == "stroke":
+            k, pts, _rgb, w = s
+            out.append((k, pts, tuple(rng.integers(0, 256, 3)), w))
+        else:
+            out.append(s)
+    return out
+
+
+def test_fuzz_paint_update_vs_fresh_bake():
+    """Random scenes + random value-only recolors: update_paint_values must
+    render exactly like a fresh bake of the recolored scene, at integer and
+    fractional-x views."""
+    rng = np.random.default_rng(13)
+    bg = (0.15, 0.1, 0.2, 1.0)
+    for trial in range(4):
+        steps = _make_recipe(rng)
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, W, H, 1.0)
+        _draw(ctx, steps)
+        scene = RetainedScene.bake(ctx, background=bg)
+
+        steps2 = _recolor(steps, rng)
+        vg.begin(ctx, 0, W, H, 1.0)
+        _draw(ctx, steps2)
+        scene.update_paint_values(ctx)
+
+        ctx2 = vg.createContext()
+        vg.begin(ctx2, 0, W, H, 1.0)
+        _draw(ctx2, steps2)
+        want_scene = RetainedScene.bake(ctx2, background=bg)
+
+        for view in [(int(rng.integers(-100, 200)), int(rng.integers(-40, 80))),
+                     (float(rng.uniform(-50, 150)), 0)]:
+            got = np.asarray(scene.render(*view))
+            want = np.asarray(want_scene.render(*view))
+            np.testing.assert_allclose(
+                got, want, atol=3e-4,
+                err_msg=f"trial {trial} view {view}")
 
 
 def test_fuzz_pan_vs_direct():
