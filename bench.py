@@ -120,26 +120,26 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0
 
     # batched variants (raster/batch.py): K overlay-color variants of the
-    # resident scene rendered as ONE device dispatch — the serving mode.
-    # Compare per-variant-frame cost against anim_ms (per-frame patch path)
-    # and frame_ms (single-frame dispatch floor).
+    # scene rendered as ONE device dispatch — the serving mode.  Runs in a
+    # SUBPROCESS with a hard timeout: the lane-folded composite is a fresh
+    # kernel shape, and a hung fresh-shape compile on a degraded tunnel must
+    # not take the primary metric down with it (observed: such a hang killed
+    # the TPU worker for hours).
     batch_ms = None
-    try:
-        from vgtpu.raster.batch import VariantBatch, measure_batch_ms_per_frame
-
-        vb = VariantBatch.bake(
-            ctx, [lambda c, k=k: (
-                draw_benchmark_frame(c, 0.0),
-                vg.beginPath(c),
-                vg.rect(c, 1800, 1000, 60, 40),
-                vg.fillPath(c, vg.color4ub(50 + 17 * k, 120, 200, 180),
-                            vg.FillFlags.ConvexAA),
-            ) for k in range(6, 12)],
-            1920, 1080, background=bg)
-        batch_ms = measure_batch_ms_per_frame(vb, background=bg,
-                                              reps_hi=8, reps_lo=2)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] variant batch failed: {e}", file=sys.stderr)
+    if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--batch-diag"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode == 0:
+                batch_ms = json.loads(out.stdout.strip().splitlines()[-1])["batch_ms"]
+            else:
+                print(f"[bench] batch diag rc={out.returncode}: "
+                      f"{out.stderr[-400:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] batch diag failed: {e}", file=sys.stderr)
 
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
@@ -204,7 +204,36 @@ def _backend_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+def batch_diag() -> None:
+    """Standalone batched-variant measurement (subprocess child of measure):
+    bakes K=6 overlay-color variants of the benchmark frame and prints one
+    JSON line {"batch_ms": per-variant chained device ms}."""
+    import vgtpu as vg
+    from vgtpu.raster.batch import VariantBatch, measure_batch_ms_per_frame
+    from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    bg = (0.12, 0.12, 0.13, 1.0)
+    ctx = vg.createContext()
+
+    def variant(k):
+        def f(c):
+            draw_benchmark_frame(c, 0.0)
+            vg.beginPath(c)
+            vg.rect(c, 1800, 1000, 60, 40)
+            vg.fillPath(c, vg.color4ub(50 + 17 * k, 120, 200, 180),
+                        vg.FillFlags.ConvexAA)
+        return f
+
+    vb = VariantBatch.bake(ctx, [variant(k) for k in range(6)],
+                           1920, 1080, background=bg)
+    ms = measure_batch_ms_per_frame(vb, background=bg, reps_hi=8, reps_lo=2)
+    print(json.dumps({"batch_ms": ms, "mode": vb._mode}))
+
+
 def main() -> None:
+    if "--batch-diag" in sys.argv:
+        batch_diag()
+        return
     if "--cpu-baseline" in sys.argv:
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         import jax
@@ -241,6 +270,7 @@ def main() -> None:
         env = dict(os.environ)
         env["JAX_PLATFORM_NAME"] = "cpu"
         env["JAX_PLATFORMS"] = "cpu"
+        env["VGTPU_BENCH_NO_BATCH"] = "1"   # keep the baseline under its timeout
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
             capture_output=True, text=True, timeout=1800, env=env,
