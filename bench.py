@@ -125,7 +125,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     # kernel shape, and a hung fresh-shape compile on a degraded tunnel must
     # not take the primary metric down with it (observed: such a hang killed
     # the TPU worker for hours).
-    batch_ms = None
+    batch_ms = batch_mode = None
     if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
         try:
             out = subprocess.run(
@@ -134,7 +134,9 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if out.returncode == 0:
-                batch_ms = json.loads(out.stdout.strip().splitlines()[-1])["batch_ms"]
+                bd = json.loads(out.stdout.strip().splitlines()[-1])
+                batch_ms = bd["batch_ms"]
+                batch_mode = bd.get("mode")
             else:
                 print(f"[bench] batch diag rc={out.returncode}: "
                       f"{out.stderr[-400:]}", file=sys.stderr)
@@ -172,6 +174,7 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "anim_ms": anim_ms,
         "anim_paint_hits": anim_hits,
         "batch_ms": batch_ms,
+        "batch_mode": batch_mode,
         "app_ms": app_ms,
         "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
@@ -260,7 +263,8 @@ def main() -> None:
           f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
           f"redraw={r['redraw_ms']:.1f} ms  "
           f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
-          f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant  "
+          f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant "
+          f"({r['batch_mode']})  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"host_spin={r['host_spin_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
@@ -285,11 +289,22 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
 
+    # host-timed numbers carry throttle-normalized companions (×5/host_spin:
+    # the probe's unthrottled floor is ~5 ms) so BENCH_r* records compare
+    # across sessions despite 1-5x host throttling variance
+    norm = 5.0 / max(r["host_spin_ms"], 1e-6)
     print(json.dumps({
         "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
         "value": round(r["frame_ms"], 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "batch_ms": (None if r["batch_ms"] is None
+                     else round(r["batch_ms"], 3)),
+        "batch_mode": r["batch_mode"],
+        "host_spin_ms": round(r["host_spin_ms"], 1),
+        "cold_ms": round(r["cold_bin_exec_ms"], 1),
+        **{f"{k}_norm_ms": round(r[f"{k}_ms"] * norm, 1)
+           for k in ("record", "dynamic", "redraw", "anim", "app")},
     }))
 
 

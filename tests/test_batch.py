@@ -105,6 +105,46 @@ def test_fused_batch_matches_per_frame(monkeypatch):
                                    atol=3e-6, err_msg=f"variant {k}")
 
 
+def test_fused_batch_shared_ew_matches_per_frame(monkeypatch):
+    """k_rep > 1 path: a bucket whose padded width is a 128-multiple shares
+    ONE gathered ew block across all variants (composite_bucket_pallas re-
+    reads it per variant via the grid index map).  Needs a >=128-tile bucket:
+    1024x128 canvas = 8x16 tiles of 128x8, fully covered by one rect."""
+    from vgtpu.raster import frame as frame_mod
+
+    monkeypatch.setattr(frame_mod, "_fused_platform", lambda: True)
+    w, h = 1024, 128
+    # alphas equal across variants: an opacity-class flip (occlusion culling's
+    # solid alpha>=1 cover test) is structural and correctly rejected
+    cols = [(200, 60, 40, 220), (40, 200, 60, 220), (60, 40, 200, 220)]
+
+    def variant(k):
+        def f(c):
+            vg.beginPath(c)
+            vg.rect(c, -4, -4, w + 8, h + 8)   # covers every tile: 1 bucket
+            vg.fillPath(c, vg.color4ub(*cols[k]), vg.FillFlags.ConvexAA)
+            vg.beginPath(c)
+            vg.circle(c, 100 + 10 * 0, 60, 40)
+            vg.fillPath(c, vg.color4ub(*cols[(k + 1) % 3]),
+                        vg.FillFlags.ConvexAA)
+        return f
+
+    K = 3
+    vb = VariantBatch.bake(vg.createContext(), [variant(k) for k in range(K)],
+                           w, h, background=BG)
+    assert vb._mode == "fused"
+    assert any(kr == K for kr in vb._statics["k_reps"]), (
+        "expected at least one shared-ew bucket", vb._statics["k_reps"])
+    imgs = np.asarray(vb.render(background=BG))
+    for k in range(K):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, w, h, 1.0)
+        variant(k)(ctx)
+        vg.end(ctx, background=BG)
+        np.testing.assert_allclose(imgs[k], np.asarray(ctx.frame_image),
+                                   atol=3e-6, err_msg=f"variant {k}")
+
+
 def test_structural_variant_raises():
     """A variant that changes geometry (not just paint values) is rejected."""
     ctx = vg.createContext()

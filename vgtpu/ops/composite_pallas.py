@@ -498,12 +498,12 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 @functools.partial(
     jax.jit,
     static_argnames=("npx", "tile_w", "flags", "add_backdrop", "interpret",
-                     "variant", "ss"),
+                     "variant", "ss", "k_rep"),
 )
 def composite_bucket_pallas(
     ew_t: jax.Array,        # (MO, NPX, Nb)            NPX = sub-row domain
-    params_t: jax.Array,    # (MO, _npp(tile_h), Nb)
-    ct_t: jax.Array | None, # (MO, 4*NPX//ss, Nb) or None (output domain)
+    params_t: jax.Array,    # (MO, _npp(tile_h), k_rep*Nb)
+    ct_t: jax.Array | None, # (MO, 4*NPX//ss, k_rep*Nb) or None (output domain)
     bg_vec: jax.Array,      # (4*NPX//ss, 1)
     *,
     npx: int,
@@ -513,13 +513,29 @@ def composite_bucket_pallas(
     interpret: bool = False,
     variant: str = "rows",
     ss: int = 1,
+    k_rep: int = 1,
 ) -> jax.Array:
     """One bucket's painter scan fused in one kernel -> fb_t (4*NPX//ss, Nb).
 
     ss > 1 requires the row-structured variant (the flat kernel has no
-    sub-row grouping)."""
+    sub-row grouping).
+
+    k_rep > 1 (batched variant rendering, raster/batch.py): the lane axis of
+    params_t/ct_t/out is k_rep variant blocks of Nb tiles, but ew_t carries
+    ONE block — winding coverage is variant-invariant, so the grid's index
+    map re-reads the same ew blocks for every variant (i % blocks_per_variant)
+    instead of gathering k_rep materialized copies from HBM.  Requires
+    Nb % 128 == 0 (the lane-block rule: a sub-axis block must be a
+    128-multiple)."""
     mo, _, nb = ew_t.shape
-    bt = _block_tiles(nb)
+    if k_rep > 1:
+        if nb % 128:
+            raise ValueError(f"k_rep>1 requires 128-multiple lanes, got {nb}")
+        bt = 128
+    else:
+        bt = _block_tiles(nb)
+    bpv = nb // bt              # ew blocks per variant
+    nb_out = k_rep * nb
     has_tex = flags[2]
     has_clip = flags[3]
     if ss > 1 and variant != "rows":
@@ -528,7 +544,7 @@ def composite_bucket_pallas(
     kern = _kernel_rows if variant == "rows" else _kernel
 
     in_specs = [
-        pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i % bpv), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, params_t.shape[1], bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((4 * npx_out, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
@@ -548,8 +564,8 @@ def composite_bucket_pallas(
     return pl.pallas_call(
         functools.partial(kern, npx=npx, tile_w=tile_w, mo=mo, flags=flags,
                           add_backdrop=add_backdrop, **kwargs),
-        out_shape=jax.ShapeDtypeStruct((4 * npx_out, nb), jnp.float32),
-        grid=(nb // bt, mo),
+        out_shape=jax.ShapeDtypeStruct((4 * npx_out, nb_out), jnp.float32),
+        grid=(nb_out // bt, mo),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((4 * npx_out, bt), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         scratch_shapes=scratch,

@@ -50,17 +50,31 @@ from vgtpu.ops.coverage import build_cov_gather_map, entry_coverage_from_pools
 def _host_fused_tables(plan, K: int):
     """Static (value-independent) batched bucket tables, host numpy.
 
-    Per bucket: K lane-blocks of the padded per-variant tables, then an
-    outer pad to the Pallas lane rule (_pad_tiles).  Pad slots are inert:
-    params valid=0, scatter to the scratch row K*T, coverage gather from the
-    all-zero dead chunk."""
+    Per bucket: K lane-blocks of the padded per-variant tables.  Pad slots
+    are inert: params valid=0, scatter to the scratch row K*T, coverage
+    gather from the all-zero dead chunk.
+
+    Buckets whose per-variant padded width is a 128-multiple get k_rep = K:
+    their pteb stays ONE variant block — winding coverage is variant-
+    invariant, so the composite's grid re-reads the shared ew blocks per
+    variant (composite_bucket_pallas k_rep) instead of materializing K
+    gathered copies in HBM (the gather stage is ~30% of the frame,
+    tools/profile_stages.py).  Smaller buckets (< 128 lanes, where a
+    sub-axis Pallas block is illegal) keep the K-replicated pteb; their
+    gather share is small."""
     from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_pteb
 
     T = plan.tile_entries.shape[0]
     ne = plan.entry_backdrop.shape[0]
     m = build_cov_gather_map(plan.chunk_pools, ne)
     dead = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
-    te_out, ids_out, pteb_out, pads = [], [], [], []
+    te_out, ids_out, pteb_out, pads, k_reps = [], [], [], [], []
+    # image-assembly gather map: lanes[k, t] = position of (variant k, tile t)
+    # in the bucket-concatenated kernel-output lane order; unreferenced tiles
+    # point at the trailing background lane (_fused_batch_body appends it)
+    lanes = np.zeros((K, T), np.int32)
+    covered = np.zeros(T, bool)
+    lane_off = 0
     for te_b, ids_b, _fl in plan.tile_buckets:
         nb, mo = te_b.shape
         nbp = _pad_tiles(nb)
@@ -69,10 +83,12 @@ def _host_fused_tables(plan, K: int):
             te_p = np.concatenate(
                 [te_b, np.full((nbp - nb, mo), -1, te_b.dtype)])
         pteb_p = build_bucket_pteb(te_b, m["primary"], dead)    # (NbP, MO)
+        shared = nbp % 128 == 0
         total = K * nbp
-        final = _pad_tiles(total)
+        final = total if shared else _pad_tiles(total)
         extra = final - total
         pads.append(extra)
+        k_reps.append(K if shared else 1)
         te_out.append(np.concatenate(
             [te_p] * K + ([np.full((extra, mo), -1, te_b.dtype)] if extra else [])))
         # bucket tables arrive pre-padded to >=8 rows with scatter id == T
@@ -84,10 +100,19 @@ def _host_fused_tables(plan, K: int):
                              np.full(nbp - nb, K * T, np.int32)])
              for k in range(K)]
             + ([np.full(extra, K * T, np.int32)] if extra else [])))
-        pteb_out.append(np.concatenate(
+        pteb_out.append(pteb_p if shared else np.concatenate(
             [pteb_p] * K
             + ([np.full((extra, mo), dead, pteb_p.dtype)] if extra else [])))
-    return tuple(te_out), tuple(ids_out), tuple(pteb_out), tuple(pads)
+        real = ids32 < T        # skip the binner's pre-pad scratch rows
+        tids = ids32[real]
+        covered[tids] = True
+        rows = np.nonzero(real)[0].astype(np.int32)
+        for k in range(K):
+            lanes[k, tids] = lane_off + k * nbp + rows
+        lane_off += K * nbp + extra
+    lanes[:, ~covered] = lane_off   # background lane (appended by the body)
+    return (tuple(te_out), tuple(ids_out), tuple(pteb_out), tuple(pads),
+            tuple(k_reps), lanes.reshape(K, plan.nty, plan.ntx))
 
 
 @functools.partial(
@@ -159,32 +184,47 @@ def _bake_fused_values(paints, cts, pop, entry_pop, ect, etile, ebd,
     return tuple(params_out), tuple(cts_out)
 
 
-def _fused_batch_body(chunk_pools, cov_map, te_list, ids_list, pteb_list,
-                      params, cts, background,
+def _fused_batch_body(chunk_pools, cov_map, pteb_list, lanes, params, cts,
+                      background,
                       *, K, tile_h, tile_w, ntx, nty, width, height,
-                      bucket_flags, ss, interpret=False):
-    from vgtpu.ops.composite_pallas import frame_fb_pallas
+                      bucket_flags, ss, interpret=False, k_reps=None):
+    """coverage (once) -> per-bucket k_rep composite -> ONE lane gather to
+    image layout.  The tile scatter + vmapped assembly of the single-frame
+    path measured 3.6 ms/batch here (the 8 chained scatters on the K-fold
+    framebuffer copy instead of updating in place); the host-precomputed
+    `lanes` map turns the whole tail into one gather whose transpose XLA
+    fuses — concat + gather are the only full passes over the batch."""
+    from vgtpu.ops.composite_pallas import composite_bucket_pallas
     from vgtpu.ops.coverage import cov_all_resolved
 
-    T = ntx * nty
-    cov_all = cov_all_resolved(chunk_pools, cov_map, tile_h, tile_w)
-    fb = frame_fb_pallas(
-        cov_all, tuple(zip(te_list, ids_list)), pteb_list, params, cts,
-        background, tile_h=tile_h, tile_w=tile_w, num_tiles=K * T,
-        bucket_flags=bucket_flags, ss=ss, interpret=interpret,
-    )
+    npx = tile_h * tile_w
     th_out = tile_h // ss
-    tiles = fb.reshape(K, T, th_out, tile_w, 4)
-    return jax.vmap(
-        lambda t: tiles_to_image(t, ntx=ntx, nty=nty, tile_h=th_out,
-                                 tile_w=tile_w, width=width, height=height)
-    )(tiles)
+    cov_all = cov_all_resolved(chunk_pools, cov_map, tile_h, tile_w)
+    bg = background.astype(jnp.float32)
+    bg_vec = jnp.repeat(bg, th_out * tile_w)[:, None]
+    tiles = []
+    for pteb, pp, ct, fl, kr in zip(pteb_list, params, cts, bucket_flags,
+                                    k_reps):
+        ew_t = jnp.transpose(cov_all[pteb], (1, 2, 0))   # (MO, NPX, NbV)
+        fb_t = composite_bucket_pallas(
+            ew_t, pp, ct, bg_vec, npx=npx, tile_w=tile_w, flags=tuple(fl),
+            add_backdrop=True, interpret=interpret, ss=ss, k_rep=kr)
+        nb = fb_t.shape[1]
+        tiles.append(
+            jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0)))
+    # trailing background lane: tiles no bucket covers gather from here
+    tiles.append(jnp.broadcast_to(bg, (1, th_out, tile_w, 4)))
+    tiles_all = jnp.concatenate(tiles)        # (L+1, TH_OUT, TW, 4)
+    g = tiles_all[lanes]                      # (K, nty, ntx, TH_OUT, TW, 4)
+    imgs = jnp.swapaxes(g, 2, 3).reshape(
+        K, nty * th_out, ntx * tile_w, 4)
+    return imgs[:, :height, :width]
 
 
 _render_fused = jax.jit(
     _fused_batch_body,
     static_argnames=("K", "tile_h", "tile_w", "ntx", "nty", "width", "height",
-                     "bucket_flags", "ss", "interpret"),
+                     "bucket_flags", "ss", "interpret", "k_reps"),
 )
 
 
@@ -421,9 +461,11 @@ class VariantBatch:
             except Exception:  # noqa: BLE001
                 on_tpu = False
             statics["interpret"] = not on_tpu
-            te_l, ids_l, pteb_l, pads = _host_fused_tables(plan, K)
+            te_l, _ids_l, pteb_l, pads, k_reps, lanes = _host_fused_tables(
+                plan, K)
+            statics["k_reps"] = k_reps
             ct_flags = tuple(bool(fl[2]) for fl in d["bucket_flags"])
-            host = {"te": te_l, "ids": ids_l, "pteb": pteb_l,
+            host = {"te": te_l, "pteb": pteb_l, "lanes": lanes,
                     "paints": tuple(s["pop_paint"] for s in snaps)}
             dev = jax.device_put(host)
             any_tex = any(ct_flags)
@@ -438,8 +480,8 @@ class VariantBatch:
                 dev["te"], ctile_list,
                 tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
                 ss=plan.supersample, pads=pads, ct_flags=ct_flags)
-            args = (d["chunk_pools"], d["cov_map"], dev["te"], dev["ids"],
-                    dev["pteb"], params, cts)
+            args = (d["chunk_pools"], d["cov_map"], dev["pteb"],
+                    dev["lanes"], params, cts)
             vb = VariantBatch(K, "fused", args, statics)
             vb._fused = dict(dev_te=dev["te"], ctile_list=ctile_list,
                              pads=pads, ct_flags=ct_flags)
@@ -480,7 +522,7 @@ class VariantBatch:
                 f["dev_te"], f["ctile_list"],
                 tile_h=st["tile_h"], tile_w=st["tile_w"], ntx=st["ntx"],
                 ss=st["ss"], pads=f["pads"], ct_flags=f["ct_flags"])
-            self._args = self._args[:5] + (params, cts)
+            self._args = self._args[:4] + (params, cts)
         else:
             tabs = _host_folded_tables(self._plan, snaps)
             self._args = self._args[:2] + (jax.device_put(tabs),)
