@@ -8,6 +8,35 @@ Public API mirrors the reference's vg:: namespace (include/vg/vg.h) as free
 functions over a Context, so reference users can map calls 1:1.
 """
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache (serving cold-start bound):
+    the frame pipeline mints ~10 kernel shapes per plan signature and a cold
+    first frame pays 20-40 s of compiles per shape bucket; the disk cache
+    cuts warm-process cold start to upload+execute.  Opt out with
+    VGTPU_NO_COMPILE_CACHE=1; relocate with VGTPU_COMPILE_CACHE_DIR."""
+    if _os.environ.get("VGTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "VGTPU_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "vgtpu-jax"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default thresholds skip fast compiles; cache everything — the axon
+        # tunnel makes even small recompiles cost dispatch latency
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
+
+
+_enable_compile_cache()
+
 from vgtpu.core import (  # noqa: F401
     Color,
     Colors,
