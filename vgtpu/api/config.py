@@ -53,6 +53,15 @@ class ContextConfig:
     incremental_bin: bool = True           # per-op bin-piece cache: re-recorded frames
                                            # re-bin only ops whose content changed
                                            # (raster/binning.bin_frame_incremental)
+    layer_memo: bool = True                # static-prefix resident layer: when frames
+                                           # re-record an identical op prefix (cached
+                                           # command list + immediate UI, the reference's
+                                           # clCacheRender pattern vg.cpp:5845-6120),
+                                           # the prefix bakes ONCE to device tiles and
+                                           # later frames bin/upload/composite only the
+                                           # dynamic suffix over them.  Requires
+                                           # frame_memo (shares its fingerprints).
+    layer_min_prefix: int = 16             # min stable-prefix ops worth a layer bake
     coverage_supersample: int = 1          # y-supersampling factor (1/2/4/8): >1 applies
                                            # the fill rule per sub-row for conflation-free
                                            # self-intersection coverage (the reference's

@@ -227,6 +227,12 @@ class Context:
         self._frame_prepared = False
         self.background = (1.0, 1.0, 1.0, 1.0)
 
+        # static-prefix layer memo (cfg.layer_memo, _layer_split)
+        self._layer_state = None     # {"meta","bg","keys","len","tiles"}
+        self._layer_prev = None      # (meta, keys) of the previous frame
+        self._layer_render = None    # init_tiles the resident plan draws over
+        self._layer_used = 0         # prefix ops the resident plan omits
+
         # command lists
         self.command_lists: dict[int, object] = {}
         self._next_cl_idx = 0
@@ -295,6 +301,12 @@ class Context:
             self.background = tuple(background)
         self._frame_prepared = True
         prof = self.profiler
+        if (self._layer_render is not None and self._layer_state is not None
+                and tuple(self.background) != self._layer_state["bg"]):
+            # the resident plan composites over a layer baked with another
+            # background; memo/patch shortcuts would show stale pixels in
+            # uncovered tiles — force the full path (the layer re-bakes)
+            self._last_frame_fp = None
         with prof.stage("fingerprint"):
             # before geometry finalization: memo hits skip the native
             # bake/stroke call too (deferred recipes fingerprint by content)
@@ -328,11 +340,16 @@ class Context:
                 return self.frame_image
         with prof.stage("finalize"):
             self._finalize_ops()
+        layer = None
+        if self.cfg.layer_memo and self.cfg.frame_memo:
+            with prof.stage("layer"):
+                layer = self._layer_split()
+        ops_binned = self.ops[layer[0]:] if layer else self.ops
         with prof.stage("bin"):
             if self.cfg.incremental_bin and not hasattr(self, "_bin_cache"):
                 self._bin_cache = {}
             plan = bin_frame(
-                self.ops,
+                ops_binned,
                 self.fb_width,
                 self.fb_height,
                 tile_h=self.cfg.tile_h,
@@ -346,7 +363,12 @@ class Context:
             if self.cfg.incremental_bin:
                 prof.count("bin_hits", self._bin_cache.get("hits", 0))
         with prof.stage("textures"):
-            self._fill_textures(plan)
+            self._fill_textures(plan, ops=ops_binned)
+        self._layer_render = layer[1] if layer else None
+        self._layer_used = layer[0] if layer else 0
+        if layer:
+            prof.count("layer_hits", 1)
+            prof.count("layer_prefix_ops", layer[0])
         self.last_plan = plan
         with prof.stage("upload"):
             self.last_device_arrays = plan_to_device(plan, profiler=prof)
@@ -366,9 +388,95 @@ class Context:
                 self.frame_image = execute_plan(
                     self.last_plan, background=self.background,
                     device_arrays=self.last_device_arrays,
+                    init_tiles=self._layer_render,
                 )
         else:
             self.frame_image = None
+
+    def _layer_split(self):
+        """Static-prefix layer memo: the device-resident analogue of the
+        reference's cached-list replay (clCacheRender, vg.cpp:5845-6120 —
+        a Cacheable list re-submits as ~memcpy of cached meshes).  When the
+        leading run of ops is bit-identical across frames (cached artwork +
+        immediate-mode UI), the prefix bakes ONCE into resident framebuffer
+        tiles; each frame then bins/uploads/composites only the dynamic
+        suffix over them (execute_plan init_tiles).  Pixel-exact: painter's
+        order makes fb-after-prefix a true checkpoint, and per-op coverage
+        is independent of other ops.
+
+        Returns (prefix_len, tiles) or None.  The cut never crosses an
+        active clip (suffix frames start with an identity mask)."""
+        from vgtpu.raster.binning import _op_bin_key, bin_frame
+        from vgtpu.raster.frame import execute_plan_tiles, plan_to_device
+
+        ops = self.ops
+        # texture CONTENT rides the meta (op keys cover only tex_quads +
+        # image ids): an updateImage or atlas rebake must re-bake the layer
+        tex_sig = tuple(sorted(
+            (i, img.generation) for i, img in self.images.items()))
+        atlas_rev = (self.font_system.atlas.revision
+                     if self.font_system is not None else -1)
+        meta = (self.fb_width, self.fb_height, self.cfg.coverage_supersample,
+                self.cfg.tile_h, self.cfg.tile_w,
+                tuple(self.cfg.chunk_pools), tuple(self.background),
+                tex_sig, atlas_rev)
+        min_prefix = self.cfg.layer_min_prefix
+        if len(ops) <= min_prefix:
+            self._layer_prev = None
+            return None
+        keys = [_op_bin_key(op) for op in ops]
+        st = self._layer_state
+        if (st is not None and st["meta"] == meta and len(keys) > st["len"]
+                and keys[: st["len"]] == st["keys"]):
+            self._layer_prev = (meta, keys)
+            return st["len"], st["tiles"]
+        self._layer_state = None
+        prev, self._layer_prev = self._layer_prev, (meta, keys)
+        if prev is None or prev[0] != meta:
+            return None
+        pk = prev[1]
+        n = min(len(keys), len(pk), len(ops) - 1)
+        P = 0
+        while P < n and keys[P] == pk[P]:
+            P += 1
+        P = self._layer_clean_cut(ops, P)
+        if P < min_prefix:
+            return None
+        # bake: one full bin + tile render of the prefix, kept on device
+        # (no bin_cache: it tracks the per-frame suffix stream)
+        lplan = bin_frame(
+            ops[:P], self.fb_width, self.fb_height,
+            tile_h=self.cfg.tile_h, tile_w=self.cfg.tile_w,
+            chunk=self.cfg.edges_per_chunk, pools=self.cfg.chunk_pools,
+            supersample=self.cfg.coverage_supersample,
+            depth_cap=self.cfg.max_ops_per_tile_cap,
+        )
+        self._fill_textures(lplan, ops=ops[:P])
+        tiles = execute_plan_tiles(lplan, background=self.background,
+                                   device_arrays=plan_to_device(lplan))
+        self._layer_state = {"meta": meta, "bg": tuple(self.background),
+                             "keys": keys[:P], "len": P, "tiles": tiles}
+        self.profiler.count("layer_bakes", 1)
+        return P, tiles
+
+    @staticmethod
+    def _layer_clean_cut(ops, P: int) -> int:
+        """Largest p <= P where the clip state is identity (no committed
+        mask, no pending clip shapes): the suffix renders standalone, so a
+        prefix clip leaking across the boundary would be dropped."""
+        active = pending = False
+        last = 0
+        for i in range(P):
+            k = ops[i].kind
+            if k == K_CLIP_ADD:
+                pending = True
+            elif k == K_CLIP_COMMIT:
+                active, pending = True, False
+            elif k == K_CLIP_RESET:
+                active = pending = False
+            if not active and not pending:
+                last = i + 1
+        return last
 
     def _frame_fingerprint(self):
         """Content fingerprint of the recorded frame: per-op scalar fields +
@@ -500,6 +608,15 @@ class Context:
             return False
         if not changed_k and not changed_t:
             return False
+        base = self._layer_used
+        if base:
+            # the resident plan covers only the dynamic suffix; a paint
+            # change inside the baked prefix needs the full path (the layer
+            # keys include paint values, so the bake invalidates there)
+            if min(changed_k + changed_t) < base:
+                return False
+            changed_k = [i - base for i in changed_k]
+            changed_t = [i - base for i in changed_t]
         has_pop = d.get("pop") is not None
         if not has_pop and d.get("bucket_params") is not None:
             # host-built bucket params (numpy binner on TPU): paint values
@@ -508,7 +625,7 @@ class Context:
         if not has_pop and "entry_paint" not in d:
             return False
 
-        ops = self.ops
+        ops = self.ops[base:] if base else self.ops
         changed = changed_k + changed_t
         if any(ops[i].paint is None for i in changed):
             return False  # value rows live elsewhere (tri_paints): full path
@@ -568,7 +685,7 @@ class Context:
             # a geometry-identical frame keeps the mapping)
             old_map = plan.entry_color_tile.copy()
             old_ct = plan.color_tiles
-            self._fill_textures(plan)
+            self._fill_textures(plan, ops=ops)
             if (plan.color_tiles is old_ct
                     or not np.array_equal(plan.entry_color_tile, old_map)):
                 return False  # full path rebuilds the plan from scratch
@@ -605,7 +722,11 @@ class Context:
             d["entry_paint"] = jax.device_put(plan.entry_paint)
         return True
 
-    def _fill_textures(self, plan) -> None:
+    def _fill_textures(self, plan, ops=None) -> None:
+        # ops: the list the plan was binned from (a suffix slice when the
+        # layer memo split the frame — plan.entry_op indexes into IT)
+        if ops is None:
+            ops = self.ops
         image_map = {
             idx: (img.data, img.flags, img.generation)
             for idx, img in self.images.items()
@@ -618,7 +739,7 @@ class Context:
                 sample_color_tiles_device,
             )
 
-            sp = build_sampling_plan(plan, self.ops, image_map)
+            sp = build_sampling_plan(plan, ops, image_map)
             if sp.num_tiles:
                 tex = self._device_textures(
                     image_map, {g.image_id for g in sp.groups})
@@ -631,7 +752,7 @@ class Context:
 
         if not hasattr(self, "_tile_sample_cache"):
             self._tile_sample_cache = {}
-        fill_color_tiles(plan, self.ops, image_map, cache=self._tile_sample_cache)
+        fill_color_tiles(plan, ops, image_map, cache=self._tile_sample_cache)
 
     def _device_textures(self, image_map: dict, needed: set) -> dict:
         """Device-resident f32 textures, re-uploaded only when the source's
@@ -1505,7 +1626,8 @@ def renderFrames(ctxs, backgrounds=None):
                              "end(ctx, dispatch=False) before renderFrames")
     t0 = _time.perf_counter()
     imgs = execute_plans(
-        [(c.last_plan, c.last_device_arrays) for c in ctxs], backgrounds)
+        [(c.last_plan, c.last_device_arrays) for c in ctxs], backgrounds,
+        init_tiles=[c._layer_render for c in ctxs])
     dt = (_time.perf_counter() - t0) * 1e3
     for c, img in zip(ctxs, imgs):
         c.frame_image = img

@@ -74,6 +74,7 @@ def composite_tiles_body(
     lane_flags: tuple = (True, True, True, True, True, True, True),
     ss: int = 1,
     origin_shift=None,
+    init_tiles=None,
 ) -> jax.Array:
     """Returns (T, TH_OUT, TW, 4) premultiplied RGBA tiles (TH_OUT =
     tile_h // ss).  Unjitted body so the sharded renderer (vgtpu/parallel)
@@ -92,7 +93,11 @@ def composite_tiles_body(
     origin_shift = traced (sx, sy) scalars added to the pixel positions used
     for scissor / gradient / tri shading — the sub-tile residual of a
     retained-scene pan (raster/retained.py), where each output tile shows its
-    scene tile's content shifted left/up by (sx, sy)."""
+    scene tile's content shifted left/up by (sx, sy).
+
+    init_tiles = (T, TH_OUT, TW, 4) per-tile initial framebuffer values
+    (a resident static layer, api/context layer memo) replacing the
+    broadcast background."""
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa = lane_flags[:6]
     has_scissor = lane_flags[6] if len(lane_flags) > 6 else True
     th_out = tile_h // ss
@@ -117,7 +122,10 @@ def composite_tiles_body(
         pxc_o = ox[:, None, None] + ix_o + 0.5
         pyc_o = (oy / ss)[:, None, None] + iy_o + 0.5
 
-    fb0 = jnp.broadcast_to(background, (T, th_out, tile_w, 4)).astype(jnp.float32)
+    if init_tiles is None:
+        fb0 = jnp.broadcast_to(background, (T, th_out, tile_w, 4)).astype(jnp.float32)
+    else:
+        fb0 = init_tiles.astype(jnp.float32)
     mask0 = jnp.ones((T, tile_h, tile_w), jnp.float32)
     accum0 = jnp.zeros((T, tile_h, tile_w), jnp.float32)
 
@@ -273,12 +281,22 @@ def composite_bucketed_body(
     bucket_flags: tuple | None = None,
     ss: int = 1,
     origin_shift=None,
+    init_tiles=None,
 ):
     """Composite with tiles grouped by op-count bucket: each group scans only
     as many painter slots as its busiest tile needs; op-free tiles never run.
-    Output row num_tiles is a scratch target for bucket padding."""
-    fb = jnp.broadcast_to(
-        background, (num_tiles + 1, tile_h // ss, tile_w, 4)).astype(jnp.float32)
+    Output row num_tiles is a scratch target for bucket padding.
+
+    init_tiles: optional (num_tiles, TH_OUT, TW, 4) per-tile initial values
+    (resident static layer) instead of the broadcast background."""
+    if init_tiles is None:
+        fb = jnp.broadcast_to(
+            background, (num_tiles + 1, tile_h // ss, tile_w, 4)).astype(jnp.float32)
+    else:
+        fb = jnp.concatenate([
+            init_tiles.astype(jnp.float32),
+            jnp.broadcast_to(background, (1, tile_h // ss, tile_w, 4)).astype(jnp.float32),
+        ])
     if bucket_flags is None:
         bucket_flags = tuple((True,) * 7 for _ in buckets)
     for (te_b, ids_b), flags in zip(buckets, bucket_flags):
@@ -297,6 +315,7 @@ def composite_bucketed_body(
             color_tiles, background,
             ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=mo,
             lane_flags=tuple(flags), ss=ss, origin_shift=origin_shift,
+            init_tiles=None if init_tiles is None else fb[ids_b],
         )
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]

@@ -543,10 +543,19 @@ def composite_bucket_pallas(
     npx_out = npx // ss
     kern = _kernel_rows if variant == "rows" else _kernel
 
+    # bg_vec is either a broadcast background column (4*NPX_OUT, 1) or a
+    # per-tile init plane (4*NPX_OUT, nb_out) — a resident static layer the
+    # kernel composites over (api/context layer memo)
+    if bg_vec.shape[1] == 1:
+        bg_spec = pl.BlockSpec((4 * npx_out, 1), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        bg_spec = pl.BlockSpec((4 * npx_out, bt), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i % bpv), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, params_t.shape[1], bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((4 * npx_out, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        bg_spec,
     ]
     inputs = [ew_t, params_t, bg_vec]
     if has_tex:
@@ -587,14 +596,18 @@ def composite_bucketed_pallas_body(
     bucket_flags: tuple,
     interpret: bool = False,
     ss: int = 1,
+    init_tiles=None,
 ):
     """Full composite over all buckets -> (T+1, TH//ss, TW, 4) tile-major
-    framebuffer (same contract as ops/composite.composite_bucketed_body)."""
+    framebuffer (same contract as ops/composite.composite_bucketed_body).
+
+    init_tiles: optional (num_tiles, TH_OUT, TW, 4) per-tile initial values
+    (resident static layer) instead of the broadcast background."""
     npx = tile_h * tile_w
     th_out = tile_h // ss
     ew_flat = entry_w.reshape(entry_w.shape[0], npx)
     bg_vec = jnp.repeat(background.astype(jnp.float32), th_out * tile_w)[:, None]
-    fb = jnp.broadcast_to(background, (num_tiles + 1, th_out, tile_w, 4)).astype(jnp.float32)
+    fb = _fb_init(init_tiles, background, num_tiles, th_out, tile_w)
     for (te_b, ids_b), pp, ct, flags in zip(buckets_dev, bucket_params, bucket_cts, bucket_flags):
         nb, mo = te_b.shape
         nbp = _pad_tiles(nb)
@@ -608,7 +621,8 @@ def composite_bucketed_pallas_body(
             nb = nbp
         ew_t = jnp.transpose(ew_flat[jnp.maximum(te_b, 0)], (1, 2, 0))  # (MO,NPX,Nb)
         fb_t = composite_bucket_pallas(
-            ew_t, pp, ct, bg_vec,
+            ew_t, pp, ct,
+            bg_vec if init_tiles is None else _init_t(fb, ids_b, th_out, tile_w),
             npx=npx, tile_w=tile_w, flags=tuple(flags), interpret=interpret,
             ss=ss,
         )
@@ -616,6 +630,24 @@ def composite_bucketed_pallas_body(
         fb_b = jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0))
         fb = fb.at[ids_b].set(fb_b)
     return fb[:num_tiles]
+
+
+def _fb_init(init_tiles, background, num_tiles, th_out, tile_w):
+    if init_tiles is None:
+        return jnp.broadcast_to(
+            background, (num_tiles + 1, th_out, tile_w, 4)).astype(jnp.float32)
+    return jnp.concatenate([
+        init_tiles.astype(jnp.float32),
+        jnp.broadcast_to(background, (1, th_out, tile_w, 4)).astype(jnp.float32),
+    ])
+
+
+def _init_t(fb, ids_b, th_out, tile_w):
+    """Per-bucket kernel-layout init plane (4*NPX_OUT, Nb) gathered from the
+    layer framebuffer (buckets partition tiles, so gathering from the
+    incrementally-updated fb equals gathering from the initial layer)."""
+    nb = ids_b.shape[0]
+    return jnp.transpose(fb[ids_b], (3, 1, 2, 0)).reshape(4 * th_out * tile_w, nb)
 
 
 def frame_fb_pallas(
@@ -632,16 +664,21 @@ def frame_fb_pallas(
     bucket_flags: tuple,
     interpret: bool = False,
     ss: int = 1,
+    init_tiles=None,
 ):
     """Fully fused TPU frame composite: buckets gather straight from chunk
     coverage via host-precomputed primary-chunk indices; the per-entry
     backdrop is added inside the kernel from params rows.  The (NE, NPX)
     entry_w array of the reference pipeline is never materialized.
-    tile_h is the SUB-row domain when ss > 1; output tiles are tile_h//ss."""
+    tile_h is the SUB-row domain when ss > 1; output tiles are tile_h//ss.
+
+    init_tiles: optional (num_tiles, TH_OUT, TW, 4) per-tile initial values
+    (resident static layer, api/context layer memo) instead of the broadcast
+    background."""
     npx = tile_h * tile_w
     th_out = tile_h // ss
     bg_vec = jnp.repeat(background.astype(jnp.float32), th_out * tile_w)[:, None]
-    fb = jnp.broadcast_to(background, (num_tiles + 1, th_out, tile_w, 4)).astype(jnp.float32)
+    fb = _fb_init(init_tiles, background, num_tiles, th_out, tile_w)
     for (te_b, ids_b), pteb, pp, ct, flags in zip(
         buckets_dev, bucket_pteb, bucket_params, bucket_cts, bucket_flags
     ):
@@ -653,7 +690,8 @@ def frame_fb_pallas(
             nb = nbp
         ew_t = jnp.transpose(cov_all[pteb], (1, 2, 0))   # (MO, NPX, NbP)
         fb_t = composite_bucket_pallas(
-            ew_t, pp, ct, bg_vec,
+            ew_t, pp, ct,
+            bg_vec if init_tiles is None else _init_t(fb, ids_b, th_out, tile_w),
             npx=npx, tile_w=tile_w, flags=tuple(flags), add_backdrop=True,
             interpret=interpret, ss=ss,
         )

@@ -17,6 +17,7 @@ from vgtpu.raster.binning import FramePlan, compute_tile_buckets
 def composite_dispatch(
     entry_w, d: dict, background,
     *, ntx, tile_h, tile_w, num_tiles, bucket_flags, ss: int = 1,
+    init_tiles=None,
 ):
     """Composite backend choice (trace-time: the platform is static under
     jit): fused Pallas kernels on TPU, the XLA scan elsewhere.  Both are
@@ -31,7 +32,7 @@ def composite_dispatch(
         return composite_bucketed_pallas_body(
             entry_w, d["tile_buckets"], d["bucket_params"], d["bucket_cts"],
             background, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-            bucket_flags=bucket_flags, ss=ss,
+            bucket_flags=bucket_flags, ss=ss, init_tiles=init_tiles,
         )
     return composite_bucketed_body(
         entry_w, d["tile_buckets"],
@@ -39,7 +40,7 @@ def composite_dispatch(
         d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
         d["color_tiles"], background,
         ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-        bucket_flags=bucket_flags, ss=ss,
+        bucket_flags=bucket_flags, ss=ss, init_tiles=init_tiles,
     )
 
 
@@ -56,11 +57,14 @@ def coverage_dispatch(chunk_pools, d: dict, num_entries, tile_h, tile_w):
 
 def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
              *, num_entries, ntx, tile_h, tile_w, num_tiles, bucket_flags,
-             ss: int = 1):
+             ss: int = 1, init_tiles=None):
     """coverage + composite -> (T, TH, TW, 4) tiles.  On TPU with the fused
     aux data, buckets gather straight from chunk coverage (the (NE, NPX)
     entry_w intermediate is never materialized; backdrop is added in-kernel).
-    Elsewhere: entry coverage then the XLA composite."""
+    Elsewhere: entry coverage then the XLA composite.
+
+    init_tiles: optional (T, TH//ss, TW, 4) resident static layer the frame
+    composites over (api/context layer memo) instead of the background."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # noqa: BLE001
@@ -74,24 +78,42 @@ def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
             cov_all, d["tile_buckets"], d["bucket_pteb"], d["bucket_params"],
             d["bucket_cts"], background,
             tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-            bucket_flags=bucket_flags, ss=ss,
+            bucket_flags=bucket_flags, ss=ss, init_tiles=init_tiles,
         )
     entry_cov = coverage_dispatch(chunk_pools, d, num_entries, tile_h, tile_w)
     entry_w = entry_cov + entry_backdrop[:, :, None]
     return composite_dispatch(
         entry_w, d, background,
         ntx=ntx, tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
-        bucket_flags=bucket_flags, ss=ss,
+        bucket_flags=bucket_flags, ss=ss, init_tiles=init_tiles,
     )
 
 
 def _frame_body(
     chunk_pools, entry_backdrop, d, background,
     *, num_entries, ntx, nty, tile_h, tile_w, width, height, bucket_flags=None,
-    ss=1,
+    ss=1, init_tiles=None,
 ):
     """The whole device frame (unjitted body — _frame_fn compiles it alone;
     execute_plans compiles several plans' bodies into one program)."""
+    fb = _frame_tiles_body(
+        chunk_pools, entry_backdrop, d, background,
+        num_entries=num_entries, ntx=ntx, nty=nty, tile_h=tile_h,
+        tile_w=tile_w, bucket_flags=bucket_flags, ss=ss,
+        init_tiles=init_tiles,
+    )
+    return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h // ss,
+                          tile_w=tile_w, width=width, height=height)
+
+
+def _frame_tiles_body(
+    chunk_pools, entry_backdrop, d, background,
+    *, num_entries, ntx, nty, tile_h, tile_w, bucket_flags=None,
+    ss=1, init_tiles=None,
+):
+    """Frame pipeline up to (T, TH//ss, TW, 4) tiles (no image assembly) —
+    the layer-memo bake keeps these resident and later frames composite
+    their dynamic suffix over them (init_tiles)."""
     if d.get("pop") is not None:
         # dedup upload: expand the compact per-pseudo-op tables to the dense
         # per-entry arrays + per-bucket params with on-device gathers (the
@@ -117,13 +139,12 @@ def _frame_body(
                     d["entry_color_tile"], d["entry_tile"], entry_backdrop,
                     tile_h=tile_h, tile_w=tile_w, ntx=ntx)
                 for te, _ids in d["tile_buckets"])
-    fb = frame_fb(
+    return frame_fb(
         chunk_pools, entry_backdrop, d, background,
         num_entries=num_entries, ntx=ntx, tile_h=tile_h, tile_w=tile_w,
         num_tiles=ntx * nty, bucket_flags=bucket_flags, ss=ss,
+        init_tiles=init_tiles,
     )
-    return tiles_to_image(fb, ntx=ntx, nty=nty, tile_h=tile_h // ss,
-                          tile_w=tile_w, width=width, height=height)
 
 
 _frame_fn = functools.partial(
@@ -131,6 +152,12 @@ _frame_fn = functools.partial(
     static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w", "width",
                      "height", "bucket_flags", "ss"),
 )(_frame_body)
+
+_frame_tiles_fn = functools.partial(
+    jax.jit,
+    static_argnames=("num_entries", "ntx", "nty", "tile_h", "tile_w",
+                     "bucket_flags", "ss"),
+)(_frame_tiles_body)
 
 
 @functools.partial(jax.jit, static_argnames=("statics_t",))
@@ -140,8 +167,9 @@ def _frames_fn(groups, backgrounds, *, statics_t):
     fused dispatch costs one.  backgrounds: one (K, 4) array (a single
     upload; K separate puts would eat the saving)."""
     return tuple(
-        _frame_body(pools, ebd, d, backgrounds[i], **dict(st))
-        for i, ((pools, ebd, d), st) in enumerate(zip(groups, statics_t)))
+        _frame_body(pools, ebd, d, backgrounds[i], init_tiles=init,
+                    **dict(st))
+        for i, ((pools, ebd, d, init), st) in enumerate(zip(groups, statics_t)))
 
 
 _COMPOSITE_KEYS = (
@@ -169,17 +197,37 @@ def _plan_statics(plan: FramePlan, d: dict) -> tuple:
     ).items()))
 
 
-def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0), device_arrays=None) -> jax.Array:
-    """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA."""
+def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0),
+                 device_arrays=None, init_tiles=None) -> jax.Array:
+    """Run the device pipeline; returns (H, W, 4) premultiplied f32 RGBA.
+
+    init_tiles: optional resident static layer (execute_plan_tiles output)
+    the plan composites over instead of the background."""
     d = device_arrays if device_arrays is not None else plan_to_device(plan)
     return _frame_fn(
         d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
         jnp.asarray(np.asarray(background, np.float32)),
+        init_tiles=init_tiles,
         **dict(_plan_statics(plan, d)),
     )
 
 
-def execute_plans(plans_arrays, backgrounds) -> tuple:
+def execute_plan_tiles(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0),
+                       device_arrays=None) -> jax.Array:
+    """Render a plan to its (T, TH//ss, TW, 4) tile framebuffer — the
+    layer-memo bake (api/context): later frames pass this as init_tiles."""
+    d = device_arrays if device_arrays is not None else plan_to_device(plan)
+    statics = dict(_plan_statics(plan, d))
+    statics.pop("width")
+    statics.pop("height")
+    return _frame_tiles_fn(
+        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
+        jnp.asarray(np.asarray(background, np.float32)),
+        **statics,
+    )
+
+
+def execute_plans(plans_arrays, backgrounds, init_tiles=None) -> tuple:
     """Render K resident (plan, device_arrays) pairs as ONE device program
     -> tuple of (H_k, W_k, 4) images.  The multi-canvas serving analogue of
     execute_plan: the scenes are independent (different geometry, sizes,
@@ -190,10 +238,12 @@ def execute_plans(plans_arrays, backgrounds) -> tuple:
     if len(backgrounds) != len(plans_arrays):
         raise ValueError(f"{len(backgrounds)} backgrounds for "
                          f"{len(plans_arrays)} plans")
+    if init_tiles is None:
+        init_tiles = [None] * len(plans_arrays)
     groups, statics = [], []
-    for plan, d in plans_arrays:
+    for (plan, d), init in zip(plans_arrays, init_tiles):
         groups.append((d["chunk_pools"], d["entry_backdrop"],
-                       composite_arrays(d)))
+                       composite_arrays(d), init))
         statics.append(_plan_statics(plan, d))
     bgs = jnp.asarray(np.asarray(backgrounds, np.float32))   # one (K,4) put
     return _frames_fn(tuple(groups), bgs, statics_t=tuple(statics))
