@@ -149,6 +149,33 @@ def main() -> None:
             print(f"# scaling {rows[0]['devices']}->{r['devices']} devices: "
                   f"{base / r['ms_per_frame']:.2f}x (virtual CPU mesh: validates "
                   f"sharding layout, not ICI bandwidth)", file=sys.stderr)
+    if rows:
+        _persist(rows)
+
+
+def _persist(rows: list) -> None:
+    """Append this run to docs/multichip.md so rounds can diff the
+    virtual-mesh scaling numbers (VERDICT r2 weak #8)."""
+    import datetime
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "multichip.md")
+    fresh = not os.path.exists(path)
+    with open(path, "a") as f:
+        if fresh:
+            f.write("# Multichip scaling runs (virtual CPU mesh)\n\n"
+                    "Appended by bench_multichip.py; validates sharding "
+                    "layout + collective placement, not ICI bandwidth "
+                    "(one real chip per session).\n")
+        f.write(f"\n## {datetime.date.today().isoformat()} "
+                f"({rows[0]['platform']})\n\n")
+        f.write("| devices | ms/frame | tiles/dev | chunks/dev | "
+                "batch ms/variant |\n|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r['devices']} | {r['ms_per_frame']} | "
+                    f"{r['tiles_per_device']} | {r['chunks_per_device']} | "
+                    f"{r['batch_ms_per_variant']} |\n")
+    print(f"# appended to {path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,40 @@ def test_tiger_scene_statistics():
     assert n_curves > 1500
 
 
+def test_real_tiger_asset_renders():
+    """The real Ghostscript tiger, WHEN the asset is provided: unsourceable
+    in this zero-egress environment (PARITY.md), so the test skips unless
+    assets/tiger.svg exists — the moment it lands, the parity claim becomes
+    concrete: the scene must load through the hook, render non-trivially,
+    and reproduce a committed CRC (assets/tiger.crc, written on first run)."""
+    import os
+    import zlib
+
+    from vgtpu.scenes.tiger import ASSET, draw_tiger, load_tiger
+
+    if not os.path.exists(ASSET):
+        pytest.skip("assets/tiger.svg not provided (see PARITY.md)")
+    doc = load_tiger()
+    assert len(doc.paths) > 100          # the real tiger has 240 paths
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 640, 640, 1.0)
+    draw_tiger(ctx, 20, 20, 0.55)
+    img = np.asarray(vg.end(ctx, background=(1, 1, 1, 1)))
+    assert np.isfinite(img).all()
+    # non-trivial coverage: the tiger body must darken a real pixel area
+    dark = (img[..., :3].sum(axis=-1) < 1.5).mean()
+    assert dark > 0.05
+    crc = zlib.crc32((img * 255).astype(np.uint8).tobytes())
+    crc_path = ASSET.replace(".svg", ".crc")
+    if os.path.exists(crc_path):
+        committed = int(open(crc_path).read().strip())
+        assert crc == committed, (
+            f"real-tiger render changed: crc {crc} != committed {committed}")
+    else:
+        with open(crc_path, "w") as f:
+            f.write(str(crc))
+
+
 # ---- vgpp wrapper ----------------------------------------------------------
 
 def test_vgpp_renderer_roundtrip():

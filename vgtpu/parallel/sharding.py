@@ -65,6 +65,7 @@ def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int,
     n = mesh.devices.size
     ntx, tile_h, tile_w = plan.ntx, plan.tile_h, plan.tile_w
     max_ops = plan.tile_entries.shape[1]
+    ss = plan.supersample   # tile_h counts SUB-rows when ss > 1
 
     def local_frame(
         chunk_pools,
@@ -80,7 +81,7 @@ def make_sharded_frame_fn(mesh: Mesh, plan, num_entries: int, t_pad: int,
             entry_w, tile_entries, tile_ids,
             entry_kind, entry_rule, entry_aa, entry_paint_kind, entry_paint,
             entry_scissor, entry_color_tile, color_tiles, background,
-            ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=max_ops,
+            ntx=ntx, tile_h=tile_h, tile_w=tile_w, max_ops=max_ops, ss=ss,
         )
         return fb
 
@@ -136,6 +137,7 @@ def render_frame_sharded(plan, device_arrays: dict, mesh: Mesh, background=(1, 1
     fb = jax.device_put(fb, NamedSharding(mesh, P()))
     fb = fb[: plan.ntx * plan.nty]
     return tiles_to_image(
-        fb, ntx=plan.ntx, nty=plan.nty, tile_h=plan.tile_h, tile_w=plan.tile_w,
+        fb, ntx=plan.ntx, nty=plan.nty,
+        tile_h=plan.tile_h // plan.supersample, tile_w=plan.tile_w,
         width=plan.width, height=plan.height,
     )

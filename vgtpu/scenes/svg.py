@@ -46,17 +46,36 @@ def _parse_color(s: str | None, default=None):
             else:
                 vals.append(int(float(p)))
         return vg.color4ub(*vals[:3], 255)
+    # the CSS2 named set + common extras (SVG 1.1 color keywords subset)
     named = {
         "black": vg.Colors.Black, "white": vg.Colors.White, "red": vg.Colors.Red,
         "green": vg.color4ub(0, 128, 0, 255), "blue": vg.Colors.Blue,
         "yellow": vg.color4ub(255, 255, 0, 255), "none": None,
+        "silver": vg.color4ub(192, 192, 192, 255),
+        "gray": vg.color4ub(128, 128, 128, 255),
+        "grey": vg.color4ub(128, 128, 128, 255),
+        "maroon": vg.color4ub(128, 0, 0, 255),
+        "purple": vg.color4ub(128, 0, 128, 255),
+        "fuchsia": vg.color4ub(255, 0, 255, 255),
+        "magenta": vg.color4ub(255, 0, 255, 255),
+        "lime": vg.color4ub(0, 255, 0, 255),
+        "olive": vg.color4ub(128, 128, 0, 255),
+        "navy": vg.color4ub(0, 0, 128, 255),
+        "teal": vg.color4ub(0, 128, 128, 255),
+        "aqua": vg.color4ub(0, 255, 255, 255),
+        "cyan": vg.color4ub(0, 255, 255, 255),
+        "orange": vg.color4ub(255, 165, 0, 255),
+        "pink": vg.color4ub(255, 192, 203, 255),
+        "brown": vg.color4ub(165, 42, 42, 255),
+        "gold": vg.color4ub(255, 215, 0, 255),
+        "transparent": None,
     }
     key = s.lower()
     if key not in named:
-        import sys
+        import warnings
 
-        print(f"[vgtpu.svg] WARNING: unknown color {s!r}, using default",
-              file=sys.stderr)
+        warnings.warn(f"vgtpu.svg: unknown color {s!r}, using default",
+                      stacklevel=2)
     return named.get(key, default)
 
 
