@@ -46,13 +46,17 @@ def main() -> None:
     import vgtpu as vg
     from vgtpu.scenes.demo_ui import draw_benchmark_frame
 
-    ctx = vg.createContext()
+    ss = 1
+    if "--ss" in sys.argv:
+        ss = int(sys.argv[sys.argv.index("--ss") + 1])
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=ss))
     vg.begin(ctx, 0, 1920, 1080, 1.0)
     draw_benchmark_frame(ctx, 0.0)
     vg.end(ctx, background=(0.12, 0.12, 0.13, 1.0))
     plan = ctx.last_plan
     d = ctx.last_device_arrays
-    th, tw = plan.tile_h, plan.tile_w
+    th, tw = plan.tile_h, plan.tile_w      # th counts SUB-rows when ss > 1
+    th_out = th // ss
     npx = th * tw
     ne = d["entry_backdrop"].shape[0]
     nt = plan.tile_entries.shape[0]
@@ -115,7 +119,7 @@ def main() -> None:
 
         ew_ts = tuple(
             jnp.transpose(cov_all0[pteb], (1, 2, 0)) for pteb in ptebs)
-        bg_vec = jnp.repeat(bg, npx)[:, None]
+        bg_vec = jnp.repeat(bg, th_out * tw)[:, None]
         params = dd.get("bucket_params")
         if params is None:
             from vgtpu.ops.composite_pallas import build_bucket_params_jnp
@@ -136,7 +140,7 @@ def main() -> None:
                                             d["bucket_flags"]):
                     fb_t = composite_bucket_pallas(
                         ew_t + eps, pp, ct, bg_vec, npx=npx, tile_w=tw,
-                        flags=tuple(fl), add_backdrop=True)
+                        flags=tuple(fl), add_backdrop=True, ss=ss)
                     acc = acc + jnp.sum(fb_t[0, :]) * 1e-9
                 return acc
 
@@ -149,14 +153,14 @@ def main() -> None:
 
         fb_ts = tuple(
             composite_bucket_pallas(ew_t, pp, ct, bg_vec, npx=npx, tile_w=tw,
-                                    flags=tuple(fl), add_backdrop=True)
+                                    flags=tuple(fl), add_backdrop=True, ss=ss)
             for ew_t, pp, ct, fl in zip(ew_ts, params, dd["bucket_cts"],
                                         d["bucket_flags"]))
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def scatter_loop(fb_ts, n):
             def body(i, eps):
-                fb = jnp.broadcast_to(bg, (nt + 1, th, tw, 4)).astype(jnp.float32)
+                fb = jnp.broadcast_to(bg, (nt + 1, th_out, tw, 4)).astype(jnp.float32)
                 for fb_t, (te_b, ids_b) in zip(fb_ts, dd["tile_buckets"]):
                     nb = fb_t.shape[1]
                     nbp = _pad_tiles(te_b.shape[0])
@@ -165,10 +169,10 @@ def main() -> None:
                         ids = jnp.concatenate(
                             [ids_b, jnp.full((nbp - te_b.shape[0],), nt, ids_b.dtype)])
                     fb_b = jnp.transpose(
-                        (fb_t + eps).reshape(4, th, tw, nb), (3, 1, 2, 0))
+                        (fb_t + eps).reshape(4, th_out, tw, nb), (3, 1, 2, 0))
                     fb = fb.at[ids].set(fb_b)
                 img = tiles_to_image(fb[:nt], ntx=plan.ntx, nty=plan.nty,
-                                     tile_h=th, tile_w=tw,
+                                     tile_h=th_out, tile_w=tw,
                                      width=plan.width, height=plan.height)
                 return jnp.sum(img[..., 3]) * 1e-9
 
