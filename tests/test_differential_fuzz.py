@@ -229,7 +229,13 @@ def apply_program(ctx, steps, font, img_handle):
             vg.indexedTriList(ctx, pos, None, len(pos), cols, len(cols),
                               idx, len(idx), None)
         else:
-            getattr(vg, name)(ctx, *(resolve(a) for a in args))
+            rargs = [resolve(a) for a in args]
+            if (name in ("fillPath", "strokePath")
+                    and isinstance(rargs[0], vg.ImagePatternHandle)):
+                # pattern overload carries a modulate color (vg.h fillPath
+                # image-pattern signature); the generator emits the handle
+                rargs.insert(1, vg.Colors.White)
+            getattr(vg, name)(ctx, *rargs)
 
 
 def fresh_ctx(rng_img, dpr=1.0):

@@ -197,6 +197,51 @@ def test_layer_with_text_and_texture_suffix():
                                    _render(ref, make_draw(t)), atol=1e-6)
 
 
+@pytest.mark.parametrize("seed", (5, 17, 41))
+def test_layer_fuzz_random_prefix_suffix(seed):
+    """Differential fuzz of the layer memo: a random full-API prefix program
+    (paints, clips, text, images, tri-lists) + three random suffix variants,
+    rendered through one layered context; every frame must equal a fresh
+    non-layered render."""
+    from tests.test_differential_fuzz import (
+        BG as FBG, H as FH, W as FW, _checker_image, apply_program,
+        build_program,
+    )
+    from tests.fontdata import FONT_DATA
+
+    rng = np.random.default_rng(seed)
+    prefix = build_program(rng)
+    suffixes = [build_program(np.random.default_rng(100 * seed + k))
+                for k in range(3)]
+
+    def make_ctx(layer):
+        cfg = vg.ContextConfig(layer_memo=layer, layer_min_prefix=4)
+        ctx = vg.createContext(cfg)
+        vg.begin(ctx, 0, FW, FH, 1.0)
+        font = (vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+                if FONT_DATA is not None else None)
+        img = vg.createImage(ctx, 16, 16, 0,
+                             _checker_image(np.random.default_rng(seed)))
+        return ctx, font, img
+
+    ctx, font, img = make_ctx(True)
+
+    def frame(c, f, im, sfx):
+        apply_program(c, prefix, f, im)
+        apply_program(c, sfx, f, im)
+        vg.end(c, background=FBG)
+        return np.asarray(c.frame_image)
+
+    for k, sfx in enumerate(suffixes):
+        if k:
+            vg.begin(ctx, 0, FW, FH, 1.0)
+        got = frame(ctx, font, img, sfx)
+        rctx, rfont, rimg = make_ctx(False)
+        exp = frame(rctx, rfont, rimg, sfx)
+        np.testing.assert_allclose(got, exp, atol=2e-4,
+                                   err_msg=f"seed {seed} suffix {k}")
+
+
 def test_layer_disabled_by_config():
     ctx = _ctx(False)
     for t in (0.0, 0.3, 0.6):
