@@ -225,14 +225,15 @@ def test_create_image_rejects_wrong_size():
     assert vg.isImageValid(ctx, ok)
 
 
-def test_svg_unknown_color_warns(capsys):
+def test_svg_unknown_color_warns():
+    import pytest
+
     from vgtpu.scenes.svg import load_svg
 
-    doc = load_svg('<svg width="10" height="10">'
-                   '<path d="M0 0 H9 V9 Z" fill="chartreuse"/></svg>')
+    with pytest.warns(UserWarning, match="unknown color 'chartreuse'"):
+        doc = load_svg('<svg width="10" height="10">'
+                       '<path d="M0 0 H9 V9 Z" fill="chartreuse"/></svg>')
     assert len(doc.paths) == 1
-    err = capsys.readouterr().err
-    assert "unknown color 'chartreuse'" in err
 
 
 def test_dpr2_feature_matrix():

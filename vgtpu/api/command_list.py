@@ -286,6 +286,27 @@ def cl_submit(ctx, handle):
         if build_cache:
             cl.cache_slots.clear()
             cl._ops_memo = None
+            cl._layer_scene = None
+            cl._layer_last = None
+
+        # --- translated-layer fast path (clCacheRender generalized) --------
+        # the reference re-submits cached meshes under ANY new transform at
+        # memcpy cost (vg.cpp:5845-6120); the op-list memo below only covers
+        # the IDENTICAL transform.  A Cacheable list re-submitted FIRST in
+        # the frame with the same linear transform but a new translation
+        # renders as a retained-scene LAYER instead (backdrop windows + tile
+        # relabel, zero host replay); end() bins only the ops drawn after it.
+        if (use_cache and ctx.cfg.layer_memo and ctx.cfg.frame_memo
+                and ctx._submit_depth == 1 and not ctx.ops
+                and not ctx._recording_clip
+                and ctx.cfg.coverage_supersample == 1
+                and not ctx.state.scissor_explicit
+                and (preserve or _commands_state_clean(cl.commands))):
+            if _layer_submit(ctx, cl, base_transform):
+                if preserve:
+                    ctx.popState()
+                    ctx.resetClip()
+                return
 
         # --- op-list memoization -------------------------------------------
         # A cached-replay submit is a pure function of (commands, base
@@ -427,6 +448,13 @@ def cl_submit(ctx, handle):
             cl._ops_memo = (memo_key, list(ctx.ops[n_ops0:]))
             ctx._block_merge_once = True   # next op must not merge into the
                                            # now-shared segment tail
+        note = getattr(ctx, "_layer_bake_note", None)
+        if note is not None and note[0] is cl and ctx._submit_depth == 1:
+            # _layer_submit saw the translation start moving: hand end()
+            # this submit's op range to bake as the list's retained scene
+            ctx._layer_bake_note = None
+            ctx._layer_bake_req = note + (len(ctx.ops),)
+            ctx._block_merge_once = True   # keep the range self-contained
         if build_cache:
             cl.cache_valid = True
             cl.cache_avg_scale = base_avg_scale
@@ -500,6 +528,47 @@ def _draw_outside_scissor(ctx, name, args) -> bool:
         ys.append(y)
     return _bbox_outside_scissor(
         ctx, min(xs), min(ys), max(xs), max(ys), _stroke_pad_fb(ctx, name, args))
+
+
+def _layer_submit(ctx, cl, base_transform) -> bool:
+    """Translation-generalized cached replay (missing reference parity:
+    clCacheRender re-transforms cached meshes under any new matrix at
+    ~memcpy cost, vg.cpp:5845-6120 + the avgScale-only invalidation rule
+    vg.cpp:4287-4300; the op-list memo covers only the IDENTICAL
+    transform).
+
+    When this list's submit translation starts MOVING, one normal replay
+    bakes its ops as a RetainedScene (Context._layer_cl_bake); every later
+    submit with the same linear transform + dpr + alpha renders the scene
+    at the new offset as the frame's layer tiles — zero host replay, zero
+    rebin of the artwork.  view_y must land on integer pixels (the retained
+    formulation's constraint); fractional vertical pans fall back to the
+    host replay.  Pixel parity is float-level, exactly like the reference's
+    re-transformed cached meshes vs retessellated geometry.
+
+    Returns True when the submit is satisfied by a scheduled layer."""
+    key = (base_transform[:4].tobytes(), float(ctx.dpr),
+           float(ctx.state.global_alpha), ctx.fb_width, ctx.fb_height)
+    tx, ty = float(base_transform[4]), float(base_transform[5])
+    st = getattr(cl, "_layer_scene", None)
+    if st is not None and st["key"] == key:
+        dx = (tx - st["tx"]) * ctx.dpr
+        dy = (ty - st["ty"]) * ctx.dpr
+        if abs(dy - round(dy)) > 1e-6:
+            return False
+        ctx._pending_layer = {
+            "scene": st["scene"],
+            "view": (-dx, -int(round(dy))),
+            "token": (id(cl), st["gen"], dx, int(round(dy))),
+        }
+        ctx.profiler.count("layer_cl_hits", 1)
+        return True
+    last = getattr(cl, "_layer_last", None)
+    cl._layer_last = (key, tx, ty)
+    if (last is not None and last[0] == key
+            and (last[1] != tx or last[2] != ty)):
+        ctx._layer_bake_note = (cl, key, tx, ty)
+    return False
 
 
 def _replay_cached_draw(ctx, cl, ci, name, args, kwargs, base_transform,

@@ -232,6 +232,11 @@ class Context:
         self._layer_prev = None      # (meta, keys) of the previous frame
         self._layer_render = None    # init_tiles the resident plan draws over
         self._layer_used = 0         # prefix ops the resident plan omits
+        # translated cached-list layer (api/command_list._layer_submit)
+        self._pending_layer = None   # {"scene","view","token"}
+        self._layer_bake_note = None  # set by submit, resolved in the same call
+        self._layer_bake_req = None  # (cl, key, tx, ty, n_ops) -> end() bakes
+        self._pend_tiles = None      # (token, rendered layer tiles) cache
 
         # command lists
         self.command_lists: dict[int, object] = {}
@@ -282,6 +287,9 @@ class Context:
         self._block_merge_once = False
         self._path_xf = None
         self._frame_prepared = False   # set by end(); renderFrames guard
+        self._pending_layer = None     # translated cached-list layer
+        self._layer_bake_note = None
+        self._layer_bake_req = None
 
     def end(self, background=None, dispatch=True):
         """Bin + execute the frame on device; returns premultiplied (H,W,4).
@@ -301,11 +309,12 @@ class Context:
             self.background = tuple(background)
         self._frame_prepared = True
         prof = self.profiler
-        if (self._layer_render is not None and self._layer_state is not None
-                and tuple(self.background) != self._layer_state["bg"]):
-            # the resident plan composites over a layer baked with another
-            # background; memo/patch shortcuts would show stale pixels in
-            # uncovered tiles — force the full path (the layer re-bakes)
+        if (self._layer_render is not None
+                and tuple(self.background) != getattr(
+                    self, "_layer_render_bg", None)):
+            # the resident plan composites over layer tiles rendered with
+            # another background; memo/patch shortcuts would show stale
+            # pixels in uncovered tiles — force the full path (re-renders)
             self._last_frame_fp = None
         with prof.stage("fingerprint"):
             # before geometry finalization: memo hits skip the native
@@ -341,7 +350,26 @@ class Context:
         with prof.stage("finalize"):
             self._finalize_ops()
         layer = None
-        if self.cfg.layer_memo and self.cfg.frame_memo:
+        req, self._layer_bake_req = self._layer_bake_req, None
+        if req is not None:
+            # a Cacheable list started MOVING (translation-only delta):
+            # bake its op range as a retained scene for future submits
+            with prof.stage("layer"):
+                self._layer_cl_bake(req)
+        if self._pending_layer is not None:
+            pend = self._pending_layer
+            with prof.stage("layer"):
+                key = (pend["token"], tuple(self.background))
+                cache = self._pend_tiles
+                if cache is not None and cache[0] == key:
+                    tiles = cache[1]
+                else:
+                    tiles = pend["scene"].render_tiles(
+                        view_x=pend["view"][0], view_y=pend["view"][1],
+                        background=self.background)
+                    self._pend_tiles = (key, tiles)
+            layer = (0, tiles)
+        elif self.cfg.layer_memo and self.cfg.frame_memo:
             with prof.stage("layer"):
                 layer = self._layer_split()
         ops_binned = self.ops[layer[0]:] if layer else self.ops
@@ -365,6 +393,7 @@ class Context:
         with prof.stage("textures"):
             self._fill_textures(plan, ops=ops_binned)
         self._layer_render = layer[1] if layer else None
+        self._layer_render_bg = tuple(self.background) if layer else None
         self._layer_used = layer[0] if layer else 0
         if layer:
             prof.count("layer_hits", 1)
@@ -458,6 +487,32 @@ class Context:
                              "keys": keys[:P], "len": P, "tiles": tiles}
         self.profiler.count("layer_bakes", 1)
         return P, tiles
+
+    def _layer_cl_bake(self, req) -> None:
+        """Bake a Cacheable command list's just-replayed op range as a
+        retained scene (api/command_list._layer_submit scheduled it when the
+        list's translation started moving).  Ops are finalized by the
+        caller.  Failure is silent — the list simply keeps the host replay
+        path."""
+        from vgtpu.raster.retained import RetainedScene
+
+        cl, key, tx, ty, n = req
+        ops = self.ops[:n]
+        if n == 0 or len(self.ops) < n:
+            return
+        if self._layer_clean_cut(ops, n) != n:
+            return   # an open clip crosses the list boundary
+        try:
+            scene = RetainedScene.bake(self, background=self.background,
+                                       ops=list(ops))
+        except NotImplementedError:
+            cl._layer_last = None      # don't re-request every frame
+            return
+        gen = getattr(cl, "_layer_gen", 0) + 1
+        cl._layer_gen = gen
+        cl._layer_scene = {"key": key, "tx": tx, "ty": ty, "scene": scene,
+                           "gen": gen}
+        self.profiler.count("layer_cl_bakes", 1)
 
     @staticmethod
     def _layer_clean_cut(ops, P: int) -> int:
@@ -561,6 +616,10 @@ class Context:
         # affect the frame, so no global image table is hashed.
         if self.font_system is not None:
             parts.append(self.font_system.atlas.revision)
+        if self._pending_layer is not None:
+            # translated cached-list layer: the frame's pixels depend on the
+            # scene identity + view offset (the list's ops are NOT in ops)
+            parts.append(self._pending_layer["token"])
         return (hash(tuple(parts)), tuple(paint_sig), tuple(tex_sig))
 
     @staticmethod

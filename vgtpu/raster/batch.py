@@ -385,6 +385,13 @@ def _record_snaps(ctx, draw_fns, width, height, dpr, background,
         # only the resident plan + paint tables are needed; skip the K
         # per-variant device renders (their images are never read)
         ctx.end(background=background, dispatch=False)
+        if ctx._layer_render is not None:
+            raise ValueError(
+                "layered frames (static-prefix / translated cached-list "
+                "layer memo) cannot bake into a VariantBatch — the batch "
+                "body renders plans without layer tiles; disable layer_memo "
+                "on this context or avoid stable-prefix re-records during "
+                "the bake")
         plan = ctx.last_plan
         if plan0 is None:
             plan0, d0 = plan, ctx.last_device_arrays

@@ -224,21 +224,27 @@ class RetainedScene:
 
     @staticmethod
     def bake(ctx, scene_width: int | None = None, scene_height: int | None = None,
-             background=(1.0, 1.0, 1.0, 1.0)) -> "RetainedScene":
+             background=(1.0, 1.0, 1.0, 1.0), ops=None) -> "RetainedScene":
         """Bin the recorded frame over the scene bounds with pan margins and
         upload.  The scene may be larger than the viewport (content scrolled
-        into view must be binned); view offsets beyond it show background."""
+        into view must be binned); view offsets beyond it show background.
+
+        ops: optional already-FINALIZED op list to bake instead of ctx.ops
+        (the translated-layer path bakes a cached command list's op slice;
+        ctx still provides config + texture/font access)."""
         from vgtpu.ops.coverage import build_cov_gather_map
         from vgtpu.raster.binning import expand_tri_batches
 
         if ctx.cfg.coverage_supersample != 1:
             raise NotImplementedError(
                 "retained pan scenes require coverage_supersample == 1")
-        ctx._finalize_ops()
+        if ops is None:
+            ctx._finalize_ops()
+            ops = ctx.ops
         scene_w = int(scene_width or ctx.fb_width)
         scene_h = int(scene_height or ctx.fb_height)
         tw, th = ctx.cfg.tile_w, ctx.cfg.tile_h
-        ops = expand_tri_batches(ctx.ops)
+        ops = expand_tri_batches(ops)
         for op in ops:
             if isinstance(op.edges, list):
                 op.edges = np.concatenate(op.edges, axis=0)
@@ -504,6 +510,34 @@ class RetainedScene:
             **self._pan_statics(use_pallas),
         )
 
+    def render_tiles(self, view_x: float = 0, view_y: int = 0,
+                     background=None, use_pallas: bool | None = None) -> jax.Array:
+        """The view as its OUTPUT TILE GRID (nty_o*ntx_o, th, tw, 4) —
+        execute_plan's init_tiles contract: when this scene's output dims
+        equal a frame's, a dynamic suffix plan composites straight over the
+        panned artwork (the translated cached-list layer,
+        api/command_list).  Same offset semantics as render().
+
+        background: off-scene tiles show this (defaults to the bake
+        background) — pass the FRAME background so layer edges match."""
+        tw, th = self.tile_w, self.tile_h
+        if float(view_y) != int(view_y):
+            raise ValueError(
+                "fractional view_y is not representable (backdrop rows are "
+                "piecewise-linear in y); use integer vertical offsets")
+        bg = jnp.asarray(np.asarray(
+            self.background if background is None else background,
+            np.float32))
+        ox = float(view_x) + self.off[0]
+        vx = int(np.floor(ox / tw))
+        rx = ox - vx * tw
+        vy, ry = divmod(int(view_y) + self.off[1], th)
+        return _render_pan(
+            self.d, bg,
+            np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
+            tiles_only=True, **self._pan_statics(use_pallas),
+        )
+
     def _pan_statics(self, use_pallas=None) -> dict:
         tw, th = self.tile_w, self.tile_h
         return dict(
@@ -546,7 +580,7 @@ class RetainedScene:
 
 def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
                      out_w, out_h, bucket_flags, ne, use_pallas=None,
-                     samp_meta=None, samp_nct=0):
+                     samp_meta=None, samp_nct=0, tiles_only=False):
     from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
     from vgtpu.ops.coverage import entry_coverage_gather
 
@@ -623,6 +657,11 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     tx = jnp.arange(ntx_o, dtype=jnp.int32)[None, :] + vx
     valid = (ty >= 0) & (ty < NTY) & (tx >= 0) & (tx < NTX)
     sid = jnp.where(valid, ty * NTX + tx, nt).reshape(-1)
+    if tiles_only:
+        # execute_plan's init_tiles contract (the translated cached-list
+        # layer): the OUTPUT TILE GRID, no image assembly — a dynamic
+        # suffix plan composites straight over these
+        return fb[sid]
     return tiles_to_image(fb[sid], ntx=ntx_o, nty=nty_o, tile_h=th, tile_w=tw,
                           width=out_w, height=out_h)
 
@@ -631,7 +670,7 @@ _render_pan = jax.jit(
     _render_pan_body,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
-                     "samp_meta", "samp_nct"),
+                     "samp_meta", "samp_nct", "tiles_only"),
 )
 
 
