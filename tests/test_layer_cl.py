@@ -151,6 +151,30 @@ def test_background_change_with_pending_layer():
                                    atol=3e-4, err_msg=f"{off} {bg}")
 
 
+def test_translated_list_dpr2():
+    """devicePixelRatio 2: the layer offset is dpr-scaled (framebuffer
+    pixels), and half-pixel LOGICAL vertical offsets land on integer
+    framebuffer rows."""
+    def frame(ctx, cl, off, t):
+        vg.begin(ctx, 0, W, H, 2.0)
+        vg.pushState(ctx)
+        vg.transformTranslate(ctx, off[0], off[1])
+        vg.submitCommandList(ctx, cl)
+        vg.popState(ctx)
+        _ui(ctx, t)
+        vg.end(ctx, background=BG)
+        return np.asarray(ctx.frame_image)
+
+    ctx, cl = _make(True)
+    ref_ctx, ref_cl = _make(False)
+    for k, off in enumerate([(0, 0), (0, 0), (4, 2.5), (9.25, -1.5),
+                             (3.0, 5.0)]):
+        np.testing.assert_allclose(frame(ctx, cl, off, 0.2 * k),
+                                   frame(ref_ctx, ref_cl, off, 0.2 * k),
+                                   atol=3e-4, err_msg=f"frame {k} {off}")
+    assert ctx.profiler.counters.get("layer_cl_hits", 0) >= 2
+
+
 def test_text_in_translated_list():
     """Textured artwork (glyph color tiles) pans through the retained
     resample path."""
