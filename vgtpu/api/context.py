@@ -369,7 +369,10 @@ class Context:
                         background=self.background)
                     self._pend_tiles = (key, tiles)
             layer = (0, tiles)
-        elif self.cfg.layer_memo and self.cfg.frame_memo:
+        elif (self.cfg.layer_memo and self.cfg.frame_memo
+              and not getattr(self, "_suppress_layer", False)):
+            # _suppress_layer: VariantBatch records need full single plans
+            # (the batch body renders without layer tiles)
             with prof.stage("layer"):
                 layer = self._layer_split()
         ops_binned = self.ops[layer[0]:] if layer else self.ops

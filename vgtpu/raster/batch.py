@@ -379,35 +379,42 @@ def _record_snaps(ctx, draw_fns, width, height, dpr, background,
     paint-value-patch path — or ValueError."""
     snaps = []
     plan0, d0 = expect_plan, expect_d
-    for k, fn in enumerate(draw_fns):
-        ctx.begin(0, width, height, dpr)
-        fn(ctx)
-        # only the resident plan + paint tables are needed; skip the K
-        # per-variant device renders (their images are never read)
-        ctx.end(background=background, dispatch=False)
-        if ctx._layer_render is not None:
-            raise ValueError(
-                "layered frames (static-prefix / translated cached-list "
-                "layer memo) cannot bake into a VariantBatch — the batch "
-                "body renders plans without layer tiles; disable layer_memo "
-                "on this context or avoid stable-prefix re-records during "
-                "the bake")
-        plan = ctx.last_plan
-        if plan0 is None:
-            plan0, d0 = plan, ctx.last_device_arrays
-        elif plan is not plan0 or ctx.last_device_arrays is not d0:
-            raise ValueError(
-                f"variant {k} changed the frame structure (geometry, "
-                "draw order, clips, texture topology or an opacity "
-                "class); only paint/texture VALUES may differ")
-        ct = plan.color_tiles
-        snaps.append({
-            "entry_paint": plan.entry_paint.copy(),
-            "pop_paint": (None if plan.pop is None
-                          else plan.pop["paint"].copy()),
-            "color_tiles": (ct.copy() if isinstance(ct, np.ndarray)
-                            else ct),
-        })
+    # the batch body renders plans WITHOUT layer tiles: prefix-layer
+    # splitting is suppressed for the bake records (full single plans);
+    # a translated-cached-list layer cannot be suppressed — reject it
+    suppress0 = getattr(ctx, "_suppress_layer", False)
+    ctx._suppress_layer = True
+    try:
+        for k, fn in enumerate(draw_fns):
+            ctx.begin(0, width, height, dpr)
+            fn(ctx)
+            # only the resident plan + paint tables are needed; skip the K
+            # per-variant device renders (their images are never read)
+            ctx.end(background=background, dispatch=False)
+            if ctx._layer_render is not None:
+                raise ValueError(
+                    "a translated cached-list layer is active on this "
+                    "context's frames — layered frames cannot bake into a "
+                    "VariantBatch (the batch body renders plans without "
+                    "layer tiles)")
+            plan = ctx.last_plan
+            if plan0 is None:
+                plan0, d0 = plan, ctx.last_device_arrays
+            elif plan is not plan0 or ctx.last_device_arrays is not d0:
+                raise ValueError(
+                    f"variant {k} changed the frame structure (geometry, "
+                    "draw order, clips, texture topology or an opacity "
+                    "class); only paint/texture VALUES may differ")
+            ct = plan.color_tiles
+            snaps.append({
+                "entry_paint": plan.entry_paint.copy(),
+                "pop_paint": (None if plan.pop is None
+                              else plan.pop["paint"].copy()),
+                "color_tiles": (ct.copy() if isinstance(ct, np.ndarray)
+                                else ct),
+            })
+    finally:
+        ctx._suppress_layer = suppress0
     return plan0, d0, snaps
 
 
