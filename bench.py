@@ -153,6 +153,27 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         except Exception as e:  # noqa: BLE001
             print(f"[bench] batch diag failed: {e}", file=sys.stderr)
 
+    # translated cached-list pan (clCacheRender under a moving transform,
+    # vg.cpp:5845-6120): the artwork renders as a retained layer at each
+    # offset, the UI bins as a suffix.  Subprocess + timeout: the one-time
+    # scene bake compiles fresh kernel shapes (same hang hazard as batch)
+    pan_ms = pan_hits = None
+    if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--pan-diag"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode == 0:
+                pd = json.loads(out.stdout.strip().splitlines()[-1])
+                pan_ms, pan_hits = pd["pan_ms"], pd["layer_cl_hits"]
+            else:
+                print(f"[bench] pan diag rc={out.returncode}: "
+                      f"{out.stderr[-400:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] pan diag failed: {e}", file=sys.stderr)
+
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
     # replay + incremental rebin do the heavy lifting
@@ -185,6 +206,8 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "anim_paint_hits": anim_hits,
         "batch_ms": batch_ms,
         "batch_mode": batch_mode,
+        "pan_ms": pan_ms,
+        "pan_layer_hits": pan_hits,
         "app_ms": app_ms,
         "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
@@ -217,6 +240,45 @@ def _backend_alive(timeout_s: int = 180) -> bool:
         return False
 
 
+def pan_diag() -> None:
+    """Standalone translated-cached-list measurement (subprocess child):
+    submits the tiger list under a moving translation with the demo UI on
+    top; prints {"pan_ms": median steady ms, "layer_cl_hits": n}."""
+    import numpy as np
+    import vgtpu as vg
+    from vgtpu.scenes.demo_ui import draw_demo_ui
+    from vgtpu.scenes.tiger import draw_tiger
+
+    bg = (0.12, 0.12, 0.13, 1.0)
+    ctx = vg.createContext()
+    cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+    vg.beginCommandList(ctx, cl)
+    draw_tiger(ctx, 20, 60, 1.06)
+    vg.endCommandList(ctx)
+
+    def frame(k):
+        vg.begin(ctx, 0, 1920, 1080, 1.0)
+        vg.pushState(ctx)
+        vg.transformTranslate(ctx, 2.5 * k, 2 * k)
+        vg.submitCommandList(ctx, cl)
+        vg.popState(ctx)
+        draw_demo_ui(ctx, 0.3 + 0.05 * k)
+        np.asarray(vg.end(ctx, background=bg)[0, 0])
+
+    ts = []
+    for k in range(9):
+        t0 = time.perf_counter()
+        frame(k)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    # frames 0-3 cover cache build, first cached replay, the moved replay
+    # that requests the bake, and the bake+compile frame — steady is 4+
+    steady = sorted(ts[4:])
+    print(json.dumps({
+        "pan_ms": steady[len(steady) // 2],
+        "layer_cl_hits": ctx.profiler.counters.get("layer_cl_hits", 0),
+    }))
+
+
 def batch_diag() -> None:
     """Standalone batched-variant measurement (subprocess child of measure):
     bakes K=6 overlay-color variants of the benchmark frame and prints one
@@ -247,6 +309,9 @@ def main() -> None:
     if "--batch-diag" in sys.argv:
         batch_diag()
         return
+    if "--pan-diag" in sys.argv:
+        pan_diag()
+        return
     if "--cpu-baseline" in sys.argv:
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         import jax
@@ -275,6 +340,8 @@ def main() -> None:
           f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
           f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant "
           f"({r['batch_mode']})  "
+          f"pan={r['pan_ms'] if r['pan_ms'] is None else round(r['pan_ms'], 1)} ms "
+          f"(layer hits {r['pan_layer_hits']})  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"host_spin={r['host_spin_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
@@ -311,10 +378,12 @@ def main() -> None:
         "batch_ms": (None if r["batch_ms"] is None
                      else round(r["batch_ms"], 3)),
         "batch_mode": r["batch_mode"],
+        "pan_layer_hits": r["pan_layer_hits"],
         "host_spin_ms": round(r["host_spin_ms"], 1),
         "cold_ms": round(r["cold_bin_exec_ms"], 1),
-        **{f"{k}_norm_ms": round(r[f"{k}_ms"] * norm, 1)
-           for k in ("record", "dynamic", "redraw", "anim", "app")},
+        **{f"{k}_norm_ms": (None if r[f"{k}_ms"] is None
+                            else round(r[f"{k}_ms"] * norm, 1))
+           for k in ("record", "dynamic", "redraw", "anim", "app", "pan")},
     }))
 
 
