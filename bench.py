@@ -49,6 +49,79 @@ def host_spin_ms() -> float:
     return best
 
 
+def tunnel_mbps() -> float:
+    """Host->device upload throughput right now: one 8 MB put + a fetch of
+    a scalar that depends on it.  The axon tunnel DEGRADES over a session
+    (CLAUDE.md: 24 MB = 15 ms fresh, tens of seconds degraded) — this probe
+    turns 'cold/dynamic look slow' into an attributable environment fact."""
+    import jax
+    import numpy as np
+
+    first = jax.jit(lambda a: a[0])
+    x = np.zeros((2_000_000,), np.float32)
+    np.asarray(first(jax.device_put(x[:128])))   # compile outside the timing
+    t0 = time.perf_counter()
+    np.asarray(first(jax.device_put(x)))
+    dt = time.perf_counter() - t0
+    return 8.0 / max(dt, 1e-9)
+
+
+def fetch_rtt_ms() -> float:
+    """Median host<->device round-trip of fetching ONE resident scalar.
+    Through the axon tunnel this is ~30 ms — a fixed environment tax that
+    any per-frame-synced wall-clock number carries and that a real render
+    loop (device-side present, like the reference's GPU swap) never pays.
+    Reported in the JSON line so host-path numbers are interpretable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    y = jax.jit(lambda x: x * 2 + 1)(jnp.ones((128,), jnp.float32))
+    np.asarray(y[0])
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(y[0])
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return sorted(ts)[len(ts) // 2]
+
+
+_PROBES = {}
+
+
+def _probe_fn(n: int):
+    """Jitted n-image fetch probe (one scalar depending on every frame);
+    cached per n so its trace+compile never lands inside a timed loop."""
+    import jax
+
+    if n not in _PROBES:
+        _PROBES[n] = jax.jit(lambda ims: sum(im[0, 0, 0] for im in ims))
+    return _PROBES[n]
+
+
+def run_loop(frame_fn, n: int, warm_img=None) -> float:
+    """Pipelined render-loop timing: issue n frames back-to-back with NO
+    per-frame host sync (render loops present asynchronously — the
+    reference's bgfx swap is async too), then ONE fetch that depends on
+    every frame's image.  Per-frame host work overlaps device execution of
+    earlier frames, exactly as a production loop would run; the per-frame
+    cost is the loop's throughput, not latency.  Returns mean ms/frame.
+
+    warm_img: a same-shape image used to compile the fetch probe outside
+    the timed window."""
+    import numpy as np
+
+    probe = _probe_fn(n)
+    if warm_img is not None:
+        np.asarray(probe([warm_img] * n))
+    imgs = []
+    t0 = time.perf_counter()
+    for k in range(n):
+        imgs.append(frame_fn(k))
+    np.asarray(probe(imgs))
+    return (time.perf_counter() - t0) * 1e3 / n
+
+
 def measure(reps: int = 32, warmup: int = 3) -> dict:
     import numpy as np
     import vgtpu as vg
@@ -69,10 +142,18 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     # trace+compile (persistent cache hits show up as a collapse here),
     # fetch is the first execute + tunnel download
     stages = {k: round(v, 1) for k, v in ctx.profiler.times_ms.items()}
+    # first-fetch waits for BOTH the queued scene upload (tunnel-throughput
+    # bound: probe below) and any uncached XLA/Mosaic compiles; with the
+    # persistent cache warm the upload wait dominates on a degraded tunnel
+    cold_mb = ctx.profiler.counters.get("upload_bytes", 0) / 1e6
+    mbps = tunnel_mbps()
+    est_upload_ms = cold_mb / max(mbps, 1e-9) * 1e3
     print(f"[bench] cold breakdown: record={(t1 - t0) * 1e3:.0f} ms  "
           f"end-call={(t_end - t1) * 1e3:.0f} ms {stages}  "
           f"first-fetch={(t2 - t_end) * 1e3:.0f} ms  "
-          f"compile_cache={'off' if os.environ.get('VGTPU_NO_COMPILE_CACHE') else 'on'}",
+          f"compile_cache={'off' if os.environ.get('VGTPU_NO_COMPILE_CACHE') else 'on'}  "
+          f"scene_upload={cold_mb:.1f} MB  tunnel={mbps:.1f} MB/s  "
+          f"(~{est_upload_ms:.0f} ms of first-fetch is upload wait)",
           file=sys.stderr)
 
     plan = ctx.last_plan
@@ -87,25 +168,24 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         # (CLAUDE.md); fetching a value that depends on the frame does
         np.asarray(img[0, 0])
 
-    dyn = []
-    for k in range(5):
-        td0 = time.perf_counter()
+    def dyn_frame(k):
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.05 * (k + 1))
-        sync(vg.end(ctx, background=bg))
-        dyn.append((time.perf_counter() - td0) * 1e3)
-    dynamic_ms = sorted(dyn)[len(dyn) // 2]
+        return vg.end(ctx, background=bg)
+
+    wimg = dyn_frame(98)   # warm the dynamic path's kernel shapes
+    sync(wimg)
+    dynamic_ms = run_loop(dyn_frame, 5, warm_img=wimg)
 
     # identical-content redraw (frame-memo hits): record + fingerprint +
     # resident-plan dispatch — the common app pattern
-    rd = []
-    for _ in range(5):
-        td0 = time.perf_counter()
+    def redraw_frame(_k):
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.0)
-        sync(vg.end(ctx, background=bg))
-        rd.append((time.perf_counter() - td0) * 1e3)
-    redraw_ms = sorted(rd)[len(rd) // 2]
+        return vg.end(ctx, background=bg)
+
+    sync(redraw_frame(0))
+    redraw_ms = run_loop(redraw_frame, 5, warm_img=wimg)
 
     # paint-only animation (color/alpha values change, geometry does not):
     # the paint_memo patch path — record + fingerprint + ~KB paint upload +
@@ -117,16 +197,11 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         vg.rect(ctx, 1800, 1000, 60, 40)
         vg.fillPath(ctx, vg.color4ub(50 + 17 * k, 120, 200, 180),
                     vg.FillFlags.ConvexAA)
-        sync(vg.end(ctx, background=bg))
+        return vg.end(ctx, background=bg)
 
-    frame_with_overlay(0)  # geometry now includes the overlay: full bin once
+    sync(frame_with_overlay(0))  # geometry now includes the overlay: full bin
     paint_hits0 = ctx.profiler.counters.get("memo_paint_hits", 0)
-    an = []
-    for k in range(1, 6):
-        ta0 = time.perf_counter()
-        frame_with_overlay(k)
-        an.append((time.perf_counter() - ta0) * 1e3)
-    anim_ms = sorted(an)[len(an) // 2]
+    anim_ms = run_loop(lambda k: frame_with_overlay(k + 1), 5, warm_img=wimg)
     anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0
 
     # batched variants (raster/batch.py): K overlay-color variants of the
@@ -184,15 +259,16 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     vg.beginCommandList(ctx, cl)
     draw_tiger(ctx, 20, 60, 1.06)
     vg.endCommandList(ctx)
-    ap = []
-    for k in range(6):
-        ta0 = time.perf_counter()
+
+    def app_frame(k):
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         vg.submitCommandList(ctx, cl)
         draw_demo_ui(ctx, 0.3 + 0.05 * k)
-        sync(vg.end(ctx, background=bg))
-        ap.append((time.perf_counter() - ta0) * 1e3)
-    app_ms = sorted(ap)[len(ap) // 2]
+        return vg.end(ctx, background=bg)
+
+    sync(app_frame(97))   # cache build + layer bake settle
+    sync(app_frame(98))
+    app_ms = run_loop(app_frame, 6, warm_img=wimg)
 
     # chained on-device loop: immune to async-dispatch timing artifacts
     frame_ms = measure_device_ms_per_frame(plan, d, bg, reps_hi=reps, reps_lo=warmup)
@@ -209,6 +285,9 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         "pan_ms": pan_ms,
         "pan_layer_hits": pan_hits,
         "app_ms": app_ms,
+        "fetch_rtt_ms": fetch_rtt_ms(),
+        "tunnel_mbps": mbps,
+        "cold_upload_mb": cold_mb,
         "host_spin_ms": host_spin_ms(),
         "stats": plan.stats,
         "platform": str(__import__("jax").devices()[0].platform),
@@ -263,18 +342,17 @@ def pan_diag() -> None:
         vg.submitCommandList(ctx, cl)
         vg.popState(ctx)
         draw_demo_ui(ctx, 0.3 + 0.05 * k)
-        np.asarray(vg.end(ctx, background=bg)[0, 0])
+        return vg.end(ctx, background=bg)
 
-    ts = []
-    for k in range(9):
-        t0 = time.perf_counter()
-        frame(k)
-        ts.append((time.perf_counter() - t0) * 1e3)
     # frames 0-3 cover cache build, first cached replay, the moved replay
     # that requests the bake, and the bake+compile frame — steady is 4+
-    steady = sorted(ts[4:])
+    wimg = None
+    for k in range(4):
+        wimg = frame(k)
+        np.asarray(wimg[0, 0])
+    pan_ms = run_loop(lambda k: frame(k + 4), 5, warm_img=wimg)
     print(json.dumps({
-        "pan_ms": steady[len(steady) // 2],
+        "pan_ms": pan_ms,
         "layer_cl_hits": ctx.profiler.counters.get("layer_cl_hits", 0),
     }))
 
@@ -344,6 +422,7 @@ def main() -> None:
           f"(layer hits {r['pan_layer_hits']})  "
           f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
           f"host_spin={r['host_spin_ms']:.1f} ms  "
+          f"fetch_rtt={r['fetch_rtt_ms']:.1f} ms  "
           f"stats={r['stats']}", file=sys.stderr)
 
     vs = None
@@ -368,7 +447,10 @@ def main() -> None:
 
     # host-timed numbers carry throttle-normalized companions (×5/host_spin:
     # the probe's unthrottled floor is ~5 ms) so BENCH_r* records compare
-    # across sessions despite 1-5x host throttling variance
+    # across sessions despite 1-5x host throttling variance.  dynamic/redraw/
+    # anim/app/pan are PIPELINED loop throughput since r03 (run_loop): r02's
+    # per-frame-synced values additionally carried one fetch_rtt_ms (~30 ms
+    # tunnel round-trip) per frame — add it back when diffing r02 vs r03
     norm = 5.0 / max(r["host_spin_ms"], 1e-6)
     print(json.dumps({
         "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
@@ -380,6 +462,9 @@ def main() -> None:
         "batch_mode": r["batch_mode"],
         "pan_layer_hits": r["pan_layer_hits"],
         "host_spin_ms": round(r["host_spin_ms"], 1),
+        "fetch_rtt_ms": round(r["fetch_rtt_ms"], 1),
+        "tunnel_mbps": round(r["tunnel_mbps"], 1),
+        "cold_upload_mb": round(r["cold_upload_mb"], 1),
         "cold_ms": round(r["cold_bin_exec_ms"], 1),
         **{f"{k}_norm_ms": (None if r[f"{k}_ms"] is None
                             else round(r[f"{k}_ms"] * norm, 1))

@@ -295,6 +295,13 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
         for k in ("entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
                   "entry_paint", "entry_scissor"):
             del host[k]
+    if profiler is not None:
+        # honest cold/dynamic accounting: bytes that actually cross the
+        # host->device link this frame (device-resident leaves are free)
+        leaves = jax.tree_util.tree_leaves(host)
+        profiler.count("upload_bytes", sum(
+            x.nbytes for x in leaves
+            if isinstance(x, np.ndarray)))
     with stage("upload.put"):
         d = jax.device_put(host)
     d["chunk_entry_num"] = plan.entry_backdrop.shape[0]
