@@ -203,3 +203,30 @@ def test_text_in_translated_list():
         np.testing.assert_allclose(img, exp, atol=3e-3,
                                    err_msg=f"frame {k} offset {off}")
     assert ctx.profiler.counters.get("layer_cl_hits", 0) >= 2
+
+
+def test_translated_list_supersampled():
+    """The layer path composes with conflation-free coverage
+    (coverage_supersample=2): the cached artwork bakes as a supersampled
+    retained scene, pans at whole sub-rows (half-pixel dy here), and the
+    supersampled suffix plan composites over its output-domain tiles."""
+    def make(layer):
+        ctx = vg.createContext(vg.ContextConfig(
+            layer_memo=layer, coverage_supersample=2))
+        cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+        vg.beginCommandList(ctx, cl)
+        _artwork(ctx)
+        vg.endCommandList(ctx)
+        return ctx, cl
+
+    ctx, cl = make(True)
+    ref_ctx, ref_cl = make(False)
+    offs = [(0.0, 0.0), (0.0, 0.0), (6.0, 4.0), (13.5, -3.5), (-9.0, 10.0)]
+    for k, off in enumerate(offs):
+        img = _frame(ctx, cl, off, 0.3 * k)
+        exp = _frame(ref_ctx, ref_cl, off, 0.3 * k)
+        np.testing.assert_allclose(img, exp, atol=3e-4,
+                                   err_msg=f"frame {k} offset {off}")
+    c = ctx.profiler.counters
+    assert c.get("layer_cl_bakes", 0) == 1, c
+    assert c.get("layer_cl_hits", 0) >= 2, c

@@ -505,3 +505,103 @@ def test_pan_dpr2_matches_direct():
         vg.popState(ctx2)
         want = np.asarray(vg.end(ctx2, background=bg))
         np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# supersampled retained scenes (conflation-free coverage + device panning)
+# ---------------------------------------------------------------------------
+
+def _bake_ss(ss, background=(0.1, 0.1, 0.12, 1.0)):
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=ss))
+    vg.begin(ctx, 0, W, H, 1.0)
+    _scene(ctx)
+    return RetainedScene.bake(ctx, background=background)
+
+
+def _direct_ss(ss, view, background=(0.1, 0.1, 0.12, 1.0)):
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=ss))
+    vg.begin(ctx, 0, W, H, 1.0)
+    vg.pushState(ctx)
+    vg.transformTranslate(ctx, -view[0], -view[1])
+    _scene(ctx)
+    vg.popState(ctx)
+    return np.asarray(vg.end(ctx, background=background))
+
+
+@pytest.mark.parametrize("ss", [2, 4])
+@pytest.mark.parametrize("view", [(0, 0), (37, 5), (-45, -13), (128.5, 8)])
+def test_ss_pan_matches_direct(ss, view):
+    """A supersampled bake panned on device == the supersampled direct
+    render of the translated scene (sub-row binning + per-sub-row rule +
+    average must all commute with the residual shift)."""
+    scene = _bake_ss(ss)
+    assert scene.ss == ss
+    got = np.asarray(scene.render(*view))
+    want = _direct_ss(ss, view)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ss_subpixel_y_pan():
+    """ss=4 scenes scroll at exact quarter-pixel y granularity (whole
+    sub-rows) — beyond the reference, which re-tessellates for any subpixel
+    motion; other fractions are rejected loudly."""
+    scene = _bake_ss(4)
+    got = np.asarray(scene.render(5, -3.25))
+    want = _direct_ss(4, (5, -3.25))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    with pytest.raises(ValueError, match="sub-rows"):
+        scene.render(0, 0.1)
+    with pytest.raises(ValueError, match="sub-rows"):
+        scene.render_views([(0, 0), (0, 0.1)])
+
+
+def test_ss_pallas_path_matches_direct():
+    """The fused Pallas pan path under ss (interpret mode) must match the
+    XLA oracle's direct render."""
+    scene = _bake_ss(2)
+    for view in [(37, 5), (-45, -13.5)]:
+        got = np.asarray(scene.render(*view, use_pallas=True))
+        want = _direct_ss(2, view)
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_ss_textured_views_match_render():
+    """Supersampled retained scenes with sampling groups: the in-trace
+    resample shifts by ry/ss OUTPUT pixels; render_views == render."""
+    bg = (0.08, 0.08, 0.1, 1.0)
+    rng = np.random.default_rng(7)
+    img_data = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    img_data[..., 3] = 255
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=2))
+    himg = vg.createImage(ctx, 16, 16, 0, img_data)
+    vg.begin(ctx, 0, W, H, 1.0)
+    p = vg.createImagePattern(ctx, 40, 20, 64, 64, 0.0, himg)
+    vg.beginPath(ctx)
+    vg.roundedRect(ctx, 30, 15, 200, 90, 10)
+    vg.fillPath(ctx, p, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 250, 30, 80, 60)
+    vg.fillPath(ctx, vg.color4ub(200, 60, 40, 255), vg.FillFlags.ConvexAA)
+    s = RetainedScene.bake(ctx, background=bg)
+    assert s.samp_meta is not None and s.ss == 2
+    views = [(0, 0), (41, 6), (-23, -11.5)]
+    stack = np.asarray(s.render_views(views))
+    for k, view in enumerate(views):
+        np.testing.assert_allclose(stack[k], np.asarray(s.render(*view)),
+                                   atol=2e-6, err_msg=f"view {view}")
+    # against a direct supersampled render of the translated scene
+    ctx2 = vg.createContext(vg.ContextConfig(coverage_supersample=2))
+    himg2 = vg.createImage(ctx2, 16, 16, 0, img_data)
+    vg.begin(ctx2, 0, W, H, 1.0)
+    vg.pushState(ctx2)
+    vg.transformTranslate(ctx2, -41, -6)
+    p2 = vg.createImagePattern(ctx2, 40, 20, 64, 64, 0.0, himg2)
+    vg.beginPath(ctx2)
+    vg.roundedRect(ctx2, 30, 15, 200, 90, 10)
+    vg.fillPath(ctx2, p2, vg.Colors.White, vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx2)
+    vg.rect(ctx2, 250, 30, 80, 60)
+    vg.fillPath(ctx2, vg.color4ub(200, 60, 40, 255), vg.FillFlags.ConvexAA)
+    vg.popState(ctx2)
+    want = np.asarray(vg.end(ctx2, background=bg))
+    np.testing.assert_allclose(np.asarray(s.render(41, 6)), want, atol=2e-4)

@@ -19,6 +19,14 @@ def _enable_compile_cache() -> None:
     VGTPU_NO_COMPILE_CACHE=1; relocate with VGTPU_COMPILE_CACHE_DIR."""
     if _os.environ.get("VGTPU_NO_COMPILE_CACHE"):
         return
+    # the cache exists for the TPU serving cold start; on the (virtual) CPU
+    # platform compiles are fast AND jaxlib has been observed to SEGFAULT
+    # deserializing cache entries under the forced-cpu test platform
+    # (compilation_cache.get_executable_and_time, reproduced twice in the
+    # round-3 test suite) — keep CPU processes cache-free
+    if (_os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+            or _os.environ.get("JAX_PLATFORM_NAME") == "cpu"):
+        return
     try:
         import jax
 

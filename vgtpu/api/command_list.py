@@ -299,7 +299,6 @@ def cl_submit(ctx, handle):
         if (use_cache and ctx.cfg.layer_memo and ctx.cfg.frame_memo
                 and ctx._submit_depth == 1 and not ctx.ops
                 and not ctx._recording_clip
-                and ctx.cfg.coverage_supersample == 1
                 and not ctx.state.scissor_explicit
                 and (preserve or _commands_state_clean(cl.commands))):
             if _layer_submit(ctx, cl, base_transform):
@@ -541,9 +540,10 @@ def _layer_submit(ctx, cl, base_transform) -> bool:
     bakes its ops as a RetainedScene (Context._layer_cl_bake); every later
     submit with the same linear transform + dpr + alpha renders the scene
     at the new offset as the frame's layer tiles — zero host replay, zero
-    rebin of the artwork.  view_y must land on integer pixels (the retained
-    formulation's constraint); fractional vertical pans fall back to the
-    host replay.  Pixel parity is float-level, exactly like the reference's
+    rebin of the artwork.  view_y must land on whole sub-rows (integer
+    pixels at ss=1; 1/ss-pixel steps on supersampled scenes — the retained
+    formulation's constraint); other fractional vertical pans fall back to
+    the host replay.  Pixel parity is float-level, exactly like the reference's
     re-transformed cached meshes vs retessellated geometry.
 
     Returns True when the submit is satisfied by a scheduled layer."""
@@ -554,12 +554,16 @@ def _layer_submit(ctx, cl, base_transform) -> bool:
     if st is not None and st["key"] == key:
         dx = (tx - st["tx"]) * ctx.dpr
         dy = (ty - st["ty"]) * ctx.dpr
-        if abs(dy - round(dy)) > 1e-6:
+        # vertical offsets must land on whole sub-rows (integer pixels at
+        # ss=1; 1/ss-pixel granularity on supersampled scenes)
+        ssq = st["scene"].ss
+        dyq = round(dy * ssq) / ssq
+        if abs(dy - dyq) > 1e-6:
             return False
         ctx._pending_layer = {
             "scene": st["scene"],
-            "view": (-dx, -int(round(dy))),
-            "token": (id(cl), st["gen"], dx, int(round(dy))),
+            "view": (-dx, -dyq),
+            "token": (id(cl), st["gen"], dx, dyq),
         }
         ctx.profiler.count("layer_cl_hits", 1)
         return True

@@ -38,8 +38,15 @@ sampling are exact, so panned text/patterns match direct renders bit-close.
 The atlas/textures are snapshot at bake (later glyph bakes don't mutate a
 baked scene).
 
+Supersampled coverage (ContextConfig.coverage_supersample > 1) bakes and
+pans like everything else: the scene is binned in the sub-row domain
+(y geometry scaled by ss, tile_h*ss sub-rows, 2*tile_h*ss backdrop window
+rows), view offsets resolve to whole sub-rows — integer-pixel pans are
+always representable, and ss=4 scenes additionally scroll at exact
+quarter-pixel y granularity — and the composite applies the fill rule per
+sub-row before averaging, exactly as direct supersampled frames do.
+
 Limitations (documented, enforced at bake):
-  * supersampled coverage (ContextConfig.coverage_supersample > 1).
   * all per-tile optimizations run in view-invariant form
     (compute_tile_buckets(view_static=True)): static clip resolution and
     trailing-control pruning are per-tile draw-order facts; occlusion
@@ -215,8 +222,9 @@ class RetainedScene:
         self.out_h = out_h
         self.background = jnp.asarray(np.asarray(background, np.float32))
         self.tile_w = plan.tile_w
-        self.tile_h = plan.tile_h
-        self.off = off          # baked-grid origin in view coords (tile-multiples)
+        self.tile_h = plan.tile_h      # SUB-rows (pixel rows * supersample)
+        self.ss = int(plan.supersample)
+        self.off = off          # baked-grid origin in view coords (PIXEL tile-multiples)
         self.samp_meta = None   # sampling-group signature (textured scenes)
         self.samp_nct = 0
         self._ops_fp = None       # per-op (structural, paint) crc pairs
@@ -233,11 +241,9 @@ class RetainedScene:
         (the translated-layer path bakes a cached command list's op slice;
         ctx still provides config + texture/font access)."""
         from vgtpu.ops.coverage import build_cov_gather_map
-        from vgtpu.raster.binning import expand_tri_batches
+        from vgtpu.raster.binning import expand_tri_batches, scale_ops_y
 
-        if ctx.cfg.coverage_supersample != 1:
-            raise NotImplementedError(
-                "retained pan scenes require coverage_supersample == 1")
+        ss = int(ctx.cfg.coverage_supersample)
         if ops is None:
             ctx._finalize_ops()
             ops = ctx.ops
@@ -291,10 +297,26 @@ class RetainedScene:
             for op in ops
         ]
         ops = translate_ops(ops, float(offx), float(offy))
+        # supersampled scenes (conflation-free coverage): translate in PIXEL
+        # space first (paints stay pixel-space, ops/composite.py), then scale
+        # y geometry into sub-row units exactly as the frame path does
+        # (bin_frame) and bin on tile_h*ss sub-rows; plan.height stays the
+        # pixel height with plan.supersample recording the factor (the
+        # view-static bucket passes read height*supersample for the scissor
+        # viewport).  Backdrop pan windows, residual slices and the tile
+        # relabel all live in the sub-row domain unchanged.
+        plan_h = int(np.ceil(ymax)) + offy
+        if ss > 1:
+            ops = scale_ops_y(ops, ss)
         plan = bin_frame_numpy(
-            ops, int(np.ceil(xmax)) + offx, int(np.ceil(ymax)) + offy,
-            tile_h=th, tile_w=tw,
+            ops, int(np.ceil(xmax)) + offx, plan_h * ss,
+            tile_h=th * ss, tile_w=tw,
             chunk=ctx.cfg.edges_per_chunk, pan_margin=True)
+        plan.height = plan_h
+        plan.supersample = ss
+        if ss > 1 and plan.color_tiles.shape[1] != th:
+            # output-domain placeholder, as bin_frame's remap does
+            plan.color_tiles = np.zeros((1, th, tw, 4), np.float32)
         # view_static: lane specialization, static-clip resolution and
         # trailing-control pruning as usual (per-tile draw-order facts, which
         # panning preserves); occlusion culling switches to its view-invariant
@@ -393,7 +415,7 @@ class RetainedScene:
             d["entry_kind"], d["entry_rule"], d["entry_aa"],
             d["entry_paint_kind"], d["entry_scissor"], d["entry_paint"],
             d["entry_color_tile"], d["entry_tile"], ne,
-            th=th, tw=tw, ntx=plan.ntx)
+            th=th * ss, tw=tw, ntx=plan.ntx)
         scene = RetainedScene(plan, d, ctx.fb_width, ctx.fb_height, background,
                               off=(offx, offy))
         scene._ops_fp = ops_fp
@@ -491,19 +513,16 @@ class RetainedScene:
         backdrop rows are x-shift-invariant and the coverage kernel is
         analytic in edge position, so subpixel x-offsets render exactly
         (verified vs direct translated renders to float tolerance).
-        view_y must be an integer — the per-row backdrop windows are
-        piecewise-linear in y, so fractional vertical offsets are not
-        representable in this formulation."""
+        view_y must be a multiple of 1/supersample — the per-row backdrop
+        windows are piecewise-linear in y, so only whole SUB-row vertical
+        offsets are representable (integer pixels at ss=1; quarter-pixel
+        scrolling at ss=4)."""
         tw, th = self.tile_w, self.tile_h
-        if float(view_y) != int(view_y):
-            raise ValueError(
-                "fractional view_y is not representable (backdrop rows are "
-                "piecewise-linear in y); use integer vertical offsets")
+        vy, ry = self._view_y_subrows(view_y)
         # baked-grid origin offset (content bbox + 1-tile border)
         ox = float(view_x) + self.off[0]
         vx = int(np.floor(ox / tw))
         rx = ox - vx * tw
-        vy, ry = divmod(int(view_y) + self.off[1], th)
         return _render_pan(
             self.d, self.background,
             np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
@@ -520,30 +539,41 @@ class RetainedScene:
 
         background: off-scene tiles show this (defaults to the bake
         background) — pass the FRAME background so layer edges match."""
-        tw, th = self.tile_w, self.tile_h
-        if float(view_y) != int(view_y):
-            raise ValueError(
-                "fractional view_y is not representable (backdrop rows are "
-                "piecewise-linear in y); use integer vertical offsets")
+        tw = self.tile_w
+        vy, ry = self._view_y_subrows(view_y)
         bg = jnp.asarray(np.asarray(
             self.background if background is None else background,
             np.float32))
         ox = float(view_x) + self.off[0]
         vx = int(np.floor(ox / tw))
         rx = ox - vx * tw
-        vy, ry = divmod(int(view_y) + self.off[1], th)
         return _render_pan(
             self.d, bg,
             np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry),
             tiles_only=True, **self._pan_statics(use_pallas),
         )
 
+    def _view_y_subrows(self, view_y) -> tuple[int, int]:
+        """(whole-tile, sub-row residual) of a pixel-space vertical offset.
+        Representable offsets are whole SUB-rows: multiples of 1/ss pixels
+        (backdrop row windows are per sub-row; coverage/backdrop shifts are
+        exact there, and the texture resample shifts by ry/ss output pixels,
+        identical to what a direct render of the moved quads would sample)."""
+        oys = (float(view_y) + self.off[1]) * self.ss
+        if abs(oys - round(oys)) > 1e-6:
+            raise ValueError(
+                "fractional view_y is only representable in whole sub-rows "
+                f"(multiples of 1/{self.ss} px at coverage_supersample="
+                f"{self.ss}); backdrop row windows are piecewise-linear in y")
+        return divmod(int(round(oys)), self.tile_h)
+
     def _pan_statics(self, use_pallas=None) -> dict:
         tw, th = self.tile_w, self.tile_h
+        th_px = th // self.ss
         return dict(
             NTX=self.plan.ntx, NTY=self.plan.nty, th=th, tw=tw,
-            ntx_o=-(-self.out_w // tw), nty_o=-(-self.out_h // th),
-            out_w=self.out_w, out_h=self.out_h,
+            ntx_o=-(-self.out_w // tw), nty_o=-(-self.out_h // th_px),
+            out_w=self.out_w, out_h=self.out_h, ss=self.ss,
             bucket_flags=self.d["bucket_flags"],
             ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
             samp_meta=self.samp_meta, samp_nct=self.samp_nct,
@@ -562,14 +592,16 @@ class RetainedScene:
         if views.ndim != 2 or views.shape[1] != 2 or not len(views):
             raise ValueError(
                 "views must be a non-empty sequence of (view_x, view_y) pairs")
-        if not np.all(views[:, 1] == np.round(views[:, 1])):
+        oys = (views[:, 1] + self.off[1]) * self.ss
+        if not np.all(np.abs(oys - np.round(oys)) <= 1e-6):
             raise ValueError(
-                "fractional view_y is not representable (backdrop rows are "
-                "piecewise-linear in y); use integer vertical offsets")
+                "fractional view_y is only representable in whole sub-rows "
+                f"(multiples of 1/{self.ss} px at coverage_supersample="
+                f"{self.ss}); backdrop row windows are piecewise-linear in y")
         ox = views[:, 0] + self.off[0]   # view_x may be fractional (render())
         vxs = np.floor(ox / tw).astype(np.int64)
         rxs = ox - vxs * tw
-        vys, rys = np.divmod(views[:, 1].astype(np.int64) + self.off[1], th)
+        vys, rys = np.divmod(np.round(oys).astype(np.int64), th)
         return _render_pan_views(
             self.d, self.background,
             vxs.astype(np.int32), vys.astype(np.int32),
@@ -579,11 +611,16 @@ class RetainedScene:
 
 
 def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
-                     out_w, out_h, bucket_flags, ne, use_pallas=None,
+                     out_w, out_h, bucket_flags, ne, ss=1, use_pallas=None,
                      samp_meta=None, samp_nct=0, tiles_only=False):
+    """th and ry are in SUB-rows (== pixel rows when ss == 1); coverage,
+    backdrops and the residual shift all live in the sub-row domain, the
+    composite applies the fill rule per sub-row and averages (ss semantics
+    of ops/composite.py), and tiles/image assembly are output-domain."""
     from vgtpu.ops.composite import composite_bucketed_body, tiles_to_image
     from vgtpu.ops.coverage import entry_coverage_gather
 
+    th_out = th // ss
     rxf = rx.astype(jnp.float32)
     ryf = ry.astype(jnp.float32)
     shift = jnp.stack([rxf, ryf, rxf, ryf])
@@ -600,10 +637,13 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
         # scene-space constants)
         from vgtpu.ops.sampling_device import _sample_jit
 
-        shift12 = jnp.zeros((12,), jnp.float32).at[0].set(rxf).at[1].set(ryf)
+        # the sampler works in the OUTPUT pixel domain: y residual is
+        # ry/ss output pixels (== ry when ss == 1)
+        shift12 = (jnp.zeros((12,), jnp.float32)
+                   .at[0].set(rxf).at[1].set(ryf / ss))
         arrs = tuple((p + shift12, c, ci) for (p, c, ci) in d["samp_arrs"])
         color_tiles = _sample_jit(arrs, d["samp_texs"], d["samp_clipmask"],
-                                  meta=samp_meta, th=th, tw=tw,
+                                  meta=samp_meta, th=th_out, tw=tw,
                                   num_tiles=samp_nct)
     else:
         color_tiles = d["color_tiles"]
@@ -629,7 +669,7 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
             from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
             from vgtpu.raster.frame import _ct_flat
 
-            ct_flat = _ct_flat(color_tiles, th, tw)
+            ct_flat = _ct_flat(color_tiles, th_out, tw)
             cts = tuple(
                 ct_t_from_color_tiles(ct_flat, ids) if ids is not None else None
                 for ids in d["bucket_ctile"])
@@ -638,7 +678,7 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
         fb = composite_bucketed_pallas_body(
             entry_w, d["tile_buckets"], tuple(params), cts, bg,
             tile_h=th, tile_w=tw, num_tiles=nt, bucket_flags=bucket_flags,
-            interpret=not on_tpu,
+            ss=ss, interpret=not on_tpu,
         )
     else:
         fb = composite_bucketed_body(
@@ -647,11 +687,11 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
             d["entry_paint_kind"], d["entry_paint"], d["entry_scissor"],
             d["entry_color_tile"], color_tiles, bg,
             ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
-            bucket_flags=bucket_flags, origin_shift=(rxf, ryf),
+            bucket_flags=bucket_flags, ss=ss, origin_shift=(rxf, ryf),
         )
     # viewport window: whole-tile part of the pan is a gather relabel;
     # off-scene tiles read the appended background row
-    bg_tile = jnp.broadcast_to(bg.astype(jnp.float32), (1, th, tw, 4))
+    bg_tile = jnp.broadcast_to(bg.astype(jnp.float32), (1, th_out, tw, 4))
     fb = jnp.concatenate([fb, bg_tile], axis=0)
     ty = jnp.arange(nty_o, dtype=jnp.int32)[:, None] + vy
     tx = jnp.arange(ntx_o, dtype=jnp.int32)[None, :] + vx
@@ -662,26 +702,26 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
         # layer): the OUTPUT TILE GRID, no image assembly — a dynamic
         # suffix plan composites straight over these
         return fb[sid]
-    return tiles_to_image(fb[sid], ntx=ntx_o, nty=nty_o, tile_h=th, tile_w=tw,
-                          width=out_w, height=out_h)
+    return tiles_to_image(fb[sid], ntx=ntx_o, nty=nty_o, tile_h=th_out,
+                          tile_w=tw, width=out_w, height=out_h)
 
 
 _render_pan = jax.jit(
     _render_pan_body,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
-                     "samp_meta", "samp_nct", "tiles_only"),
+                     "out_w", "out_h", "bucket_flags", "ne", "ss",
+                     "use_pallas", "samp_meta", "samp_nct", "tiles_only"),
 )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne", "use_pallas",
-                     "samp_meta", "samp_nct"),
+                     "out_w", "out_h", "bucket_flags", "ne", "ss",
+                     "use_pallas", "samp_meta", "samp_nct"),
 )
 def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
-                      ntx_o, nty_o, out_w, out_h, bucket_flags, ne,
+                      ntx_o, nty_o, out_w, out_h, bucket_flags, ne, ss=1,
                       use_pallas=None, samp_meta=None, samp_nct=0):
     """V viewports of one retained scene in ONE compiled dispatch
     -> (V, out_h, out_w, 4).  A lax.scan over the traced offsets (scan, not
@@ -692,7 +732,7 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
         img = _render_pan_body(
             d, bg, vx, vy, rx, ry, NTX=NTX, NTY=NTY, th=th, tw=tw,
             ntx_o=ntx_o, nty_o=nty_o, out_w=out_w, out_h=out_h,
-            bucket_flags=bucket_flags, ne=ne, use_pallas=use_pallas,
+            bucket_flags=bucket_flags, ne=ne, ss=ss, use_pallas=use_pallas,
             samp_meta=samp_meta, samp_nct=samp_nct)
         return carry, img
 
@@ -703,11 +743,11 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
 @functools.partial(
     jax.jit,
     static_argnames=("n_frames", "NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
-                     "out_w", "out_h", "bucket_flags", "ne", "offx_t", "offy_t",
-                     "samp_meta", "samp_nct"),
+                     "out_w", "out_h", "bucket_flags", "ne", "ss",
+                     "offx_t", "offy_t", "samp_meta", "samp_nct"),
 )
 def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
-                  out_w, out_h, bucket_flags, ne, offx_t=1, offy_t=1,
+                  out_w, out_h, bucket_flags, ne, ss=1, offx_t=1, offy_t=1,
                   samp_meta=None, samp_nct=0):
     """N pans of a scrolling view inside one fori_loop, serially chained
     through the pixels (see raster/benchloop.py for why naive dispatch
@@ -726,7 +766,7 @@ def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
             bg, vx, vy, (view_x % tw).astype(jnp.float32), view_y % th,
             NTX=NTX, NTY=NTY, th=th, tw=tw, ntx_o=ntx_o, nty_o=nty_o,
             out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne,
-            samp_meta=samp_meta, samp_nct=samp_nct)
+            ss=ss, samp_meta=samp_meta, samp_nct=samp_nct)
         return jnp.sum(img[..., 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
@@ -737,13 +777,14 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
     import time
 
     tw, th = scene.tile_w, scene.tile_h
+    th_px = th // scene.ss
     static = dict(
         NTX=scene.plan.ntx, NTY=scene.plan.nty, th=th, tw=tw,
-        ntx_o=-(-scene.out_w // tw), nty_o=-(-scene.out_h // th),
-        out_w=scene.out_w, out_h=scene.out_h,
+        ntx_o=-(-scene.out_w // tw), nty_o=-(-scene.out_h // th_px),
+        out_w=scene.out_w, out_h=scene.out_h, ss=scene.ss,
         bucket_flags=scene.d["bucket_flags"],
         ne=scene.plan.entry_backdrop.shape[0],
-        offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th,
+        offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th_px,
         samp_meta=scene.samp_meta, samp_nct=scene.samp_nct,
     )
 
