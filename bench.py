@@ -86,6 +86,53 @@ def fetch_rtt_ms() -> float:
     return sorted(ts)[len(ts) // 2]
 
 
+def start_keepalive(interval: float = 4.0) -> dict:
+    """Pay this process's tunnel attach tax CONCURRENTLY with host work.
+
+    tools/probe_idle_tax.py (r04) established that the axon worker warm-up is
+    PER-PROCESS (a fresh process pays 167 s right after another process ran),
+    NOT cross-process as the r03 probe suggested, and that it lands on the
+    process's FIRST blocking fetch.  bench's cold path does 60 s+ of pure
+    host work (record + bin + upload build + trace/compile) before its first
+    fetch — so a daemon thread executes one trivial program immediately
+    (attach proceeds worker-side while the main thread records the scene) and
+    then keeps the program-load channel warm with a small fetch every few
+    seconds (a NEW program's first execute costs ~10.6 s after a 30 s idle
+    gap vs 0.53 s on an active channel — same probe).
+
+    Returns a state dict: {"attach_s": float|None, "t_done": float|None,
+    "stop": Event}.  Call state["stop"].set() before any timed device loop.
+    """
+    import threading
+
+    state = {"attach_s": None, "t_done": None, "stop": threading.Event()}
+
+    def loop():
+        t0 = time.perf_counter()
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            f = jax.jit(lambda x: (x * 2 + 1).sum())
+            x = jnp.ones((128,), jnp.float32)
+            float(np.asarray(f(x)))
+            state["attach_s"] = time.perf_counter() - t0
+            state["t_done"] = time.perf_counter()
+        except Exception:  # noqa: BLE001 — keepalive is best-effort
+            return
+        while not state["stop"].wait(interval):
+            try:
+                float(np.asarray(f(x)))
+            except Exception:  # noqa: BLE001
+                return
+
+    th = threading.Thread(target=loop, daemon=True, name="vgtpu-keepalive")
+    th.start()
+    state["thread"] = th
+    return state
+
+
 _PROBES = {}
 
 
@@ -122,11 +169,19 @@ def run_loop(frame_fn, n: int, warm_img=None) -> float:
     return (time.perf_counter() - t0) * 1e3 / n
 
 
-def measure(reps: int = 32, warmup: int = 3) -> dict:
+def measure(reps: int = 32, warmup: int = 3, keepalive: dict | None = None) -> dict:
     import numpy as np
     import vgtpu as vg
     from vgtpu.raster.benchloop import measure_device_ms_per_frame
     from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    # build-system warm-up OUTSIDE the timed record: the on-demand g++
+    # builds (ctypes lib + CPython path recorder) cost 5-15 s on a fresh
+    # checkout and are one-time artifacts, not per-frame engine work
+    from vgtpu.native import available as _native_available, pathrec as _pathrec
+
+    _native_available()
+    _pathrec()
 
     ctx = vg.createContext()
 
@@ -150,12 +205,28 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     cold_mb = ctx.profiler.counters.get("upload_bytes", 0) / 1e6
     mbps = tunnel_mbps()
     est_upload_ms = cold_mb / max(mbps, 1e-9) * 1e3
+    # attach accounting (per-process tunnel warm-up, probe_idle_tax.py):
+    # the keepalive thread paid it concurrently with the host work above —
+    # if it finished before the first fetch started, first-fetch contains
+    # NO attach; otherwise the residual seconds are named here
+    attach_s = attach_residual_s = None
+    if keepalive is not None:
+        attach_s = keepalive.get("attach_s")
+        t_done = keepalive.get("t_done")
+        if attach_s is None:
+            attach_residual_s = t2 - t_end    # attach never finished: all of it
+        else:
+            attach_residual_s = max(0.0, t_done - t_end)
+        keepalive["stop"].set()
     print(f"[bench] cold breakdown: record={(t1 - t0) * 1e3:.0f} ms  "
           f"end-call={(t_end - t1) * 1e3:.0f} ms {stages}  "
           f"first-fetch={(t2 - t_end) * 1e3:.0f} ms  "
           f"compile_cache={'off' if os.environ.get('VGTPU_NO_COMPILE_CACHE') else 'on'}  "
           f"scene_upload={cold_mb:.1f} MB  tunnel={mbps:.1f} MB/s  "
-          f"(~{est_upload_ms:.0f} ms of first-fetch is upload wait)",
+          f"(~{est_upload_ms:.0f} ms of first-fetch is upload wait; "
+          f"process attach tax={attach_s if attach_s is None else round(attach_s, 1)} s "
+          f"paid concurrently by the keepalive thread, residual inside "
+          f"first-fetch={attach_residual_s if attach_residual_s is None else round(attach_residual_s, 1)} s)",
           file=sys.stderr)
 
     plan = ctx.last_plan
@@ -259,6 +330,27 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
         except Exception as e:  # noqa: BLE001
             print(f"[bench] pan diag failed: {e}", file=sys.stderr)
 
+    # parity-mode steady state (VERDICT r3 #6): the conflation-free ss=2
+    # frame — the mode whose output matches the reference's triangle-mesh
+    # semantics (no self-intersection conflation).  Subprocess + timeout
+    # like batch/pan: its kernel shapes may be fresh on this chip and a
+    # hung fresh-shape compile must not take the primary metric down.
+    ss2_ms = None
+    if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ss2-diag"],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if out.returncode == 0:
+                ss2_ms = json.loads(out.stdout.strip().splitlines()[-1])["ss2_ms"]
+            else:
+                print(f"[bench] ss2 diag rc={out.returncode}: "
+                      f"{out.stderr[-400:]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] ss2 diag failed: {e}", file=sys.stderr)
+
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
     # replay + incremental rebin do the heavy lifting
@@ -285,11 +377,14 @@ def measure(reps: int = 32, warmup: int = 3) -> dict:
     return {
         "record_ms": (t1 - t0) * 1e3,
         "cold_bin_exec_ms": (t2 - t1) * 1e3,
+        "attach_s": attach_s,
+        "attach_residual_s": attach_residual_s,
         "frame_ms": frame_ms,
         "dynamic_ms": dynamic_ms,
         "redraw_ms": redraw_ms,
         "anim_ms": anim_ms,
         "anim_paint_hits": anim_hits,
+        "ss2_ms": ss2_ms,
         "batch_ms": batch_ms,
         "batch_mode": batch_mode,
         "pan_ms": pan_ms,
@@ -357,6 +452,7 @@ def pan_diag() -> None:
     from vgtpu.scenes.tiger import draw_tiger
 
     bg = (0.12, 0.12, 0.13, 1.0)
+    ka = start_keepalive()   # overlap this process's attach with the record
     ctx = vg.createContext()
     cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
     vg.beginCommandList(ctx, cl)
@@ -378,6 +474,7 @@ def pan_diag() -> None:
     for k in range(4):
         wimg = frame(k)
         np.asarray(wimg[0, 0])
+    ka["stop"].set()
     pan_ms = run_loop(lambda k: frame(k + 4), 5, warm_img=wimg)
     print(json.dumps({
         "pan_ms": pan_ms,
@@ -385,9 +482,31 @@ def pan_diag() -> None:
     }))
 
 
-def batch_diag() -> None:
+def ss2_diag() -> None:
+    """Standalone parity-mode (coverage_supersample=2) steady-state frame:
+    the conflation-free mode whose output matches the reference's mesh
+    semantics.  Prints {"ss2_ms": chained device ms/frame}."""
+    import numpy as np
+    import vgtpu as vg
+    from vgtpu.raster.benchloop import measure_device_ms_per_frame
+    from vgtpu.scenes.demo_ui import draw_benchmark_frame
+
+    ka = start_keepalive()   # overlap this process's attach with the record
+    bg = (0.12, 0.12, 0.13, 1.0)
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=2))
+    vg.begin(ctx, 0, 1920, 1080, 1.0)
+    draw_benchmark_frame(ctx, 0.0)
+    img = vg.end(ctx, background=bg)
+    np.asarray(img[0, 0])
+    ka["stop"].set()
+    ms = measure_device_ms_per_frame(ctx.last_plan, ctx.last_device_arrays,
+                                     bg, reps_hi=32, reps_lo=3)
+    print(json.dumps({"ss2_ms": ms}))
+
+
+def batch_diag(k: int = 6, reps_hi: int = 8, emit: bool = True):
     """Standalone batched-variant measurement (subprocess child of measure):
-    bakes K=6 overlay-color variants of the benchmark frame and prints one
+    bakes K overlay-color variants of the benchmark frame and prints one
     JSON line {"batch_ms": per-variant chained device ms}."""
     import vgtpu as vg
     from vgtpu.raster.batch import VariantBatch, measure_batch_ms_per_frame
@@ -405,15 +524,50 @@ def batch_diag() -> None:
                         vg.FillFlags.ConvexAA)
         return f
 
-    vb = VariantBatch.bake(ctx, [variant(k) for k in range(6)],
+    ka = start_keepalive()   # overlap this process's attach with the bake
+    vb = VariantBatch.bake(ctx, [variant(i) for i in range(k)],
                            1920, 1080, background=bg)
-    ms = measure_batch_ms_per_frame(vb, background=bg, reps_hi=8, reps_lo=2)
-    print(json.dumps({"batch_ms": ms, "mode": vb._mode}))
+    ka["stop"].set()
+    ms = measure_batch_ms_per_frame(vb, background=bg, reps_hi=reps_hi, reps_lo=2)
+    out = {"batch_ms": ms, "mode": vb._mode, "k": k}
+    if emit:
+        print(json.dumps(out))
+    return out
+
+
+def batch_sweep() -> None:
+    """K-sweep of the fused batch in ONE process/session (comparable
+    numbers, VERDICT r3 #4): per-variant chained ms for K in {2,4,6,8,12,16}.
+    Appends docs/batch_sweep.jsonl and prints the rows."""
+    import datetime
+
+    rows = []
+    for k in (2, 4, 6, 8, 12, 16):
+        try:
+            r = batch_diag(k=k, reps_hi=8, emit=False)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# K={k} failed: {e}", file=sys.stderr)
+            rows.append({"k": k, "batch_ms": None, "error": str(e)[:200]})
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "batch_sweep.jsonl")
+    date = datetime.date.today().isoformat()
+    with open(path, "a") as f:
+        for r in rows:
+            f.write(json.dumps({"date": date, **r}) + "\n")
+    print(f"# appended to {path}", file=sys.stderr)
 
 
 def main() -> None:
     if "--batch-diag" in sys.argv:
         batch_diag()
+        return
+    if "--batch-sweep" in sys.argv:
+        batch_sweep()
+        return
+    if "--ss2-diag" in sys.argv:
+        ss2_diag()
         return
     if "--pan-diag" in sys.argv:
         pan_diag()
@@ -439,21 +593,15 @@ def main() -> None:
         }))
         return
 
-    r = measure()
-    print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
-          f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
-          f"redraw={r['redraw_ms']:.1f} ms  "
-          f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
-          f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant "
-          f"({r['batch_mode']})  "
-          f"pan={r['pan_ms'] if r['pan_ms'] is None else round(r['pan_ms'], 1)} ms "
-          f"(layer hits {r['pan_layer_hits']})  "
-          f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
-          f"host_spin={r['host_spin_ms']:.1f} ms  "
-          f"fetch_rtt={r['fetch_rtt_ms']:.1f} ms  "
-          f"stats={r['stats']}", file=sys.stderr)
+    # the keepalive thread starts paying THIS process's attach tax now
+    # (per-process, grows with session age — probe_idle_tax.py measured
+    # 22.7 s at session start, 167 s forty minutes in, 411 s+ at round end)
+    ka = start_keepalive()
 
-    vs = None
+    # CPU baseline FIRST: a pure-CPU subprocess whose 3-8 min of wall time
+    # overlaps the main process's tunnel attach, so the cold measurement
+    # below starts with a warm channel and first-fetch measures the ENGINE
+    cpu_ms = None
     try:
         env = dict(os.environ)
         env["JAX_PLATFORM_NAME"] = "cpu"
@@ -467,11 +615,27 @@ def main() -> None:
         if out.returncode != 0:
             raise RuntimeError(
                 f"baseline subprocess rc={out.returncode}: {out.stderr[-800:]}")
-        cpu = json.loads(out.stdout.strip().splitlines()[-1])
-        print(f"[bench] cpu baseline frame={cpu['frame_ms']:.3f} ms", file=sys.stderr)
-        vs = cpu["frame_ms"] / r["frame_ms"]
+        cpu_ms = json.loads(out.stdout.strip().splitlines()[-1])["frame_ms"]
+        print(f"[bench] cpu baseline frame={cpu_ms:.3f} ms", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    r = measure(keepalive=ka)
+    print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "
+          f"dynamic={r['dynamic_ms']:.1f} ms  app={r['app_ms']:.1f} ms  "
+          f"redraw={r['redraw_ms']:.1f} ms  "
+          f"anim={r['anim_ms']:.1f} ms (paint hits {r['anim_paint_hits']}/5)  "
+          f"ss2={r['ss2_ms'] if r['ss2_ms'] is None else round(r['ss2_ms'], 3)} ms  "
+          f"batch={r['batch_ms'] if r['batch_ms'] is None else round(r['batch_ms'], 3)} ms/variant "
+          f"({r['batch_mode']})  "
+          f"pan={r['pan_ms'] if r['pan_ms'] is None else round(r['pan_ms'], 1)} ms "
+          f"(layer hits {r['pan_layer_hits']})  "
+          f"record={r['record_ms']:.1f} ms  cold={r['cold_bin_exec_ms']:.1f} ms  "
+          f"host_spin={r['host_spin_ms']:.1f} ms  "
+          f"fetch_rtt={r['fetch_rtt_ms']:.1f} ms  "
+          f"stats={r['stats']}", file=sys.stderr)
+
+    vs = None if cpu_ms is None else cpu_ms / r["frame_ms"]
 
     # host-timed numbers carry throttle-normalized companions (×5/host_spin:
     # the probe's unthrottled floor is ~5 ms) so BENCH_r* records compare
@@ -485,6 +649,11 @@ def main() -> None:
         "value": round(r["frame_ms"], 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        # parity-mode (conflation-free, reference-mesh-equivalent) frame:
+        # the headline `value` is the conflating default; this is the
+        # number a strict AA-parity reading should attach the claim to
+        "frame_ms_ss2": (None if r["ss2_ms"] is None
+                         else round(r["ss2_ms"], 3)),
         "batch_ms": (None if r["batch_ms"] is None
                      else round(r["batch_ms"], 3)),
         "batch_mode": r["batch_mode"],
@@ -494,6 +663,13 @@ def main() -> None:
         "tunnel_mbps": round(r["tunnel_mbps"], 1),
         "cold_upload_mb": round(r["cold_upload_mb"], 1),
         "cold_ms": round(r["cold_bin_exec_ms"], 1),
+        # per-process tunnel attach (environment tax, probe_idle_tax.py):
+        # paid concurrently by the keepalive thread; residual = the part
+        # that still landed inside cold_ms's first fetch
+        "attach_s": (None if r["attach_s"] is None
+                     else round(r["attach_s"], 1)),
+        "attach_residual_s": (None if r["attach_residual_s"] is None
+                              else round(r["attach_residual_s"], 1)),
         **{f"{k}_norm_ms": (None if r[f"{k}_ms"] is None
                             else round(r[f"{k}_ms"] * norm, 1))
            for k in ("record", "dynamic", "redraw", "anim", "app", "pan")},

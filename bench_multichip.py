@@ -4,16 +4,22 @@
 Runs the sharded frame (vgtpu/parallel/sharding.py) over an n-device mesh and
 reports per-device tile/chunk counts plus wall-clock per frame.  On this box
 only one real TPU chip is reachable, so the mesh is the virtual CPU platform
-(xla_force_host_platform_device_count) — the numbers validate the COLLECTIVE
-LAYOUT and the sharding specs (pad shapes, psum placement), not ICI speed.
+(xla_force_host_platform_device_count) — the numbers validate the SHARDING
+LAYOUT (partition shapes, locality, load balance), not ICI speed.
 
-Expected cost model on real hardware: the frame has exactly ONE collective —
-a psum of the (NE, TH, TW) partial entry coverage over the chunk shards.  At
-1080p tiger scale that is ~73 MB all-reduced; on a v5e pod slice
-(8 devices, ~186 GB/s bidirectional ICI per link) a ring all-reduce moves
-2*(n-1)/n * 73 MB per device => ~0.7 ms, overlappable with the composite of
-already-reduced tiles.  Everything else is device-local (tile rows shard the
-composite; the framebuffer gather is the output transfer).
+Expected cost model on real hardware: the frame body has ZERO collectives —
+tiles, entries and chunks are co-partitioned host-side so coverage, the
+chunk->entry reduction and the composite are all device-local
+(partition_plan_for_mesh).  The only cross-device movement is the OUTPUT
+gather of the tile-sharded framebuffer (~8 MB/n per device at 1080p), which
+a consumer that shards its downstream work (encode, diff, serve) never pays.
+The previous layout psum'd the full entry coverage (~74 MB over ICI per
+1080p frame); the partition removed it at the cost of load imbalance, which
+this harness measures per run (chunk_balance/entry_balance: mean/max work
+across devices, 1.0 = perfect).
+
+Artifacts: docs/multichip.md (human table) and docs/multichip_runs.jsonl
+(one JSON object per measured mesh size, machine-parseable).
 
 Usage: python bench_multichip.py [n_devices ...]
 """
@@ -41,24 +47,30 @@ def _measure(n: int) -> dict:
     plan, d = ctx.last_plan, ctx.last_device_arrays
 
     mesh = make_mesh(n)
+    host_arrays = {
+        "chunk_pools": tuple((np.asarray(ce), np.asarray(cent))
+                             for ce, cent in plan.chunk_pools),
+        # dense per-entry arrays come from the host plan (dedup-upload
+        # device dicts ship compact pseudo-op tables instead)
+        "entry_backdrop": plan.entry_backdrop,
+        "entry_kind": plan.entry_kind,
+        "entry_rule": plan.entry_rule,
+        "entry_aa": plan.entry_aa,
+        "entry_paint_kind": plan.entry_paint_kind,
+        "entry_paint": plan.entry_paint,
+        "entry_scissor": plan.entry_scissor,
+        "entry_color_tile": plan.entry_color_tile,
+        "color_tiles": np.asarray(d["color_tiles"]),
+        "tile_entries": plan.tile_entries,
+    }
+
+    meta_box = {}
 
     def run():
-        img = render_frame_sharded(plan, {
-            "chunk_pools": tuple((np.asarray(ce), np.asarray(cent))
-                                 for ce, cent in plan.chunk_pools),
-            # dense per-entry arrays come from the host plan (dedup-upload
-            # device dicts ship compact pseudo-op tables instead)
-            "entry_backdrop": plan.entry_backdrop,
-            "entry_kind": plan.entry_kind,
-            "entry_rule": plan.entry_rule,
-            "entry_aa": plan.entry_aa,
-            "entry_paint_kind": plan.entry_paint_kind,
-            "entry_paint": plan.entry_paint,
-            "entry_scissor": plan.entry_scissor,
-            "entry_color_tile": plan.entry_color_tile,
-            "color_tiles": np.asarray(d["color_tiles"]),
-            "tile_entries": plan.tile_entries,
-        }, mesh, background=(0.12, 0.12, 0.13, 1.0))
+        img, meta = render_frame_sharded(
+            plan, host_arrays, mesh,
+            background=(0.12, 0.12, 0.13, 1.0), return_meta=True)
+        meta_box.update(meta)
         return float(np.asarray(img)[0, 0, 3])
 
     run()                                # compile
@@ -100,16 +112,19 @@ def _measure(n: int) -> dict:
         print(f"variant batch failed: {e}", file=sys.stderr)
 
     tiles = plan.tile_entries.shape[0]
-    chunks = sum(ce.shape[0] for ce, _ in plan.chunk_pools)
     return {
         "devices": n,
         "platform": __import__("jax").devices()[0].platform,
         "ms_per_frame": round(dt, 2),
         "tiles_per_device": -(-tiles // n),
-        "chunks_per_device": -(-chunks // n),
+        "chunks_per_device": [int(max(c)) for c in meta_box["chunks_per_dev"]],
+        "chunk_balance": round(meta_box["chunk_balance"], 3),
+        "entry_balance": round(meta_box["entry_balance"], 3),
         "batch_ms_per_variant": batch_ms,
-        "collectives": "1 psum over entry coverage (~%d MB)" % (
-            d["entry_backdrop"].shape[0] * plan.tile_h * plan.tile_w * 4 // 2**20),
+        "collectives": "none in frame body (co-partitioned); output fb "
+                       "gather ~%d MB total" % (
+            tiles * plan.tile_h // plan.supersample * plan.tile_w * 16 // 2**20),
+        "ici_bytes_per_frame": meta_box["ici_bytes_per_frame"],
     }
 
 
@@ -154,12 +169,16 @@ def main() -> None:
 
 
 def _persist(rows: list) -> None:
-    """Append this run to docs/multichip.md so rounds can diff the
-    virtual-mesh scaling numbers (VERDICT r2 weak #8)."""
+    """Append this run to docs/multichip.md (human table) and
+    docs/multichip_runs.jsonl (machine-parseable, VERDICT r3 item #7)."""
     import datetime
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "docs", "multichip.md")
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    date = datetime.date.today().isoformat()
+    with open(os.path.join(docs, "multichip_runs.jsonl"), "a") as f:
+        for r in rows:
+            f.write(json.dumps({"date": date, **r}) + "\n")
+    path = os.path.join(docs, "multichip.md")
     fresh = not os.path.exists(path)
     with open(path, "a") as f:
         if fresh:
@@ -167,15 +186,16 @@ def _persist(rows: list) -> None:
                     "Appended by bench_multichip.py; validates sharding "
                     "layout + collective placement, not ICI bandwidth "
                     "(one real chip per session).\n")
-        f.write(f"\n## {datetime.date.today().isoformat()} "
-                f"({rows[0]['platform']})\n\n")
-        f.write("| devices | ms/frame | tiles/dev | chunks/dev | "
-                "batch ms/variant |\n|---|---|---|---|---|\n")
+        f.write(f"\n## {date} ({rows[0]['platform']})\n\n")
+        f.write("| devices | ms/frame | tiles/dev | chunk balance | "
+                "entry balance | batch ms/variant | ICI bytes/frame |\n"
+                "|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(f"| {r['devices']} | {r['ms_per_frame']} | "
-                    f"{r['tiles_per_device']} | {r['chunks_per_device']} | "
-                    f"{r['batch_ms_per_variant']} |\n")
-    print(f"# appended to {path}", file=sys.stderr)
+                    f"{r['tiles_per_device']} | {r['chunk_balance']} | "
+                    f"{r['entry_balance']} | {r['batch_ms_per_variant']} | "
+                    f"{r['ici_bytes_per_frame']} |\n")
+    print(f"# appended to {path} + multichip_runs.jsonl", file=sys.stderr)
 
 
 if __name__ == "__main__":

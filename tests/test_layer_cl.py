@@ -230,3 +230,37 @@ def test_translated_list_supersampled():
     c = ctx.profiler.counters
     assert c.get("layer_cl_bakes", 0) == 1, c
     assert c.get("layer_cl_hits", 0) >= 2, c
+
+
+def test_text_in_translated_list_supersampled():
+    """Text (P_TEXTURE) through the SUPERSAMPLED layer path: the cached
+    list bakes as an ss=2 retained scene whose sampler must see unscaled
+    (output-pixel) quad params.  Regression for the bake path that fed
+    y-scaled ops to build_sampling_plan (glyphs vanished/mis-sampled)."""
+    from tests.fontdata import FONT_DATA
+
+    if FONT_DATA is None:
+        pytest.skip("no test font available")
+
+    def make(layer):
+        ctx = vg.createContext(vg.ContextConfig(
+            layer_memo=layer, coverage_supersample=2))
+        f = vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+        cl = vg.createCommandList(ctx, vg.CommandListFlags.Cacheable)
+        vg.beginCommandList(ctx, cl)
+        _artwork(ctx)
+        cfg = vg.makeTextConfig(ctx, f, 20.0, vg.TextAlign.BaselineLeft,
+                                vg.color4ub(240, 240, 255, 255))
+        vg.text(ctx, cfg, 30, 140, "cached ss label")
+        vg.endCommandList(ctx)
+        return ctx, cl
+
+    ctx, cl = make(True)
+    ref_ctx, ref_cl = make(False)
+    offs = [(0.0, 0.0), (0.0, 0.0), (6.0, 4.0), (13.5, -3.5), (-9.0, 10.0)]
+    for k, off in enumerate(offs):
+        img = _frame(ctx, cl, off, 0.2 * k)
+        exp = _frame(ref_ctx, ref_cl, off, 0.2 * k)
+        np.testing.assert_allclose(img, exp, atol=3e-3,
+                                   err_msg=f"frame {k} offset {off}")
+    assert ctx.profiler.counters.get("layer_cl_hits", 0) >= 2

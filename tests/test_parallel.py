@@ -1,9 +1,9 @@
 """Multi-device sharded rendering on the virtual 8-device CPU mesh: the
-tile-sharded frame (vgtpu/parallel/sharding.py — chunk coverage psum'd over
-ICI, tiles data-parallel) must be pixel-identical to the single-device frame
-for every content class the engine renders: clips, textures/text,
-supersampling, user tri-lists, uneven tile counts, and fuzzed scenes, at
-mesh sizes 2/4/8."""
+tile-sharded frame (vgtpu/parallel/sharding.py — tiles/entries/chunks
+co-partitioned so the frame body is COLLECTIVE-FREE) must be pixel-identical
+to the single-device frame for every content class the engine renders:
+clips, textures/text, supersampling, user tri-lists, uneven tile counts, and
+fuzzed scenes, at mesh sizes 2/4/8."""
 
 import numpy as np
 import pytest

@@ -605,3 +605,43 @@ def test_ss_textured_views_match_render():
     vg.popState(ctx2)
     want = np.asarray(vg.end(ctx2, background=bg))
     np.testing.assert_allclose(np.asarray(s.render(41, 6)), want, atol=2e-4)
+
+
+def test_ss_text_matches_direct():
+    """Text (P_TEXTURE tex_quads) in a SUPERSAMPLED retained scene: bake
+    must hand the sampler the UNSCALED op list (quad bboxes/params live in
+    output-pixel space, ops/sampling_device.py) even though coverage
+    geometry is y-scaled into sub-rows.  Regression test for the ss>1 bake
+    path that previously fed scale_ops_y output to build_sampling_plan."""
+    from vgtpu.scenes.demo_ui import _font
+
+    bg = (0.1, 0.1, 0.12, 1.0)
+
+    def scene(c, fh):
+        cfg = vg.makeTextConfig(c, fh, 20.0, vg.TextAlign.TopLeft,
+                                vg.color4ub(240, 240, 200, 255))
+        vg.text(c, cfg, 24, 40, "Supersampled pan")
+        vg.beginPath(c)
+        vg.rect(c, 20, 70, 160, 30)
+        vg.fillPath(c, vg.color4ub(40, 80, 160, 255), vg.FillFlags.ConvexAA)
+
+    ctx = vg.createContext(vg.ContextConfig(coverage_supersample=2))
+    vg.begin(ctx, 0, W, H, 1.0)
+    f = _font(ctx)
+    if f is None:
+        pytest.skip("no UI font available")
+    scene(ctx, f)
+    s = RetainedScene.bake(ctx, background=bg)
+    assert s.samp_meta is not None and s.ss == 2
+    for view in [(0, 0), (37, 5), (-19, -6.5)]:
+        got = np.asarray(s.render(*view))
+        ctx2 = vg.createContext(vg.ContextConfig(coverage_supersample=2))
+        vg.begin(ctx2, 0, W, H, 1.0)
+        f2 = _font(ctx2)
+        vg.pushState(ctx2)
+        vg.transformTranslate(ctx2, -view[0], -view[1])
+        scene(ctx2, f2)
+        vg.popState(ctx2)
+        want = np.asarray(vg.end(ctx2, background=bg))
+        np.testing.assert_allclose(got, want, atol=3e-3,
+                                   err_msg=f"view {view}")

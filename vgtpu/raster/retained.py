@@ -306,6 +306,11 @@ class RetainedScene:
         # viewport).  Backdrop pan windows, residual slices and the tile
         # relabel all live in the sub-row domain unchanged.
         plan_h = int(np.ceil(ymax)) + offy
+        # the sampler consumes quad bboxes/params in OUTPUT-pixel space
+        # (sampling_device.py — the frame path passes the unscaled ops,
+        # api/context.py); keep the pre-scale list for build_sampling_plan
+        # below (scale_ops_y preserves indices 1:1)
+        ops_px = ops
         if ss > 1:
             ops = scale_ops_y(ops, ss)
         plan = bin_frame_numpy(
@@ -345,7 +350,7 @@ class RetainedScene:
             }
             if ctx.font_system is not None:
                 image_map.update(ctx.font_system.atlas_image_map())
-            sp = build_sampling_plan(plan, ops, image_map, pan_margin=True)
+            sp = build_sampling_plan(plan, ops_px, image_map, pan_margin=True)
             if sp.num_tiles:
                 tex = ctx._device_textures(
                     image_map, {g.image_id for g in sp.groups})
@@ -502,7 +507,7 @@ class RetainedScene:
             plan.entry_backdrop.shape[0],
             th=self.tile_h, tw=self.tile_w, ntx=plan.ntx)
 
-    def render(self, view_x: float = 0, view_y: int = 0,
+    def render(self, view_x: float = 0, view_y: float = 0,
                use_pallas: bool | None = None) -> jax.Array:
         """Premultiplied (out_h, out_w, 4) of the scene viewed at offset
         (view_x, view_y): output pixel (x, y) shows scene point
@@ -529,7 +534,7 @@ class RetainedScene:
             **self._pan_statics(use_pallas),
         )
 
-    def render_tiles(self, view_x: float = 0, view_y: int = 0,
+    def render_tiles(self, view_x: float = 0, view_y: float = 0,
                      background=None, use_pallas: bool | None = None) -> jax.Array:
         """The view as its OUTPUT TILE GRID (nty_o*ntx_o, th, tw, 4) —
         execute_plan's init_tiles contract: when this scene's output dims
@@ -583,7 +588,7 @@ class RetainedScene:
         """V viewports of the scene in ONE device dispatch
         -> (V, out_h, out_w, 4).  views: sequence of (view_x, view_y)
         offsets, same semantics as render() — view_x may be fractional,
-        view_y must be integer.  The multi-view
+        view_y in whole sub-rows (multiples of 1/ss px).  The multi-view
         serving pattern (minimap + main view; K pan clients sharing one
         resident scene): the scene stays resident, only 2V offset scalars
         upload, and the per-dispatch cost is paid once."""
