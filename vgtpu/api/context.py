@@ -236,7 +236,6 @@ class Context:
         self._pending_layer = None   # {"scene","view","token"}
         self._layer_bake_note = None  # set by submit, resolved in the same call
         self._layer_bake_req = None  # (cl, key, tx, ty, n_ops) -> end() bakes
-        self._pend_tiles = None      # (token, rendered layer tiles) cache
 
         # command lists
         self.command_lists: dict[int, object] = {}
@@ -359,16 +358,13 @@ class Context:
         if self._pending_layer is not None:
             pend = self._pending_layer
             with prof.stage("layer"):
-                key = (pend["token"], tuple(self.background))
-                cache = self._pend_tiles
-                if cache is not None and cache[0] == key:
-                    tiles = cache[1]
-                else:
-                    tiles = pend["scene"].render_tiles(
-                        view_x=pend["view"][0], view_y=pend["view"][1],
-                        background=self.background)
-                    self._pend_tiles = (key, tiles)
-            layer = (0, tiles)
+                # LAZY: the pan render fuses into the frame dispatch
+                # (retained._pan_frame_fused) — one jit call instead of
+                # two, no HBM round-trip of the layer tiles
+                from vgtpu.raster.retained import PendingPanLayer
+
+                layer = (0, PendingPanLayer(
+                    pend["scene"], pend["view"], tuple(self.background)))
         elif (self.cfg.layer_memo and self.cfg.frame_memo
               and not getattr(self, "_suppress_layer", False)):
             # _suppress_layer: VariantBatch records need full single plans
@@ -417,11 +413,19 @@ class Context:
         caller defers to a fused renderFrames dispatch)."""
         if dispatch:
             with prof.stage("device_dispatch"):
-                self.frame_image = execute_plan(
-                    self.last_plan, background=self.background,
-                    device_arrays=self.last_device_arrays,
-                    init_tiles=self._layer_render,
-                )
+                from vgtpu.raster.retained import PendingPanLayer
+
+                lr = self._layer_render
+                if isinstance(lr, PendingPanLayer):
+                    self.frame_image = lr.execute_over(
+                        self.last_plan, self.last_device_arrays,
+                        self.background)
+                else:
+                    self.frame_image = execute_plan(
+                        self.last_plan, background=self.background,
+                        device_arrays=self.last_device_arrays,
+                        init_tiles=lr,
+                    )
         else:
             self.frame_image = None
 
@@ -1687,9 +1691,12 @@ def renderFrames(ctxs, backgrounds=None):
                              "its resident plan is STALE — call "
                              "end(ctx, dispatch=False) before renderFrames")
     t0 = _time.perf_counter()
+    from vgtpu.raster.retained import PendingPanLayer
+
     imgs = execute_plans(
         [(c.last_plan, c.last_device_arrays) for c in ctxs], backgrounds,
-        init_tiles=[c._layer_render for c in ctxs])
+        init_tiles=[t.materialize() if isinstance(t, PendingPanLayer) else t
+                    for t in (c._layer_render for c in ctxs)])
     dt = (_time.perf_counter() - t0) * 1e3
     for c, img in zip(ctxs, imgs):
         c.frame_image = img

@@ -805,3 +805,72 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
     run(reps_hi)
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (reps_hi - reps_lo) * 1e3
+
+
+@functools.partial(jax.jit, static_argnames=("pan_st", "frame_st"))
+def _pan_frame_fused(scene_d, layer_bg, vx, vy, rx, ry,
+                     pools, ebd, comp_d, background, *, pan_st, frame_st):
+    """Panned-layer render + dynamic-suffix composite as ONE program: the
+    translated cached-list frame previously dispatched render_tiles and
+    execute_plan separately — two jit calls through the tunnel, with the
+    (T, th, tw, 4) layer tiles round-tripping HBM between them.  Fusing
+    halves the per-frame dispatch overhead and lets XLA schedule the layer
+    composite and the suffix coverage together."""
+    from vgtpu.raster.frame import _frame_body
+
+    tiles = _render_pan_body(scene_d, layer_bg, vx, vy, rx, ry,
+                             **dict(pan_st))
+    return _frame_body(pools, ebd, comp_d, background, init_tiles=tiles,
+                       **dict(frame_st))
+
+
+class PendingPanLayer:
+    """Lazy stand-in for the translated cached-list layer's tile grid
+    (api/context end()): carries (scene, view) so _maybe_dispatch can fuse
+    the pan render into the frame program (_pan_frame_fused) instead of
+    materializing tiles in a separate dispatch.  materialize() is the
+    fallback for paths that need the actual array (renderFrames).
+
+    Trade-off (measured in bench --pan-diag): a pan LOOP saves one jit
+    dispatch + one HBM tile round-trip per frame; an identical-content
+    REDRAW under an unchanged pan re-renders the layer in-trace (~the
+    layer's device cost) where the old path reused the materialized tiles.
+    Pan loops change the view every frame, so the loop is the common case.
+    """
+
+    def __init__(self, scene, view, background):
+        self.scene = scene
+        self.view = tuple(view)
+        self.background = tuple(background)
+
+    def _offsets(self):
+        s = self.scene
+        vy, ry = s._view_y_subrows(self.view[1])
+        ox = float(self.view[0]) + s.off[0]
+        vx = int(np.floor(ox / s.tile_w))
+        rx = ox - vx * s.tile_w
+        return (np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry))
+
+    def materialize(self) -> jax.Array:
+        return self.scene.render_tiles(view_x=self.view[0],
+                                       view_y=self.view[1],
+                                       background=self.background)
+
+    def execute_over(self, plan, device_arrays, background) -> jax.Array:
+        """Fused dispatch: the frame plan composites its dynamic suffix over
+        this layer, rendered in-trace at the pending view offset."""
+        from vgtpu.raster.frame import _plan_statics, composite_arrays
+
+        s = self.scene
+        d = device_arrays
+        vx, vy, rx, ry = self._offsets()
+        pan_st = dict(s._pan_statics(None))
+        pan_st["tiles_only"] = True
+        return _pan_frame_fused(
+            s.d, jnp.asarray(np.asarray(self.background, np.float32)),
+            vx, vy, rx, ry,
+            d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
+            jnp.asarray(np.asarray(background, np.float32)),
+            pan_st=tuple(sorted(pan_st.items())),
+            frame_st=_plan_statics(plan, d),
+        )
