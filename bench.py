@@ -101,11 +101,19 @@ def start_keepalive(interval: float = 4.0) -> dict:
     gap vs 0.53 s on an active channel — same probe).
 
     Returns a state dict: {"attach_s": float|None, "t_done": float|None,
-    "stop": Event}.  Call state["stop"].set() before any timed device loop.
+    "stop": Event, "ready": Event}.  Call state["stop"].set() before any
+    timed device loop.
+
+    The thread doubles as the HEALTH GATE: "ready" is set once the first
+    execute lands (attach paid, tunnel proven alive).  A dead tunnel hangs
+    the daemon thread forever; main() waits on "ready" with a timeout and
+    emits the honest null metric without ever touching jax from the main
+    thread (a hung backend init is uninterruptible in-process).
     """
     import threading
 
-    state = {"attach_s": None, "t_done": None, "stop": threading.Event()}
+    state = {"attach_s": None, "t_done": None, "stop": threading.Event(),
+             "ready": threading.Event()}
 
     def loop():
         t0 = time.perf_counter()
@@ -119,7 +127,9 @@ def start_keepalive(interval: float = 4.0) -> dict:
             float(np.asarray(f(x)))
             state["attach_s"] = time.perf_counter() - t0
             state["t_done"] = time.perf_counter()
+            state["ready"].set()
         except Exception:  # noqa: BLE001 — keepalive is best-effort
+            state["ready"].set()   # failed fast: unblock the gate honestly
             return
         while not state["stop"].wait(interval):
             try:
@@ -285,71 +295,50 @@ def measure(reps: int = 32, warmup: int = 3, keepalive: dict | None = None) -> d
     anim_ms = run_loop(lambda k: frame_with_overlay(k + 1), 5, warm_img=wimg)
     anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0
 
-    # batched variants (raster/batch.py): K overlay-color variants of the
-    # scene rendered as ONE device dispatch — the serving mode.  Runs in a
-    # SUBPROCESS with a hard timeout: the lane-folded composite is a fresh
-    # kernel shape, and a hung fresh-shape compile on a degraded tunnel must
-    # not take the primary metric down with it (observed: such a hang killed
-    # the TPU worker for hours).
-    batch_ms = batch_mode = None
+    # serving-mode diagnostics — batched variants (raster/batch.py),
+    # translated cached-list pan (clCacheRender analogue), and the
+    # parity-mode ss=2 frame — run in ONE subprocess: each fresh process
+    # pays its own tunnel attach (probe_idle_tax.py), so three children
+    # would pay three times.  Still a subprocess with a hard timeout: these
+    # paths compile fresh kernel shapes, and a hung fresh-shape compile on
+    # a degraded tunnel must not take the primary metric down (observed:
+    # such a hang killed the TPU worker for hours).  Results stream one
+    # JSON line per diag, so a mid-way hang keeps the earlier results
+    # (TimeoutExpired carries the partial stdout).
+    batch_ms = batch_mode = pan_ms = pan_hits = ss2_ms = None
     if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
+        diag_out = ""
         try:
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--batch-diag"],
-                capture_output=True, text=True, timeout=900,
+                [sys.executable, os.path.abspath(__file__), "--diag-all"],
+                capture_output=True, text=True, timeout=2100,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            if out.returncode == 0:
-                bd = json.loads(out.stdout.strip().splitlines()[-1])
-                batch_ms = bd["batch_ms"]
-                batch_mode = bd.get("mode")
-            else:
-                print(f"[bench] batch diag rc={out.returncode}: "
+            diag_out = out.stdout or ""
+            if out.returncode != 0:
+                print(f"[bench] diag child rc={out.returncode}: "
                       f"{out.stderr[-400:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
+            diag_out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            print("[bench] diag child timed out; keeping partial results",
+                  file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            print(f"[bench] batch diag failed: {e}", file=sys.stderr)
-
-    # translated cached-list pan (clCacheRender under a moving transform,
-    # vg.cpp:5845-6120): the artwork renders as a retained layer at each
-    # offset, the UI bins as a suffix.  Subprocess + timeout: the one-time
-    # scene bake compiles fresh kernel shapes (same hang hazard as batch)
-    pan_ms = pan_hits = None
-    if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--pan-diag"],
-                capture_output=True, text=True, timeout=900,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if out.returncode == 0:
-                pd = json.loads(out.stdout.strip().splitlines()[-1])
-                pan_ms, pan_hits = pd["pan_ms"], pd["layer_cl_hits"]
-            else:
-                print(f"[bench] pan diag rc={out.returncode}: "
-                      f"{out.stderr[-400:]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] pan diag failed: {e}", file=sys.stderr)
-
-    # parity-mode steady state (VERDICT r3 #6): the conflation-free ss=2
-    # frame — the mode whose output matches the reference's triangle-mesh
-    # semantics (no self-intersection conflation).  Subprocess + timeout
-    # like batch/pan: its kernel shapes may be fresh on this chip and a
-    # hung fresh-shape compile must not take the primary metric down.
-    ss2_ms = None
-    if not os.environ.get("VGTPU_BENCH_NO_BATCH"):
-        try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--ss2-diag"],
-                capture_output=True, text=True, timeout=900,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            if out.returncode == 0:
-                ss2_ms = json.loads(out.stdout.strip().splitlines()[-1])["ss2_ms"]
-            else:
-                print(f"[bench] ss2 diag rc={out.returncode}: "
-                      f"{out.stderr[-400:]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] ss2 diag failed: {e}", file=sys.stderr)
+            print(f"[bench] diag child failed: {e}", file=sys.stderr)
+        for line in diag_out.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                dd = json.loads(line)
+            except ValueError:
+                continue
+            if "batch_ms" in dd:
+                batch_ms, batch_mode = dd["batch_ms"], dd.get("mode")
+            elif "pan_ms" in dd:
+                pan_ms, pan_hits = dd["pan_ms"], dd["layer_cl_hits"]
+            elif "ss2_ms" in dd:
+                ss2_ms = dd["ss2_ms"]
 
     # app pattern (the reference's intended usage, vg.cpp:4287-4300): static
     # artwork in a Cacheable command list, dynamic UI immediate — cached
@@ -399,49 +388,6 @@ def measure(reps: int = 32, warmup: int = 3, keepalive: dict | None = None) -> d
     }
 
 
-def _backend_alive(timeout_s: int = 900) -> bool:
-    """Bounded probe of the default JAX backend in a subprocess: a dead
-    axon TPU tunnel makes jax.devices() hang INDEFINITELY in-process
-    (observed: worker crash, no recovery for hours) — better to emit an
-    honest null metric than hang the driver.
-
-    The probe EXECUTES one trivial jitted program, not just jax.devices():
-    the first execute that reaches an idle tunnel worker pays a one-time
-    ~30 s-6 min (grows with session age) cold-attach warm-up regardless of program content
-    (tools/probe_cold_tax.py measures it; it is cross-process — once any
-    process pays it, later processes run immediately).  Paying it here
-    (a) makes the probe an honest health check and (b) keeps the
-    environment's attach tax out of cold_ms, which then measures the
-    ENGINE's cold start.  The probe's execute time is printed as
-    worker_attach_s."""
-    try:
-        t0 = time.perf_counter()
-        out = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp, numpy as np;"
-             "v = float(np.asarray(jax.jit(lambda x: (x*2+1).sum())"
-             "(jnp.ones((128,), jnp.float32))));"
-             "print('ok', v)"],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        if out.returncode == 0 and "ok" in out.stdout:
-            print(f"[bench] backend probe ok — worker_attach_s="
-                  f"{time.perf_counter() - t0:.1f} (attach tax paid by "
-                  f"the probe; see tools/probe_cold_tax.py)",
-                  file=sys.stderr)
-            return True
-        # a FAST failure is an environment bug, not a tunnel outage — the
-        # diagnostic must not be swallowed by the null-metric path
-        print(f"[bench] backend probe rc={out.returncode}: "
-              f"{out.stderr[-600:]}", file=sys.stderr)
-        return False
-    except subprocess.TimeoutExpired:
-        print("[bench] backend probe timed out (hung backend init)",
-              file=sys.stderr)
-        return False
-
-
 def pan_diag() -> None:
     """Standalone translated-cached-list measurement (subprocess child):
     submits the tiger list under a moving translation with the demo UI on
@@ -479,7 +425,7 @@ def pan_diag() -> None:
     print(json.dumps({
         "pan_ms": pan_ms,
         "layer_cl_hits": ctx.profiler.counters.get("layer_cl_hits", 0),
-    }))
+    }), flush=True)
 
 
 def ss2_diag() -> None:
@@ -501,7 +447,7 @@ def ss2_diag() -> None:
     ka["stop"].set()
     ms = measure_device_ms_per_frame(ctx.last_plan, ctx.last_device_arrays,
                                      bg, reps_hi=32, reps_lo=3)
-    print(json.dumps({"ss2_ms": ms}))
+    print(json.dumps({"ss2_ms": ms}), flush=True)
 
 
 def batch_diag(k: int = 6, reps_hi: int = 8, emit: bool = True):
@@ -531,7 +477,7 @@ def batch_diag(k: int = 6, reps_hi: int = 8, emit: bool = True):
     ms = measure_batch_ms_per_frame(vb, background=bg, reps_hi=reps_hi, reps_lo=2)
     out = {"batch_ms": ms, "mode": vb._mode, "k": k}
     if emit:
-        print(json.dumps(out))
+        print(json.dumps(out), flush=True)
     return out
 
 
@@ -572,6 +518,15 @@ def main() -> None:
     if "--pan-diag" in sys.argv:
         pan_diag()
         return
+    if "--diag-all" in sys.argv:
+        # one child process = one attach tax for all three serving diags;
+        # order cheapest-compile first so a hang keeps the earlier lines
+        for fn in (batch_diag, pan_diag, ss2_diag):
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001
+                print(f"# {fn.__name__} failed: {e}", file=sys.stderr)
+        return
     if "--cpu-baseline" in sys.argv:
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         import jax
@@ -581,21 +536,15 @@ def main() -> None:
         print(json.dumps(r))
         return
 
-    if not _backend_alive():
-        print("[bench] default JAX backend unreachable (dead TPU tunnel?) — "
-              "emitting null metric instead of hanging", file=sys.stderr)
-        print(json.dumps({
-            "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
-            "value": None,
-            "unit": "ms",
-            "vs_baseline": None,
-            "note": "TPU backend unreachable at bench time",
-        }))
-        return
-
     # the keepalive thread starts paying THIS process's attach tax now
-    # (per-process, grows with session age — probe_idle_tax.py measured
-    # 22.7 s at session start, 167 s forty minutes in, 411 s+ at round end)
+    # (per-process, GROWS with session age — probe_idle_tax.py measured
+    # 22.7 s at session start, 167 s forty minutes in, 363 s at two hours)
+    # and doubles as the health gate: its first successful execute proves
+    # the tunnel alive; the main thread touches jax only after that.  The
+    # old design paid a SECOND attach in a probe subprocess and lost it —
+    # and its 900 s probe timeout could null the whole metric at round-end
+    # session age.
+    t_start = time.perf_counter()
     ka = start_keepalive()
 
     # CPU baseline FIRST: a pure-CPU subprocess whose 3-8 min of wall time
@@ -619,6 +568,25 @@ def main() -> None:
         print(f"[bench] cpu baseline frame={cpu_ms:.3f} ms", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"[bench] cpu baseline failed: {e}", file=sys.stderr)
+
+    # health gate: give the attach up to 30 min wall total (it grows with
+    # session age; 363 s measured at 2 h) before declaring the tunnel dead
+    remaining = max(60.0, 1800.0 - (time.perf_counter() - t_start))
+    ka["ready"].wait(timeout=remaining)
+    if ka["attach_s"] is None:
+        print("[bench] tunnel attach did not complete within the gate — "
+              "emitting null metric instead of hanging", file=sys.stderr)
+        print(json.dumps({
+            "metric": "ms/frame SVG-tiger+demo-UI 1080p, on-device raster (steady-state)",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "note": "TPU backend unreachable at bench time "
+                    "(attach gate timed out)",
+        }))
+        return
+    print(f"[bench] tunnel attach={ka['attach_s']:.1f} s (paid concurrently "
+          f"with the CPU baseline)", file=sys.stderr)
 
     r = measure(keepalive=ka)
     print(f"[bench] device={r['platform']} frame={r['frame_ms']:.3f} ms  "

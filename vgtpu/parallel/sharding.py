@@ -27,8 +27,12 @@ is BIT-EQUAL to the single-device render (asserted by __graft_entry__'s
 dryrun and tests/test_parallel.py).
 
 Cost of locality is load imbalance: per-device chunk/entry counts are padded
-to the max across devices.  partition_plan_for_mesh returns the measured
-imbalance so bench_multichip.py can report it (docs/multichip.md).
+to the max across devices.  Tiles are assigned to devices by LPT greedy on
+per-tile chunk load (contiguous blocks correlate with scene density —
+measured chunk balance 0.65 at n=8 vs ~0.99 balanced) and the tile rows
+permuted device-contiguous; the output gather unpermutes.
+partition_plan_for_mesh returns the measured imbalance so
+bench_multichip.py can report it (docs/multichip.md).
 
 Everything runs in ONE jitted shard_map program per frame.
 """
@@ -69,18 +73,74 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
     (first axis of every sharded array is n * per-device-count, ready for
     P('tiles') in_specs); meta holds static shapes + imbalance stats.
     """
-    te = np.asarray(d["tile_entries"])
-    T = te.shape[0]
-    t_pad = -(-T // n) * n
-    if t_pad != T:
-        te = np.concatenate([te, np.full((t_pad - T, te.shape[1]), -1, te.dtype)])
-    ts = t_pad // n                       # tiles per device
+    te0 = np.asarray(d["tile_entries"])
+    T = te0.shape[0]
+    ts = -(-T // n)                       # tile rows per device
+    t_pad = ts * n
 
     entry_tile = np.asarray(plan.entry_tile).astype(np.int64)
     ne = np.asarray(d["entry_backdrop"]).shape[0]
-    # owner device per entry (padding entries carry entry_tile=0 -> dev 0;
-    # they are never referenced by any tile row, values don't matter)
-    owner_e = np.minimum(entry_tile[:ne] // ts, n - 1).astype(np.int64)
+
+    # --- tile -> device assignment: LPT greedy on per-tile chunk load ---
+    # contiguous blocks correlate with scene density (the busy region lands
+    # on one device: measured chunk balance 0.65 at n=8); assigning the
+    # heaviest tiles first to the least-loaded device with spare capacity
+    # gets balance close to 1.0.  The tile rows are then PERMUTED so each
+    # device's tiles are contiguous (shard_map splits axis 0); tile_ids
+    # carries the original flat index (pixel positions derive from it) and
+    # the output gather unpermutes.
+    load = np.zeros(T, np.int64)
+    for ce, cent in d["chunk_pools"]:
+        ce = np.asarray(ce)
+        cent = np.asarray(cent).astype(np.int64)
+        alive = (np.abs(ce[:, :, 3] - ce[:, :, 1]) > 0).any(axis=1)
+        tl = entry_tile[np.clip(cent[alive], 0, ne - 1)]
+        np.add.at(load, np.clip(tl, 0, T - 1), 1)
+    order_t = np.argsort(-load, kind="stable")
+    dev_of_tile = np.empty(T, np.int64)
+    dev_load = np.zeros(n, np.int64)
+    dev_count = np.zeros(n, np.int64)
+    for t in order_t:
+        cands = np.nonzero(dev_count < ts)[0]
+        k = cands[np.argmin(dev_load[cands])]
+        dev_of_tile[t] = k
+        dev_load[k] += load[t]
+        dev_count[k] += 1
+    # row layout: device-grouped, original order within a device, padded
+    # with empty rows to ts per device
+    rows = np.full(t_pad, -1, np.int64)          # original tile id per row
+    row_of_tile = np.empty(T, np.int64)
+    for k in range(n):
+        mine = np.nonzero(dev_of_tile == k)[0]
+        rows[k * ts: k * ts + len(mine)] = mine
+        row_of_tile[mine] = k * ts + np.arange(len(mine))
+    te = np.full((t_pad, te0.shape[1]), -1, te0.dtype)
+    te[rows >= 0] = te0[rows[rows >= 0]]
+    tile_ids = np.where(rows >= 0, rows, 0).astype(np.int32)
+
+    # owner device per entry follows its tile.  PADDING entries (rows
+    # n_real..ne of the bucket-padded arrays) carry entry_tile=0 and are
+    # never referenced by any tile row — spreading them to the devices with
+    # the fewest real entries equalizes NE_dev (leaving them on tile 0's
+    # device measured entry balance 0.55 at n=4: one device's shard was
+    # mostly dead rows that the segment-sum still scattered into)
+    owner_e = dev_of_tile[np.clip(entry_tile[:ne], 0, T - 1)]
+    n_real = getattr(plan, "n_real_entries", 0) or ne
+    if n_real < ne:
+        counts_real = np.bincount(owner_e[:n_real], minlength=n)
+        order_fill = np.argsort(counts_real, kind="stable")
+        deficit = counts_real.max() - counts_real
+        pads = ne - n_real
+        # top up the emptiest devices first, then round-robin the rest
+        assign = np.full(pads, -1, np.int64)
+        pos = 0
+        for k in order_fill:
+            t = int(min(deficit[k], pads - pos))
+            assign[pos: pos + t] = k
+            pos += t
+        if pos < pads:
+            assign[pos:] = np.arange(pads - pos) % n
+        owner_e[n_real:] = assign
     # contract check: every entry a tile references is owned by that tile
     valid = te >= 0
     if valid.any():
@@ -141,13 +201,14 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
         "entry_color_tile": scatter_entries(d["entry_color_tile"]),
         "color_tiles": np.asarray(d["color_tiles"]),      # replicated
         "tile_entries": te_local,
-        "tile_ids": np.arange(t_pad, dtype=np.int32),
+        "tile_ids": tile_ids,
     }
     live = [int(c.sum()) for c in chunk_counts]
     padded = [len(pools[i][1]) for i in range(len(pools))]
     meta = {
         "t_pad": t_pad,
         "ne_dev": ne_dev,
+        "row_of_tile": row_of_tile,    # output gather: fb[row_of_tile]
         "entries_per_dev": counts_e.tolist(),
         "chunks_per_dev": [c.tolist() for c in chunk_counts],
         # fraction of padded chunk slots that are real work on the busiest
@@ -155,7 +216,11 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
         "chunk_balance": (
             float(np.mean([c.mean() / max(c.max(), 1) for c in chunk_counts]))
             if chunk_counts else 1.0),
-        "entry_balance": float(counts_e.mean() / max(counts_e.max(), 1)),
+        # REAL-entry balance (pad rows are spread to equalize NE_dev and
+        # carry no work that matters beyond the scatter's dead adds)
+        "entry_balance": float(
+            np.bincount(owner_e[:n_real], minlength=n).mean()
+            / max(np.bincount(owner_e[:n_real], minlength=n).max(), 1)),
         "chunk_slots_live": live,
         "chunk_slots_padded": padded,
         "ici_bytes_per_frame": 0,   # no collective in the frame body
@@ -238,9 +303,10 @@ def render_frame_sharded(plan, device_arrays: dict, mesh: Mesh,
         jnp.asarray(arrays["tile_ids"]), bg,
     )
     # all-gather the tile-sharded framebuffer before image assembly (the
-    # output transfer — the only cross-device movement in the whole frame)
+    # output transfer — the only cross-device movement in the whole frame),
+    # then unpermute the LPT-balanced row layout back to tile order
     fb = jax.device_put(fb, NamedSharding(mesh, P()))
-    fb = fb[: plan.ntx * plan.nty]
+    fb = fb[jnp.asarray(meta["row_of_tile"])]
     img = tiles_to_image(
         fb, ntx=plan.ntx, nty=plan.nty,
         tile_h=plan.tile_h // plan.supersample, tile_w=plan.tile_w,
