@@ -14,6 +14,7 @@ device pipeline and stores the framebuffer.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -417,9 +418,18 @@ class Context:
 
                 lr = self._layer_render
                 if isinstance(lr, PendingPanLayer):
-                    self.frame_image = lr.execute_over(
-                        self.last_plan, self.last_device_arrays,
-                        self.background)
+                    if os.environ.get("VGTPU_PAN_NO_FUSE"):
+                        # A/B escape hatch (bench): the pre-r04 two-dispatch
+                        # path — materialize the layer tiles, then composite
+                        self.frame_image = execute_plan(
+                            self.last_plan, background=self.background,
+                            device_arrays=self.last_device_arrays,
+                            init_tiles=lr.materialize(),
+                        )
+                    else:
+                        self.frame_image = lr.execute_over(
+                            self.last_plan, self.last_device_arrays,
+                            self.background)
                 else:
                     self.frame_image = execute_plan(
                         self.last_plan, background=self.background,
