@@ -35,7 +35,14 @@ class ContextConfig:
     tile_h: int = 8                        # one f32 VPU tile = 8 sublanes
     tile_w: int = 128                      # x 128 lanes
     edges_per_chunk: int = 8               # numpy-oracle chunk size
-    chunk_pools: tuple = (2, 4, 8, 24)     # native binner chunk-size pools
+    chunk_pools: tuple = ()                # native binner chunk-size pools;
+                                           # () = pick by supersample mode:
+                                           # (2,4,8,24) at ss=1 (r03 sweep),
+                                           # (2,4,6,12,24) at ss>1 — the ss=2
+                                           # sub-row domain shifts the
+                                           # slot-fill/launch balance; same-
+                                           # session sweep measured 2.284 vs
+                                           # 2.455 ms (tools/tpu_ss2_tune.py)
     max_ops_per_tile_cap: int = 256        # hard safety cap on composite depth
     tess_tol: float = 0.25                 # tessellation tolerance in px (vg.cpp:763)
     fringe: float = 1.0                    # AA fringe reference width in px (vg.cpp:764)
@@ -74,3 +81,8 @@ class ContextConfig:
         assert self.tile_w in (128, 256), "tile width must be a lane multiple"
         assert self.tile_h % 8 == 0, "tile height must be a sublane multiple"
         assert self.coverage_supersample in (1, 2, 4, 8), "supersample must be 1/2/4/8"
+        if not self.chunk_pools:
+            object.__setattr__(
+                self, "chunk_pools",
+                (2, 4, 8, 24) if self.coverage_supersample == 1
+                else (2, 4, 6, 12, 24))
