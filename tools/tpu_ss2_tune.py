@@ -31,6 +31,9 @@ LADDERS = [
 def main() -> None:
     from bench import host_spin_ms, start_keepalive
 
+    ss = 2
+    if "--ss" in sys.argv:
+        ss = int(sys.argv[sys.argv.index("--ss") + 1])
     ka = start_keepalive()
     import numpy as np           # noqa: F401
     import vgtpu as vg
@@ -47,7 +50,7 @@ def main() -> None:
     plans = []
     for lad in LADDERS:
         ctx = vg.createContext(vg.ContextConfig(
-            coverage_supersample=2, chunk_pools=lad))
+            coverage_supersample=ss, chunk_pools=lad))
         vg.begin(ctx, 0, 1920, 1080, 1.0)
         draw_benchmark_frame(ctx, 0.0)
         img = vg.end(ctx, background=bg)
@@ -66,7 +69,7 @@ def main() -> None:
             print(f"rep{rep} {lad}: {ms:.3f} ms", flush=True)
     ka["stop"].set()
     med = {k: sorted(v)[len(v) // 2] for k, v in results.items()}
-    print(json.dumps({"ss2_ladders": results, "median": med,
+    print(json.dumps({"ss%d_ladders" % ss: results, "median": med,
                       "host_spin_ms": round(host_spin_ms(), 1)}), flush=True)
 
 
