@@ -17,7 +17,10 @@ On a real TPU slice the same code shards over the physical mesh.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
