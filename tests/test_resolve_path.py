@@ -1,0 +1,164 @@
+"""Full-frame parity of the resolve-in-kernel supersampled path
+(raster/resolve.py + ops/coverage_resolve.py + the composite cov_final
+branch) against the XLA ss composite oracle.
+
+The scene is constructed so the plan exercises every chunk class the split
+produces: RES (single-chunk non-clip), RAW-clip (entries in clip tiles),
+XE (multi-chunk non-clip entries), and CHUNKLESS interiors (backdrop-only
+tiles riding the rbd lane rows)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+import vgtpu as vg  # noqa: E402
+from vgtpu.ops.composite import composite_bucketed_body  # noqa: E402
+
+
+def _scene(ctx):
+    from tests.test_composite_pallas import _scene_full
+
+    _scene_full(ctx)
+    # big fill -> interior (chunkless, backdrop-only) tiles
+    vg.beginPath(ctx)
+    vg.rect(ctx, 20, 60, 460, 180)
+    vg.fillPath(ctx, vg.color4ub(20, 40, 90, 120), vg.FillFlags.ConvexAA)
+    # dense zig-zag inside one tile column -> a multi-chunk entry (XE)
+    vg.beginPath(ctx)
+    vg.moveTo(ctx, 10.0, 30.0)
+    for i in range(60):
+        vg.lineTo(ctx, 12.0 + i * 1.5, 30.0 + (7.0 if i % 2 else -7.0))
+    vg.lineTo(ctx, 10.0, 50.0)
+    vg.closePath(ctx)
+    vg.fillPath(ctx, vg.color4ub(220, 120, 30, 255),
+                vg.FillFlags.ConcaveNonZeroAA)
+
+
+def _build(ctx, w, h, ss, monkeypatch):
+    from vgtpu.raster import frame as frame_mod
+    from vgtpu.raster.binning import bin_frame
+
+    monkeypatch.setattr(frame_mod, "_fused_platform", lambda: True)
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, w, h, tile_h=ctx.cfg.tile_h,
+                     tile_w=ctx.cfg.tile_w, supersample=ss)
+    ctx._fill_textures(plan)
+    d = frame_mod.plan_to_device(plan)
+    return plan, d
+
+
+def _xla_frame(plan, d, bg):
+    from vgtpu.ops.coverage import entry_coverage_from_pools
+
+    if "entry_kind" not in d:
+        # dedup-upload plans drop the dense arrays; expand like _frame_body
+        pop, ep = d["pop"], d["entry_pop"]
+        d = dict(d)
+        for k, src in (("entry_kind", "kind"), ("entry_rule", "rule"),
+                       ("entry_aa", "aa"), ("entry_paint_kind", "paint_kind"),
+                       ("entry_paint", "paint"), ("entry_scissor", "scissor")):
+            d[k] = jnp.asarray(pop[src])[ep]
+    ne = d["entry_backdrop"].shape[0]
+    th, tw = plan.tile_h, plan.tile_w
+    entry_w = entry_coverage_from_pools(
+        d["chunk_pools"], ne, th, tw) + d["entry_backdrop"][:, :, None]
+    return composite_bucketed_body(
+        entry_w, d["tile_buckets"],
+        d["entry_kind"], d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+        d["entry_paint"], d["entry_scissor"], d["entry_color_tile"],
+        d["color_tiles"], bg,
+        ntx=plan.ntx, tile_h=th, tile_w=tw,
+        num_tiles=plan.tile_entries.shape[0],
+        bucket_flags=d["bucket_flags"], ss=plan.supersample,
+    )
+
+
+def _resolve_frame(plan, d, bg, interpret=True):
+    from vgtpu.ops.composite_pallas import frame_fb_pallas
+    from vgtpu.ops.coverage_resolve import cov_split_resolved
+
+    res = d["res"]
+    th, tw = plan.tile_h, plan.tile_w
+    cov_final, cov_sub = cov_split_resolved(
+        d["chunk_pools"], res, th, tw, plan.supersample)
+    return frame_fb_pallas(
+        cov_sub, d["tile_buckets"], res["pteb"], d["bucket_params"],
+        d["bucket_cts"], bg,
+        tile_h=th, tile_w=tw, num_tiles=plan.tile_entries.shape[0],
+        bucket_flags=d["bucket_flags"], interpret=interpret,
+        ss=plan.supersample, cov_final_arr=cov_final, bucket_rbd=res["rbd"],
+    )
+
+
+@pytest.mark.parametrize("ss", [2, 4])
+def test_resolve_path_full_frame_parity(ss, monkeypatch):
+    if ss == 4:
+        # expansion of dense-path edges is slow under interpret mode; keep
+        # the heavier ss in a smaller canvas
+        w, h = 384, 192
+    else:
+        w, h = 512, 256
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, w, h, 1.0)
+    _scene(ctx)
+    plan, d = _build(ctx, w, h, ss, monkeypatch)
+    assert d.get("res") is not None, "resolve aux missing on the fused plan"
+
+    # the split must actually exercise all four chunk classes
+    rh = plan.resolve_host
+    assert rh["npools_res"] >= 1 and rh["nres"] > 0
+    assert len(plan.chunk_pools) > rh["npools_res"] and rh["nraw"] > 0
+    assert rh["entry_flags"][:, 4].any(), "scene lost its clip tiles"
+    nxe = int(np.asarray(d["res"]["xe_rparams"]).shape[1])
+    assert (np.asarray(d["res"]["xe_primary_raw"]) < rh["nraw"]).any(), \
+        "no multi-chunk (XE) entries in the scene"
+    assert any(r is not None and np.asarray(r).any()
+               for r in d["res"]["rbd"]), "no chunkless interiors rode rbd"
+
+    bg = jnp.asarray(np.asarray((0.1, 0.2, 0.3, 1.0), np.float32))
+    fb_xla = _xla_frame(plan, d, bg)
+    fb_res = _resolve_frame(plan, d, bg)
+    np.testing.assert_allclose(
+        np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6)
+
+
+def test_resolve_path_text_parity(monkeypatch):
+    """Textured quads (P_TEXTURE force-coverage) through the resolve path."""
+    from tests.test_text import FONT_DATA
+
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 384, 128, 1.0)
+    f = vg.createFont(ctx, "sans", FONT_DATA, len(FONT_DATA), 0)
+    cfg = vg.makeTextConfig(ctx, f, 26.0, vg.TextAlign.MiddleLeft,
+                            vg.Colors.White)
+    vg.text(ctx, cfg, 8, 64, "resolve path parity")
+    vg.beginPath(ctx)
+    vg.circle(ctx, 300, 70, 40)
+    vg.fillPath(ctx, vg.color4ub(40, 220, 120, 180), vg.FillFlags.ConvexAA)
+    plan, d = _build(ctx, 384, 128, 2, monkeypatch)
+    assert d.get("res") is not None
+    bg = jnp.asarray(np.asarray((0.05, 0.05, 0.08, 1.0), np.float32))
+    fb_xla = _xla_frame(plan, d, bg)
+    fb_res = _resolve_frame(plan, d, bg)
+    np.testing.assert_allclose(
+        np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6)
+
+
+def test_resolve_gate_off_at_ss1(monkeypatch):
+    from vgtpu.raster import frame as frame_mod
+    from vgtpu.raster.binning import bin_frame
+
+    monkeypatch.setattr(frame_mod, "_fused_platform", lambda: True)
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, 256, 128, 1.0)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 60, 60, 40)
+    vg.fillPath(ctx, vg.Colors.Red, vg.FillFlags.ConvexAA)
+    ctx._finalize_ops()
+    plan = bin_frame(ctx.ops, 256, 128, tile_h=ctx.cfg.tile_h,
+                     tile_w=ctx.cfg.tile_w)
+    ctx._fill_textures(plan)
+    d = frame_mod.plan_to_device(plan)
+    assert d.get("res") is None

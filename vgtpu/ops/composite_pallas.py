@@ -179,7 +179,8 @@ def _block_tiles(nb: int) -> int:
 
 
 def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
-                 flags: tuple, add_backdrop: bool = False, ss: int = 1):
+                 flags: tuple, add_backdrop: bool = False, ss: int = 1,
+                 cov_final: bool = False):
     """Row-structured painter step (the production TPU variant): the pixel
     grid is processed one tile row at a time on (TW, BT) slices, so every
     y-only quantity — the per-row backdrop (no jnp.repeat relayout), the
@@ -191,14 +192,20 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
     coverage / fill rule / scissor / clip live on the npx SUB-row domain;
     rule-applied masked coverage averages over each group of ss sub-rows,
     then shading + blending run once per OUTPUT row on the npx//ss domain
-    (paints are pixel-space, same as the XLA composite's pxc_o/pyc_o)."""
+    (paints are pixel-space, same as the XLA composite's pxc_o/pyc_o).
+
+    cov_final (resolve-in-kernel path, ops/coverage_resolve.py): ew_ref holds
+    FINAL output-domain coverage — backdrop/rule/AA/scissor/ss-average were
+    applied in the coverage kernel — so the per-sub-row block is skipped
+    entirely.  Chunkless (interior) entries add their per-output-row resolved
+    backdrop from the rbd input (x-constant lane values) times the x-scissor
+    mask (the y part is baked into rbd; splitting the 0/1 mask is exact)."""
     has_grad, has_tri, has_tex, has_clip, has_eo, has_noaa, has_scissor = flags
-    if has_tex:
-        ct_ref, out_ref = rest[0], rest[1]
-        scratch = rest[2:]
-    else:
-        out_ref = rest[0]
-        scratch = rest[1:]
+    rest = list(rest)
+    ct_ref = rest.pop(0) if has_tex else None
+    rbd_ref = rest.pop(0) if cov_final else None
+    out_ref = rest.pop(0)
+    scratch = rest
     mask_ref = scratch[0] if has_clip else None
     accum_ref = scratch[1] if has_clip else None
 
@@ -249,56 +256,73 @@ def _kernel_rows(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
         is_creset = (valid > 0) & (kind == float(K_CLIP_RESET))
 
     c_sum = None
-    for r in range(th):
-        sl = pl.ds(r * tile_w, tile_w)
-        pyl = float(r) + 0.5               # scalar SUB-row center
-
-        w = ew_ref[0][r * tile_w : (r + 1) * tile_w, :]   # (TW, BT)
-        if add_backdrop:
-            w = w + row(_P_BD + r)
-        cov = jnp.minimum(jnp.abs(w), 1.0)
-        if has_eo:
-            cov_eo = 1.0 - jnp.abs(jnp.mod(w, 2.0) - 1.0)
-            cov = jnp.where(rule == 0, cov, cov_eo)
-        if has_noaa:
-            cov = jnp.where(aa != 0, cov, (cov >= 0.5).astype(jnp.float32))
-        if has_tex:
-            cov = jnp.where(is_quad_tex, 1.0, cov)
-        if has_scissor:
-            ox = row(_P_OX)
-            oy = row(_P_OY)
-            inside_y = (pyl >= row(_P_SC + 1) - oy) & (pyl < row(_P_SC + 3) - oy)
-            inside = (
-                (pxl >= row(_P_SC) - ox)
-                & inside_y
-                & (pxl < row(_P_SC + 2) - ox)
-            )
-            cov = cov * inside.astype(jnp.float32)
-
-        # masked draw coverage on the sub-row domain
-        if has_clip:
-            c = jnp.where(is_draw, cov, 0.0) * mask_ref[sl, :]
+    n_rows = npx_out // tile_w if cov_final else th
+    for r in range(n_rows):
+        if cov_final:
+            # final coverage: one read per OUTPUT row; chunkless entries
+            # contribute their resolved backdrop lanes (x-scissor in-kernel)
+            ro = r
+            ew = ew_ref[0][r * tile_w : (r + 1) * tile_w, :]   # (TW, BT)
+            rbd = rbd_ref[0][r : r + 1, :]                     # (1, BT)
+            if has_scissor:
+                ox = row(_P_OX)
+                ins_x = (
+                    (pxl >= row(_P_SC) - ox) & (pxl < row(_P_SC + 2) - ox)
+                ).astype(jnp.float32)
+                c_out = ew + rbd * ins_x
+            else:
+                c_out = ew + rbd
+            c_out = jnp.where(valid > 0, c_out, 0.0)
         else:
-            c = jnp.where(valid > 0, cov, 0.0)
-        c_sum = c if r % ss == 0 else c_sum + c
+            sl = pl.ds(r * tile_w, tile_w)
+            pyl = float(r) + 0.5               # scalar SUB-row center
 
-        # clip state advances per SUB-row (rows are disjoint, so updating
-        # right after this slot's read is equivalent to the end-of-slot
-        # update of the XLA scan)
-        if has_clip:
-            accum = jnp.where(is_cadd, accum_ref[sl, :] + cov, accum_ref[sl, :])
-            inside_f = (accum > 0.5).astype(jnp.float32)
-            committed = jnp.where(rule == 0, inside_f, 1.0 - inside_f)
-            mask_ref[sl, :] = jnp.where(
-                is_creset, 1.0, jnp.where(is_ccommit, committed, mask_ref[sl, :]))
-            accum_ref[sl, :] = jnp.where(is_ccommit, 0.0, accum)
+            w = ew_ref[0][r * tile_w : (r + 1) * tile_w, :]   # (TW, BT)
+            if add_backdrop:
+                w = w + row(_P_BD + r)
+            cov = jnp.minimum(jnp.abs(w), 1.0)
+            if has_eo:
+                cov_eo = 1.0 - jnp.abs(jnp.mod(w, 2.0) - 1.0)
+                cov = jnp.where(rule == 0, cov, cov_eo)
+            if has_noaa:
+                cov = jnp.where(aa != 0, cov, (cov >= 0.5).astype(jnp.float32))
+            if has_tex:
+                cov = jnp.where(is_quad_tex, 1.0, cov)
+            if has_scissor:
+                ox = row(_P_OX)
+                oy = row(_P_OY)
+                inside_y = (pyl >= row(_P_SC + 1) - oy) & (pyl < row(_P_SC + 3) - oy)
+                inside = (
+                    (pxl >= row(_P_SC) - ox)
+                    & inside_y
+                    & (pxl < row(_P_SC + 2) - ox)
+                )
+                cov = cov * inside.astype(jnp.float32)
 
-        if (r + 1) % ss:
-            continue
+            # masked draw coverage on the sub-row domain
+            if has_clip:
+                c = jnp.where(is_draw, cov, 0.0) * mask_ref[sl, :]
+            else:
+                c = jnp.where(valid > 0, cov, 0.0)
+            c_sum = c if r % ss == 0 else c_sum + c
 
-        # ---- output row ro: shade + blend with ss-averaged coverage ----
-        ro = r // ss
-        c_out = c_sum if ss == 1 else c_sum * inv_ss
+            # clip state advances per SUB-row (rows are disjoint, so updating
+            # right after this slot's read is equivalent to the end-of-slot
+            # update of the XLA scan)
+            if has_clip:
+                accum = jnp.where(is_cadd, accum_ref[sl, :] + cov, accum_ref[sl, :])
+                inside_f = (accum > 0.5).astype(jnp.float32)
+                committed = jnp.where(rule == 0, inside_f, 1.0 - inside_f)
+                mask_ref[sl, :] = jnp.where(
+                    is_creset, 1.0, jnp.where(is_ccommit, committed, mask_ref[sl, :]))
+                accum_ref[sl, :] = jnp.where(is_ccommit, 0.0, accum)
+
+            if (r + 1) % ss:
+                continue
+
+            # ---- output row ro: shade + blend with ss-averaged coverage ----
+            ro = r // ss
+            c_out = c_sum if ss == 1 else c_sum * inv_ss
         pyl_o = float(ro) + 0.5            # output-row center
 
         col_r, col_g, col_b, col_a = inner_r, inner_g, inner_b, inner_a
@@ -498,10 +522,11 @@ def _kernel(ew_ref, pp_ref, bg_ref, *rest, npx: int, tile_w: int, mo: int,
 @functools.partial(
     jax.jit,
     static_argnames=("npx", "tile_w", "flags", "add_backdrop", "interpret",
-                     "variant", "ss", "k_rep"),
+                     "variant", "ss", "k_rep", "cov_final"),
 )
 def composite_bucket_pallas(
-    ew_t: jax.Array,        # (MO, NPX, Nb)            NPX = sub-row domain
+    ew_t: jax.Array,        # (MO, NPX, Nb) sub-row domain — or
+                            # (MO, NPX//ss, Nb) FINAL coverage when cov_final
     params_t: jax.Array,    # (MO, _npp(tile_h), k_rep*Nb)
     ct_t: jax.Array | None, # (MO, 4*NPX//ss, k_rep*Nb) or None (output domain)
     bg_vec: jax.Array,      # (4*NPX//ss, 1)
@@ -514,6 +539,8 @@ def composite_bucket_pallas(
     variant: str = "rows",
     ss: int = 1,
     k_rep: int = 1,
+    cov_final: bool = False,
+    rbd_t: jax.Array | None = None,   # (MO, RBR, Nb) resolved-backdrop rows
 ) -> jax.Array:
     """One bucket's painter scan fused in one kernel -> fb_t (4*NPX//ss, Nb).
 
@@ -540,6 +567,10 @@ def composite_bucket_pallas(
     has_clip = flags[3]
     if ss > 1 and variant != "rows":
         raise ValueError("supersampled composite requires variant='rows'")
+    if cov_final and (variant != "rows" or has_clip or k_rep > 1
+                      or add_backdrop or rbd_t is None):
+        raise ValueError("cov_final requires the rows variant, no clip, "
+                         "k_rep=1, add_backdrop=False and rbd rows")
     npx_out = npx // ss
     kern = _kernel_rows if variant == "rows" else _kernel
 
@@ -552,8 +583,9 @@ def composite_bucket_pallas(
     else:
         bg_spec = pl.BlockSpec((4 * npx_out, bt), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM)
+    ew_rows = npx_out if cov_final else npx
     in_specs = [
-        pl.BlockSpec((1, npx, bt), lambda i, j: (j, 0, i % bpv), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ew_rows, bt), lambda i, j: (j, 0, i % bpv), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, params_t.shape[1], bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM),
         bg_spec,
     ]
@@ -563,13 +595,19 @@ def composite_bucket_pallas(
             pl.BlockSpec((1, 4 * npx_out, bt), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
         )
         inputs.append(ct_t)
+    if cov_final:
+        in_specs.append(
+            pl.BlockSpec((1, rbd_t.shape[1], bt), lambda i, j: (j, 0, i),
+                         memory_space=pltpu.VMEM)
+        )
+        inputs.append(rbd_t)
     scratch = []
     if has_clip:
         scratch = [
             pltpu.VMEM((npx, bt), jnp.float32),
             pltpu.VMEM((npx, bt), jnp.float32),
         ]
-    kwargs = {"ss": ss} if variant == "rows" else {}
+    kwargs = {"ss": ss, "cov_final": cov_final} if variant == "rows" else {}
     return pl.pallas_call(
         functools.partial(kern, npx=npx, tile_w=tile_w, mo=mo, flags=flags,
                           add_backdrop=add_backdrop, **kwargs),
@@ -665,6 +703,8 @@ def frame_fb_pallas(
     interpret: bool = False,
     ss: int = 1,
     init_tiles=None,
+    cov_final_arr=None,
+    bucket_rbd=None,
 ):
     """Fully fused TPU frame composite: buckets gather straight from chunk
     coverage via host-precomputed primary-chunk indices; the per-entry
@@ -674,13 +714,22 @@ def frame_fb_pallas(
 
     init_tiles: optional (num_tiles, TH_OUT, TW, 4) per-tile initial values
     (resident static layer, api/context layer memo) instead of the broadcast
-    background."""
+    background.
+
+    cov_final_arr / bucket_rbd (resolve-in-kernel path, raster/resolve.py):
+    when given, cov_all holds only the RAW (clip-bucket) sub-row coverage and
+    every non-clip bucket's pteb indexes cov_final_arr — (R, NPX//ss) FINAL
+    output-domain coverage — with chunkless interiors riding the per-bucket
+    rbd lane rows (kernel cov_final branch)."""
     npx = tile_h * tile_w
     th_out = tile_h // ss
     bg_vec = jnp.repeat(background.astype(jnp.float32), th_out * tile_w)[:, None]
     fb = _fb_init(init_tiles, background, num_tiles, th_out, tile_w)
-    for (te_b, ids_b), pteb, pp, ct, flags in zip(
-        buckets_dev, bucket_pteb, bucket_params, bucket_cts, bucket_flags
+    if bucket_rbd is None:
+        bucket_rbd = (None,) * len(bucket_pteb)
+    for (te_b, ids_b), pteb, pp, ct, flags, rbd in zip(
+        buckets_dev, bucket_pteb, bucket_params, bucket_cts, bucket_flags,
+        bucket_rbd,
     ):
         nb, mo = te_b.shape
         nbp = _pad_tiles(nb)
@@ -688,12 +737,15 @@ def frame_fb_pallas(
             ids_b = jnp.concatenate(
                 [ids_b, jnp.full((nbp - nb,), num_tiles, ids_b.dtype)])
             nb = nbp
-        ew_t = jnp.transpose(cov_all[pteb], (1, 2, 0))   # (MO, NPX, NbP)
+        covf = cov_final_arr is not None and not flags[3]
+        src = cov_final_arr if covf else cov_all
+        ew_t = jnp.transpose(src[pteb], (1, 2, 0))   # (MO, NPX|NPX_OUT, NbP)
         fb_t = composite_bucket_pallas(
             ew_t, pp, ct,
             bg_vec if init_tiles is None else _init_t(fb, ids_b, th_out, tile_w),
-            npx=npx, tile_w=tile_w, flags=tuple(flags), add_backdrop=True,
-            interpret=interpret, ss=ss,
+            npx=npx, tile_w=tile_w, flags=tuple(flags),
+            add_backdrop=not covf, interpret=interpret, ss=ss,
+            cov_final=covf, rbd_t=rbd,
         )
         fb_b = jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0))
         fb = fb.at[ids_b].set(fb_b)

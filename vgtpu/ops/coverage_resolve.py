@@ -126,6 +126,46 @@ def resolve_cov_rows(w_rows: jax.Array, rp: jax.Array,
     return cov.reshape(n, th_out * tile_w)
 
 
+def cov_split_resolved(chunk_pools, res: dict, tile_h: int, tile_w: int,
+                       ss: int):
+    """Device coverage for a resolve-split plan (raster/resolve.py):
+      cov_final (NR + NXE_P + 1, NPX_OUT) — res-pool kernels ++ the XE
+          (multi-chunk non-clip entry) XLA resolve ++ a dead zeros row;
+      cov_sub  (NXraw + 1, NPX_SUB)       — raw pools ++ dead, extras folded.
+    The res-pool count is static via the rparams tuple structure."""
+    from vgtpu.ops.coverage import _cov_all
+
+    k = len(res["rparams"])
+    npx = tile_h * tile_w
+    npx_out = (tile_h // ss) * tile_w
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # noqa: BLE001
+        on_tpu = False
+
+    fin_rows = []
+    for (ce, _cent), rp in zip(chunk_pools[:k], res["rparams"]):
+        if on_tpu and ce.shape[0] % 128 == 0 and ce.shape[0] >= 128:
+            fin_rows.append(
+                coverage_chunks_pallas_res(ce, rp, tile_h, tile_w, ss))
+        else:
+            from vgtpu.ops.coverage import coverage_chunks_body
+
+            w = coverage_chunks_body(ce, tile_h, tile_w).reshape(-1, npx)
+            fin_rows.append(
+                resolve_cov_rows(w, rp, tile_h=tile_h, tile_w=tile_w, ss=ss))
+
+    cov_sub = _cov_all(chunk_pools[k:], tile_h, tile_w)      # (NXraw+1, NPX)
+    cov_sub = cov_sub.at[res["extra_primary_raw"]].add(
+        cov_sub[res["extra_chunk_raw"]])
+    xe_rows = resolve_cov_rows(
+        cov_sub[res["xe_primary_raw"]], res["xe_rparams"],
+        tile_h=tile_h, tile_w=tile_w, ss=ss)
+    cov_final = jnp.concatenate(
+        fin_rows + [xe_rows, jnp.zeros((1, npx_out), jnp.float32)], axis=0)
+    return cov_final, cov_sub
+
+
 def _kernel_t2_res(edges_ref, rp_ref, out_ref, acc_ref, *, ch: int,
                    tile_h: int, tile_w: int, ss: int, unroll: int):
     """Row-structured winding accumulation (same math/order as

@@ -71,6 +71,22 @@ def frame_fb(chunk_pools, entry_backdrop, d: dict, background,
         on_tpu = False
     if on_tpu and d.get("bucket_pteb") is not None:
         from vgtpu.ops.composite_pallas import frame_fb_pallas
+
+        if d.get("res") is not None:
+            # in-kernel coverage resolution (raster/resolve.py): non-clip
+            # buckets gather FINAL output-domain coverage
+            from vgtpu.ops.coverage_resolve import cov_split_resolved
+
+            res = d["res"]
+            cov_final, cov_sub = cov_split_resolved(
+                chunk_pools, res, tile_h, tile_w, ss)
+            return frame_fb_pallas(
+                cov_sub, d["tile_buckets"], res["pteb"], d["bucket_params"],
+                d["bucket_cts"], background,
+                tile_h=tile_h, tile_w=tile_w, num_tiles=num_tiles,
+                bucket_flags=bucket_flags, ss=ss, init_tiles=init_tiles,
+                cov_final_arr=cov_final, bucket_rbd=res["rbd"],
+            )
         from vgtpu.ops.coverage import cov_all_resolved
 
         cov_all = cov_all_resolved(chunk_pools, d["cov_map"], tile_h, tile_w)
@@ -176,7 +192,7 @@ _COMPOSITE_KEYS = (
     "tile_buckets", "entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
     "entry_paint", "entry_scissor", "entry_color_tile", "color_tiles",
     "bucket_params", "bucket_cts", "cov_map", "bucket_pteb",
-    "pop", "entry_pop", "entry_tile",
+    "pop", "entry_pop", "entry_tile", "res",
 )
 
 
@@ -324,6 +340,14 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
             )
     with stage("upload.compact"):
         _compact_culled_chunks(plan)
+    with stage("upload.resolve_split"):
+        # in-kernel coverage resolution (supersampled fused path only): split
+        # pools into resolvable/raw BEFORE the host dict snapshots them
+        res_split = None
+        if _resolve_path_enabled(plan):
+            from vgtpu.raster.resolve import build_resolve_split
+
+            res_split = build_resolve_split(plan)
     host = {
         "chunk_pools": tuple((ce, cent) for ce, cent in plan.chunk_pools),
         "entry_backdrop": plan.entry_backdrop,
@@ -341,7 +365,7 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
         ),
     }
     with stage("upload.aux"):
-        aux_host, bucket_ctile = _coverage_composite_aux_host(plan)
+        aux_host, bucket_ctile = _coverage_composite_aux_host(plan, res_split)
     host.update(aux_host)
     if "pop" in aux_host:
         # dedup upload: the jitted frame gathers the per-entry expansions +
@@ -475,7 +499,23 @@ def _fused_platform() -> bool:
         return False
 
 
-def _coverage_composite_aux_host(plan: FramePlan):
+def _resolve_path_enabled(plan: FramePlan) -> bool:
+    """Gate for the in-kernel coverage resolution (raster/resolve.py): fused
+    TPU path, supersampled plans only (at ss=1 the resolution work merely
+    moves between kernels — no domain shrinks), and never on retained-pan
+    plans (their backdrop windows are render-time dynamic, the resolve params
+    are plan-static).  VGTPU_NO_RESOLVE=1 disables it for A/B."""
+    import os
+
+    return (
+        _fused_platform()
+        and plan.supersample > 1
+        and plan.entry_backdrop_pan is None
+        and not os.environ.get("VGTPU_NO_RESOLVE")
+    )
+
+
+def _coverage_composite_aux_host(plan: FramePlan, res_split: dict | None = None):
     """Host-built static aux for the fused TPU path: the chunk->entry inverse
     map and the Pallas composite's per-bucket metadata.  TPU-only — the
     gather formulation measured ~2x SLOWER than segment_sum on the CPU
@@ -526,6 +566,10 @@ def _coverage_composite_aux_host(plan: FramePlan):
     }
     if params:
         host["bucket_params"] = tuple(params)
+    if res_split is not None:
+        from vgtpu.raster.resolve import build_resolve_aux
+
+        host["res"] = build_resolve_aux(plan, m, res_split, dead_id)
     return host, tuple(ctiles)
 
 
