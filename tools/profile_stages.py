@@ -78,13 +78,20 @@ def main() -> None:
         t2 = time.perf_counter()
         return ((t2 - t1) - (t1 - t0)) / (hi - lo) * 1e3
 
-    # ---- stage: coverage (kernels + extras fold) ----
+    # ---- stage: coverage (kernels + extras fold [+ resolve]) ----
     from vgtpu.ops.coverage import cov_all_resolved, entry_coverage_from_pools
+
+    res = dd.get("res") if fused else None
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def cov_loop(pools, n):
         def body(i, eps):
             p = tuple((ce + eps, cent) for ce, cent in pools)
+            if res is not None:
+                from vgtpu.ops.coverage_resolve import cov_split_resolved
+
+                cf, cs = cov_split_resolved(p, res, th, tw, ss)
+                return jnp.sum(cf[:, 0]) * 1e-9 + jnp.sum(cs[:, 0]) * 1e-9
             if fused:
                 cov = cov_all_resolved(p, dd["cov_map"], th, tw)
             else:
@@ -97,28 +104,43 @@ def main() -> None:
 
     gather_ms = comp_ms = scatter_ms = float("nan")
     if fused:
-        cov_all0 = cov_all_resolved(d["chunk_pools"], dd["cov_map"], th, tw)
-        ptebs = dd["bucket_pteb"]
+        if res is not None:
+            from vgtpu.ops.coverage_resolve import cov_split_resolved
+
+            cov_fin0, cov_all0 = cov_split_resolved(
+                d["chunk_pools"], res, th, tw, ss)
+            ptebs = res["pteb"]
+        else:
+            cov_fin0 = None
+            cov_all0 = cov_all_resolved(d["chunk_pools"], dd["cov_map"], th, tw)
+            ptebs = dd["bucket_pteb"]
+        flags_list = d["bucket_flags"]
 
         # ---- stage: per-bucket ew gathers ----
         @functools.partial(jax.jit, static_argnames=("n",))
-        def gather_loop(cov_all, n):
+        def gather_loop(cov_all, cov_fin, n):
             def body(i, eps):
                 acc = eps
-                for pteb in ptebs:
-                    ew_t = jnp.transpose((cov_all + eps)[pteb], (1, 2, 0))
+                for pteb, fl in zip(ptebs, flags_list):
+                    src = cov_fin if (cov_fin is not None and not fl[3]) else cov_all
+                    ew_t = jnp.transpose((src + eps)[pteb], (1, 2, 0))
                     acc = acc + jnp.sum(ew_t[:, 0, :]) * 1e-9
                 return acc
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        gather_ms = timeit(gather_loop, cov_all0)
+        gather_ms = timeit(gather_loop, cov_all0, cov_fin0)
 
         # ---- stage: fused composite kernels (pre-gathered inputs) ----
         from vgtpu.ops.composite_pallas import composite_bucket_pallas, _pad_tiles
 
+        covfinal_b = tuple(
+            cov_fin0 is not None and not fl[3] for fl in flags_list)
+        rbd_b = (res["rbd"] if res is not None
+                 else (None,) * len(ptebs))
         ew_ts = tuple(
-            jnp.transpose(cov_all0[pteb], (1, 2, 0)) for pteb in ptebs)
+            jnp.transpose((cov_fin0 if cf else cov_all0)[pteb], (1, 2, 0))
+            for pteb, cf in zip(ptebs, covfinal_b))
         bg_vec = jnp.repeat(bg, th_out * tw)[:, None]
         params = dd.get("bucket_params")
         if params is None:
@@ -136,11 +158,13 @@ def main() -> None:
         def comp_loop(ew_ts, params, n):
             def body(i, eps):
                 acc = eps
-                for ew_t, pp, ct, fl in zip(ew_ts, params, dd["bucket_cts"],
-                                            d["bucket_flags"]):
+                for ew_t, pp, ct, fl, cf, rbd in zip(
+                        ew_ts, params, dd["bucket_cts"], d["bucket_flags"],
+                        covfinal_b, rbd_b):
                     fb_t = composite_bucket_pallas(
                         ew_t + eps, pp, ct, bg_vec, npx=npx, tile_w=tw,
-                        flags=tuple(fl), add_backdrop=True, ss=ss)
+                        flags=tuple(fl), add_backdrop=not cf, ss=ss,
+                        cov_final=cf, rbd_t=rbd)
                     acc = acc + jnp.sum(fb_t[0, :]) * 1e-9
                 return acc
 
@@ -153,9 +177,11 @@ def main() -> None:
 
         fb_ts = tuple(
             composite_bucket_pallas(ew_t, pp, ct, bg_vec, npx=npx, tile_w=tw,
-                                    flags=tuple(fl), add_backdrop=True, ss=ss)
-            for ew_t, pp, ct, fl in zip(ew_ts, params, dd["bucket_cts"],
-                                        d["bucket_flags"]))
+                                    flags=tuple(fl), add_backdrop=not cf,
+                                    ss=ss, cov_final=cf, rbd_t=rbd)
+            for ew_t, pp, ct, fl, cf, rbd in zip(
+                ew_ts, params, dd["bucket_cts"], d["bucket_flags"],
+                covfinal_b, rbd_b))
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def scatter_loop(fb_ts, n):

@@ -20,11 +20,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 LADDERS = [
-    (2, 4, 8, 24),       # default
-    (2, 4, 8, 16),
-    (2, 4, 6, 12, 24),
+    (2, 4, 8, 24),
+    (2, 4, 6, 12, 24),   # default (pre-resolve tuning)
+    (2, 6, 24),          # coarser: the resolve split doubles launch count,
+    (2, 4, 24),          # so fewer sizes may now win
     (4, 8, 24),
-    (2, 4, 12, 24),
 ]
 
 
