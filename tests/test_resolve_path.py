@@ -146,6 +146,69 @@ def test_resolve_path_text_parity(monkeypatch):
         np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6)
 
 
+def test_resolve_path_init_tiles_parity(monkeypatch):
+    """Layer-memo composition (init_tiles static layer) through the resolve
+    path: the per-bucket init plane and cov_final are independent kernel
+    inputs — this pins the combination (api/context layer memo at ss>1)."""
+    from vgtpu.ops.composite_pallas import frame_fb_pallas
+    from vgtpu.ops.coverage_resolve import cov_split_resolved
+
+    ss = 2
+    w, h = 384, 128
+    ctx = vg.createContext()
+    vg.begin(ctx, 0, w, h, 1.0)
+    vg.beginPath(ctx)
+    vg.circle(ctx, 120, 64, 50)
+    vg.fillPath(ctx, vg.color4ub(220, 80, 40, 200), vg.FillFlags.ConvexAA)
+    vg.beginPath(ctx)
+    vg.rect(ctx, 30, 10, 330, 110)
+    vg.fillPath(ctx, vg.color4ub(30, 90, 200, 90), vg.FillFlags.ConvexAA)
+    plan, d = _build(ctx, w, h, ss, monkeypatch)
+    assert d.get("res") is not None
+    bg = jnp.asarray(np.asarray((0.1, 0.2, 0.3, 1.0), np.float32))
+    nt = plan.tile_entries.shape[0]
+    th_out = plan.tile_h // ss
+    rng = np.random.default_rng(3)
+    init = jnp.asarray(rng.uniform(
+        0, 1, size=(nt, th_out, plan.tile_w, 4)).astype(np.float32))
+
+    from vgtpu.ops.composite import composite_bucketed_body
+
+    dx = dict(d)
+    if "entry_kind" not in dx:
+        pop, ep = dx["pop"], dx["entry_pop"]
+        for k, src in (("entry_kind", "kind"), ("entry_rule", "rule"),
+                       ("entry_aa", "aa"), ("entry_paint_kind", "paint_kind"),
+                       ("entry_paint", "paint"), ("entry_scissor", "scissor")):
+            dx[k] = jnp.asarray(pop[src])[ep]
+    from vgtpu.ops.coverage import entry_coverage_from_pools
+
+    ne = dx["entry_backdrop"].shape[0]
+    entry_w = entry_coverage_from_pools(
+        dx["chunk_pools"], ne, plan.tile_h, plan.tile_w
+    ) + dx["entry_backdrop"][:, :, None]
+    fb_xla = composite_bucketed_body(
+        entry_w, dx["tile_buckets"],
+        dx["entry_kind"], dx["entry_rule"], dx["entry_aa"],
+        dx["entry_paint_kind"], dx["entry_paint"], dx["entry_scissor"],
+        dx["entry_color_tile"], dx["color_tiles"], bg,
+        ntx=plan.ntx, tile_h=plan.tile_h, tile_w=plan.tile_w, num_tiles=nt,
+        bucket_flags=dx["bucket_flags"], ss=ss, init_tiles=init,
+    )
+    res = d["res"]
+    cov_final, cov_sub = cov_split_resolved(
+        d["chunk_pools"], res, plan.tile_h, plan.tile_w, ss)
+    fb_res = frame_fb_pallas(
+        cov_sub, d["tile_buckets"], res["pteb"], d["bucket_params"],
+        d["bucket_cts"], bg,
+        tile_h=plan.tile_h, tile_w=plan.tile_w, num_tiles=nt,
+        bucket_flags=d["bucket_flags"], interpret=True, ss=ss,
+        init_tiles=init, cov_final_arr=cov_final, bucket_rbd=res["rbd"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6)
+
+
 def test_resolve_gate_off_at_ss1(monkeypatch):
     from vgtpu.raster import frame as frame_mod
     from vgtpu.raster.binning import bin_frame
