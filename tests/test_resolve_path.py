@@ -209,6 +209,68 @@ def test_resolve_path_init_tiles_parity(monkeypatch):
         np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6)
 
 
+def test_resolve_path_random_scenes(monkeypatch):
+    """Differential fuzz: random scenes mixing clips, scissors, fill rules,
+    non-AA, strokes and dense (multi-chunk) paths through the resolve path
+    vs the XLA oracle at ss=2 — hardens the pteb/XE/rbd remaps against
+    structures the curated scenes miss."""
+    rng = np.random.default_rng(11)
+    bg = jnp.asarray(np.asarray((0.15, 0.1, 0.2, 1.0), np.float32))
+    for case in range(3):
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, 256, 128, 1.0)
+        for _ in range(10):
+            kind = rng.uniform()
+            x, y = rng.uniform(0, 230), rng.uniform(0, 110)
+            vg.beginPath(ctx)
+            if kind < 0.3:
+                vg.circle(ctx, x, y, rng.uniform(5, 45))
+            elif kind < 0.6:
+                vg.rect(ctx, x, y, rng.uniform(10, 120), rng.uniform(10, 70))
+            else:
+                # dense zig-zag: multi-chunk entries
+                vg.moveTo(ctx, x, y)
+                for i in range(int(rng.integers(20, 50))):
+                    vg.lineTo(ctx, x + i * 1.3,
+                              y + (6.0 if i % 2 else -6.0) * rng.uniform(0.5, 1.5))
+                vg.closePath(ctx)
+            col = vg.color4ub(*rng.integers(0, 256, 3), rng.integers(60, 256))
+            r = rng.uniform()
+            flags = (vg.FillFlags.ConvexAA if r < 0.4
+                     else vg.FillFlags.ConcaveEvenOddAA if r < 0.6
+                     else vg.FillFlags.ConcaveNonZeroAA if r < 0.8
+                     else vg.FillFlags.Convex)
+            if rng.uniform() < 0.25:
+                vg.setScissor(ctx, rng.uniform(0, 120), rng.uniform(0, 60),
+                              rng.uniform(40, 130), rng.uniform(30, 70))
+            vg.fillPath(ctx, col, flags)
+            vg.resetScissor(ctx)
+            if rng.uniform() < 0.2:
+                vg.strokePath(ctx, vg.Colors.Black, rng.uniform(0.5, 5.0),
+                              vg.StrokeFlags.ButtMiterAA)
+        if rng.uniform() < 0.8:
+            vg.beginClip(ctx, vg.ClipRule.In if rng.uniform() < 0.7
+                         else vg.ClipRule.Out)
+            vg.beginPath(ctx)
+            vg.circle(ctx, rng.uniform(40, 200), rng.uniform(30, 100),
+                      rng.uniform(20, 60))
+            vg.fillPath(ctx, vg.Colors.Black, vg.FillFlags.Convex)
+            vg.endClip(ctx)
+            vg.beginPath(ctx)
+            vg.rect(ctx, 20, 20, 200, 90)
+            vg.fillPath(ctx, vg.color4ub(*rng.integers(0, 256, 3), 200),
+                        vg.FillFlags.ConvexAA)
+            vg.resetClip(ctx)
+        plan, d = _build(ctx, 256, 128, 2, monkeypatch)
+        if d.get("res") is None:
+            continue
+        fb_xla = _xla_frame(plan, d, bg)
+        fb_res = _resolve_frame(plan, d, bg)
+        np.testing.assert_allclose(
+            np.asarray(fb_res), np.asarray(fb_xla), atol=3e-6,
+            err_msg=f"case {case}")
+
+
 def test_resolve_gate_off_at_ss1(monkeypatch):
     from vgtpu.raster import frame as frame_mod
     from vgtpu.raster.binning import bin_frame
