@@ -46,6 +46,7 @@ def _build(ctx, w, h, ss, monkeypatch):
                      tile_w=ctx.cfg.tile_w, supersample=ss)
     ctx._fill_textures(plan)
     d = frame_mod.plan_to_device(plan)
+    frame_mod.promote_resident(plan, d)   # tests drive the kernels directly
     return plan, d
 
 

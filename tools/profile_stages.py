@@ -62,8 +62,9 @@ def main() -> None:
     nt = plan.tile_entries.shape[0]
     bg = jnp.asarray(np.array([0.12, 0.12, 0.13, 1.0], np.float32))
 
-    from vgtpu.raster.frame import composite_arrays
+    from vgtpu.raster.frame import composite_arrays, promote_resident
 
+    promote_resident(ctx.last_plan, d)   # stage loops want resident planes
     dd = _expand_pop(composite_arrays(d))
     fused = dd.get("bucket_pteb") is not None
 

@@ -61,8 +61,9 @@ def measure_device_ms_per_frame(plan, d, background, reps_hi=32, reps_lo=2) -> f
 
     import numpy as np
 
-    from vgtpu.raster.frame import composite_arrays
+    from vgtpu.raster.frame import composite_arrays, promote_resident
 
+    promote_resident(plan, d)   # steady-state loop: resident param planes
     args = (
         d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
         jnp.asarray(np.asarray(background, np.float32)),

@@ -130,13 +130,24 @@ def _frame_tiles_body(
     """Frame pipeline up to (T, TH//ss, TW, 4) tiles (no image assembly) —
     the layer-memo bake keeps these resident and later frames composite
     their dynamic suffix over them (init_tiles)."""
+    if d.get("bucket_cts") is None and d.get("ct_ids") is not None:
+        # lazy kernel-layout color tiles (see plan_to_device): build them
+        # inside the frame program on dynamic frames; resident loops were
+        # promoted (promote_resident) and skip this
+        from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+
+        d = dict(d)
+        ct_flat = _ct_flat_body(d["color_tiles"], tile_h // ss, tile_w)
+        d["bucket_cts"] = tuple(
+            ct_t_from_color_tiles(ct_flat, ids) if ids is not None else None
+            for ids in d["ct_ids"])
     if d.get("pop") is not None:
         # dedup upload: expand the compact per-pseudo-op tables to the dense
         # per-entry arrays + per-bucket params with on-device gathers (the
         # host ships ~3x fewer bytes; bit-identical to the host expansion).
-        # On the fused TPU path the params were already expanded ONCE at
-        # upload time (_expand_params_on_device); the dense entry arrays
-        # below are then dead code that XLA eliminates at compile.
+        # On the fused TPU path the params expand ONCE at promote_resident
+        # for reused plans; dynamic frames build them right here in-jit and
+        # the dense entry arrays below are dead code XLA eliminates.
         pop, ep = d["pop"], d["entry_pop"]
         d = dict(d)
         d["entry_kind"] = pop["kind"][ep]
@@ -192,7 +203,7 @@ _COMPOSITE_KEYS = (
     "tile_buckets", "entry_kind", "entry_rule", "entry_aa", "entry_paint_kind",
     "entry_paint", "entry_scissor", "entry_color_tile", "color_tiles",
     "bucket_params", "bucket_cts", "cov_map", "bucket_pteb",
-    "pop", "entry_pop", "entry_tile", "res",
+    "pop", "entry_pop", "entry_tile", "res", "ct_ids",
 )
 
 
@@ -258,6 +269,7 @@ def execute_plans(plans_arrays, backgrounds, init_tiles=None) -> tuple:
         init_tiles = [None] * len(plans_arrays)
     groups, statics = [], []
     for (plan, d), init in zip(plans_arrays, init_tiles):
+        promote_resident(plan, d)   # multi-canvas serving is resident
         groups.append((d["chunk_pools"], d["entry_backdrop"],
                        composite_arrays(d), init))
         statics.append(_plan_statics(plan, d))
@@ -367,6 +379,12 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
     with stage("upload.aux"):
         aux_host, bucket_ctile = _coverage_composite_aux_host(plan, res_split)
     host.update(aux_host)
+    if bucket_ctile is not None:
+        # color-tile slot ids per texture bucket: ride the arena put; the
+        # kernel-layout ct planes build lazily (in-jit on dynamic frames,
+        # promoted resident via promote_resident on reused plans)
+        host["ct_ids"] = tuple(
+            ids if ids is not None else None for ids in bucket_ctile)
     if "pop" in aux_host:
         # dedup upload: the jitted frame gathers the per-entry expansions +
         # per-bucket params from these compact tables on device (frame_fb),
@@ -390,25 +408,63 @@ def plan_to_device(plan: FramePlan, profiler=None) -> dict:
     # patch (Context._value_only_update re-expands bucket_cts after a
     # resample); not part of the jit pytree (composite_arrays selects keys)
     d["_bucket_ctile"] = bucket_ctile
+    # param/ct expansion: ONE fused jitted call (async enqueue).  The old
+    # per-piece expansion (_expand_params_on_device + _ct_flat + one
+    # ct_t_from_color_tiles per texture bucket) cost 4-6 tunnel round-trips
+    # ≈ 4 ms host per DYNAMIC frame (measured, tools/tpu_pan_profile.py).
+    # A fully lazy in-jit variant was tried and reverted: it minted a second
+    # frame-program signature (params None vs arrays), whose promote-time
+    # recompile landed inside short measured windows (anim/redraw diags) and
+    # grew the cold compile 6 -> 17.6 s.
     with stage("upload.expand"):
-        if bucket_ctile is not None:
-            from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
-
-            # color tiles live on the OUTPUT domain (tile_h counts sub-rows
-            # when supersampling)
-            th, tw = plan.tile_h // plan.supersample, plan.tile_w
-            ct_dev = d["color_tiles"]
-            ct_flat = _ct_flat(ct_dev, th, tw)
-            d["bucket_cts"] = tuple(
-                ct_t_from_color_tiles(ct_flat, jnp.asarray(ids)) if ids is not None else None
-                for ids in bucket_ctile
-            )
-        if d.get("bucket_pteb") is not None and d.get("pop") is not None:
-            d["bucket_params"] = _expand_params_on_device(
-                d["pop"], d["entry_pop"], d["entry_color_tile"], d["entry_tile"],
-                d["entry_backdrop"], tuple(te for te, _ids in d["tile_buckets"]),
-                tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx)
+        promote_resident(plan, d)
     return d
+
+
+def promote_resident(plan: FramePlan, d: dict) -> None:
+    """Materialize the param/ct expansions as resident device arrays in ONE
+    jitted call (no-op when both are already present)."""
+    need_pp = (d.get("bucket_pteb") is not None and d.get("pop") is not None
+               and d.get("bucket_params") is None)
+    need_ct = d.get("bucket_cts") is None and d.get("ct_ids") is not None
+    if not (need_pp or need_ct):
+        return
+    pp, cts = _expand_all_on_device(
+        d.get("pop"), d.get("entry_pop"), d["entry_color_tile"],
+        d.get("entry_tile"), d["entry_backdrop"],
+        tuple(te for te, _ids in d["tile_buckets"]) if need_pp else None,
+        d["color_tiles"] if need_ct else None,
+        d.get("ct_ids") if need_ct else None,
+        tile_h=plan.tile_h, tile_w=plan.tile_w, ntx=plan.ntx,
+        ss=plan.supersample)
+    if need_pp:
+        d["bucket_params"] = pp
+    if need_ct:
+        d["bucket_cts"] = cts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_h", "tile_w", "ntx", "ss"))
+def _expand_all_on_device(pop, entry_pop, entry_color_tile, entry_tile,
+                          entry_backdrop, te_list, ct_dev, ct_ids,
+                          *, tile_h, tile_w, ntx, ss):
+    """Both upload-time expansions in one program: per-bucket params from
+    the compact pseudo-op tables AND kernel-layout color-tile planes.
+    Tuple/None pytree structure selects the pieces (static)."""
+    params = None
+    if te_list is not None:
+        params = _expand_params_body(
+            pop, entry_pop, entry_color_tile, entry_tile, entry_backdrop,
+            te_list, tile_h=tile_h, tile_w=tile_w, ntx=ntx)
+    cts = None
+    if ct_ids is not None:
+        from vgtpu.ops.composite_pallas import ct_t_from_color_tiles
+
+        ct_flat = _ct_flat_body(ct_dev, tile_h // ss, tile_w)
+        cts = tuple(
+            ct_t_from_color_tiles(ct_flat, ids) if ids is not None else None
+            for ids in ct_ids)
+    return params, cts
 
 
 def _bucket128(n: int) -> int:
@@ -460,9 +516,8 @@ def _compact_culled_chunks(plan: FramePlan) -> None:
     plan.chunk_pools = new_pools
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h", "tile_w", "ntx"))
-def _expand_params_on_device(pop, entry_pop, entry_color_tile, entry_tile,
-                             entry_backdrop, te_list, *, tile_h, tile_w, ntx):
+def _expand_params_body(pop, entry_pop, entry_color_tile, entry_tile,
+                        entry_backdrop, te_list, *, tile_h, tile_w, ntx):
     """One-time (upload-time) expansion of the compact pseudo-op tables into
     the fused composite's per-bucket params — keeps the per-frame program
     free of the ~0.3 ms params rebuild (the arrays are plan-static)."""
@@ -481,13 +536,15 @@ def _expand_params_on_device(pop, entry_pop, entry_color_tile, entry_tile,
         for te in te_list)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw"))
-def _ct_flat(ct_dev, th, tw):
+def _ct_flat_body(ct_dev, th, tw):
     """(NCT, TH, TW, 4) -> (NCT+1, 4*NPX) channel-major + zeros row."""
     return jnp.concatenate([
         jnp.transpose(ct_dev, (0, 3, 1, 2)).reshape(ct_dev.shape[0], 4 * th * tw),
         jnp.zeros((1, 4 * th * tw), jnp.float32),
     ])
+
+
+_ct_flat = functools.partial(jax.jit, static_argnames=("th", "tw"))(_ct_flat_body)
 
 
 def _fused_platform() -> bool:
