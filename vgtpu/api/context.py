@@ -585,15 +585,25 @@ class Context:
         paint_sig = []
         tex_sig = []
         for i, op in enumerate(self.ops):
-            if op.geom is not None:
-                g = tuple(
-                    (mode, xf, w, cap, join, scale, snap_crc(s))
-                    for (s, mode, xf, w, cap, join, scale) in op.geom
-                )
-            elif isinstance(op.edges, list):
-                g = tuple(crc(e) for e in op.edges)
+            # the CRC triple (geometry, paint row, quads/tri-paints) is
+            # memoized on the op: command-list memo replays re-emit the SAME
+            # frozen op objects each frame, so their full-edge CRCs — ~MBs
+            # on the tiger list — need computing once, not per frame.  The
+            # image GENERATION stays outside the cache (updateImage bumps it
+            # under the same op object), as does the positional index i.
+            cached = op.fp_cache
+            if cached is not None:
+                g, pc, tt = cached
             else:
-                g = crc(op.edges)
+                if op.geom is not None:
+                    g = tuple(
+                        (mode, xf, w, cap, join, scale, snap_crc(s))
+                        for (s, mode, xf, w, cap, join, scale) in op.geom
+                    )
+                elif isinstance(op.edges, list):
+                    g = tuple(crc(e) for e in op.edges)
+                else:
+                    g = crc(op.edges)
             # paint VALUES are split out of the structural hash so a
             # values-only frame delta can patch the resident plan
             # (_value_only_update) instead of a full rebin:
@@ -609,7 +619,9 @@ class Context:
             # they stay structural — including textured tri batches (paint
             # is None, values live in tri_paints): their image generation
             # stays structural too, so updateImage forces the full path.
-            pc = crc(op.paint)
+                pc = crc(op.paint)
+                tt = crc(op.tri_paints, crc(op.tex_quads))
+                op.fp_cache = (g, pc, tt)
             gen = None
             if op.image_id is not None:
                 img = self.images.get(op.image_id)
@@ -623,8 +635,7 @@ class Context:
                 pc = gen = None
             parts.append((
                 op.kind, op.fill_rule, op.aa, op.paint_kind, op.image_id,
-                op.scissor, g, pc, gen,
-                crc(op.tri_paints, crc(op.tex_quads)),
+                op.scissor, g, pc, gen, tt,
             ))
         # image ids are monotonic (never reused), and texel content is
         # consumed only by the TEXTURES resample — generations of DRAWN

@@ -69,6 +69,26 @@ class RasterOp:
     # list of (path_snapshot, mode, xform6, width, cap, join, render_scale);
     # Context._finalize_geometry resolves these into edges before binning
     geom: list | None = None
+    # cached content keys (frame-fingerprint CRC triple / bin key): valid
+    # only while the op's content is frozen — which holds for command-list
+    # memo ops shared across frames (immutable after their first frame's
+    # finalize) and trivially for per-frame ops (fresh objects).  __copy__
+    # clears them so the shallow-copy-then-mutate helpers (scale_ops_y,
+    # translate_ops, finalize splits) never inherit a stale key.
+    fp_cache: tuple | None = field(default=None, compare=False, repr=False)
+    bin_key_cache: tuple | None = field(default=None, compare=False,
+                                        repr=False)
+
+    def __copy__(self):
+        o = object.__new__(RasterOp)
+        for f in _RASTEROP_FIELDS:
+            object.__setattr__(o, f, getattr(self, f))
+        o.fp_cache = None
+        o.bin_key_cache = None
+        return o
+
+
+_RASTEROP_FIELDS = tuple(f.name for f in RasterOp.__dataclass_fields__.values())
 
 
 def make_solid_paint(rgba: np.ndarray) -> np.ndarray:
@@ -487,7 +507,16 @@ def _op_bin_key(op: RasterOp) -> tuple:
     """Content key for one op's binning result: everything the native binner
     reads from the op (geometry, paint rows, scissor, flags).  Frame-level
     parameters (canvas size, tile shape, pools, supersample) are part of the
-    cache's meta key, not repeated per op."""
+    cache's meta key, not repeated per op.
+
+    Memoized on the op (RasterOp.bin_key_cache): command-list memo replays
+    re-emit the SAME frozen op objects every frame (command_list.py
+    op-list memoization), so re-CRCing their full edge sets per frame —
+    ~MBs on the tiger list — was pure waste on the app pattern's layer
+    split + incremental-bin key scans."""
+    k = op.bin_key_cache
+    if k is not None:
+        return k
     import zlib
 
     def crc(a, c=0):
@@ -497,11 +526,13 @@ def _op_bin_key(op: RasterOp) -> tuple:
             a = np.ascontiguousarray(a)
         return zlib.crc32(a, c)
 
-    return (
+    k = (
         op.kind, op.fill_rule, bool(op.aa), op.paint_kind, op.image_id,
         op.scissor,
         crc(op.edges), crc(op.tex_quads), crc(op.tri_paints), crc(op.paint),
     )
+    op.bin_key_cache = k
+    return k
 
 
 def _raw_op_offsets(raw: dict, ops: list[RasterOp]) -> dict:
