@@ -520,12 +520,8 @@ class Context:
             return
         if self._layer_clean_cut(ops, n) != n:
             return   # an open clip crosses the list boundary
-        try:
-            scene = RetainedScene.bake(self, background=self.background,
-                                       ops=list(ops))
-        except NotImplementedError:
-            cl._layer_last = None      # don't re-request every frame
-            return
+        scene = RetainedScene.bake(self, background=self.background,
+                                   ops=list(ops))
         gen = getattr(cl, "_layer_gen", 0) + 1
         cl._layer_gen = gen
         cl._layer_scene = {"key": key, "tx": tx, "ty": ty, "scene": scene,
@@ -762,29 +758,34 @@ class Context:
 
         from vgtpu.raster.binning import patch_entry_paint
 
-        patch_entry_paint(plan, len(ops), changed, new_rows)
-        if plan.pop is not None:
-            plan.pop["paint"][pids] = new_rows
+        prof = self.profiler
+        with prof.stage("patch.host"):
+            patch_entry_paint(plan, len(ops), changed, new_rows)
+            if plan.pop is not None:
+                plan.pop["paint"][pids] = new_rows
 
         if changed_t:
             # texture/pattern values: resample color tiles against the
             # resident plan (the sampler reads the patched entry_paint rows;
             # the entry->tile assignment is deterministic in entry order, so
             # a geometry-identical frame keeps the mapping)
-            old_map = plan.entry_color_tile.copy()
-            old_ct = plan.color_tiles
-            self._fill_textures(plan, ops=ops)
-            if (plan.color_tiles is old_ct
-                    or not np.array_equal(plan.entry_color_tile, old_map)):
-                return False  # full path rebuilds the plan from scratch
-            ct = plan.color_tiles
-            d["color_tiles"] = (jax.device_put(ct) if isinstance(ct, np.ndarray)
-                                else ct)  # device sampler returns a jax array
+            with prof.stage("patch.textures"):
+                old_map = plan.entry_color_tile.copy()
+                old_ct = plan.color_tiles
+                self._fill_textures(plan, ops=ops)
+                if (plan.color_tiles is old_ct
+                        or not np.array_equal(plan.entry_color_tile, old_map)):
+                    return False  # full path rebuilds the plan from scratch
+                ct = plan.color_tiles
+                d["color_tiles"] = (
+                    jax.device_put(ct) if isinstance(ct, np.ndarray)
+                    else ct)  # device sampler returns a jax array
 
         if has_pop:
-            pop_dev = dict(d["pop"])
-            pop_dev["paint"] = jax.device_put(plan.pop["paint"])
-            d["pop"] = pop_dev
+            with prof.stage("patch.put"):
+                pop_dev = dict(d["pop"])
+                pop_dev["paint"] = jax.device_put(plan.pop["paint"])
+                d["pop"] = pop_dev
         # rebuild the resident expansions from the patched tables in the SAME
         # fused program upload used (promote_resident) — a dedicated params-
         # only rebuild minted a second jit signature whose compile landed
@@ -796,13 +797,15 @@ class Context:
         if redo_pp or redo_ct:
             from vgtpu.raster.frame import promote_resident
 
-            if redo_pp:
-                d["bucket_params"] = None
-            if redo_ct:
-                d["bucket_cts"] = None   # cheap async rebuild keeps the
-            promote_resident(plan, d)    # upload-time jit signature
+            with prof.stage("patch.promote"):
+                if redo_pp:
+                    d["bucket_params"] = None
+                if redo_ct:
+                    d["bucket_cts"] = None   # cheap async rebuild keeps the
+                promote_resident(plan, d)    # upload-time jit signature
         if "entry_paint" in d:
-            d["entry_paint"] = jax.device_put(plan.entry_paint)
+            with prof.stage("patch.put"):
+                d["entry_paint"] = jax.device_put(plan.entry_paint)
         return True
 
     def _fill_textures(self, plan, ops=None) -> None:
@@ -823,6 +826,11 @@ class Context:
             )
 
             sp = build_sampling_plan(plan, ops, image_map)
+            if not sp.num_tiles:
+                # scene stopped drawing textures: retained device color
+                # tiles can never hit again — release the HBM
+                self._ct_memo = {}
+                return
             if sp.num_tiles:
                 needed = {g.image_id for g in sp.groups}
                 # resample memo: texture content in a steady UI loop is
@@ -848,9 +856,17 @@ class Context:
                           for g in sp.groups),
                     _crc(sp.tex_tile_mask),
                 )
+                # small LRU, not a single slot: a frame whose baked layer
+                # AND dynamic suffix both carry textures samples through two
+                # different plans per frame — one slot would alternate keys
+                # and never hit (ADVICE r04)
                 memo = getattr(self, "_ct_memo", None)
-                if memo is not None and memo[0] == key:
-                    plan.color_tiles = memo[1]
+                if not isinstance(memo, dict):
+                    memo = self._ct_memo = {}
+                hit = memo.pop(key, None)
+                if hit is not None:
+                    memo[key] = hit       # move-to-end (dict insert order)
+                    plan.color_tiles = hit
                     self.profiler.count("ct_memo_hits", 1)
                     return
                 tex = self._device_textures(image_map, needed)
@@ -858,7 +874,9 @@ class Context:
                     sp, tex, plan.tile_h // plan.supersample, plan.tile_w)
                 if ct is not None:
                     plan.color_tiles = ct   # device array; flows through upload
-                    self._ct_memo = (key, ct)
+                    memo[key] = ct
+                    while len(memo) > 4:
+                        memo.pop(next(iter(memo)))
             return
         from vgtpu.raster.sampling import fill_color_tiles
 
@@ -1102,6 +1120,12 @@ class Context:
             and (op.paint is prev.paint or np.array_equal(op.paint, prev.paint))
             and (op.geom is None) == (prev.geom is None)
         ):
+            # in-place content mutation: drop any cached content keys so a
+            # violated merge fence (ADVICE r04 — cached ops shared across
+            # frames must never be merged into) degrades to a re-fingerprint
+            # instead of silently serving stale frames
+            prev.fp_cache = None
+            prev.bin_key_cache = None
             if op.geom is not None:
                 prev.geom.extend(op.geom)
                 return

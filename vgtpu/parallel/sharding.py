@@ -170,6 +170,7 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
     # entries sum in the same order as the single-device frame
     pools = []
     chunk_counts = []
+    pool_maps = []
     for ce, cent in d["chunk_pools"]:
         ce = np.asarray(ce)
         cent = np.asarray(cent).astype(np.int64)
@@ -188,6 +189,7 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
         cent_out[slot] = local_of[cent[keep]].astype(np.int32)
         pools.append((ce_out, cent_out))
         chunk_counts.append(counts_c)
+        pool_maps.append((keep, slot, nc_dev))
 
     arrays = {
         "chunk_pools": tuple(pools),
@@ -224,6 +226,14 @@ def partition_plan_for_mesh(d: dict, plan, n: int) -> tuple[dict, dict]:
         "chunk_slots_live": live,
         "chunk_slots_padded": padded,
         "ici_bytes_per_frame": 0,   # no collective in the frame body
+        # partition maps for the fused-kernel sharding (sharded_fused.py):
+        # which device owns each tile/entry, each entry's device-local id,
+        # and per pool (kept global chunk ids, their packed device-major
+        # slots, per-device padded count)
+        "dev_of_tile": dev_of_tile,
+        "owner_e": owner_e,
+        "local_of": local_of,
+        "pool_maps": pool_maps,
     }
     return arrays, meta
 
