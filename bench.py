@@ -291,6 +291,9 @@ def measure(reps: int = 32, warmup: int = 3, keepalive: dict | None = None) -> d
         return vg.end(ctx, background=bg)
 
     sync(frame_with_overlay(0))  # geometry now includes the overlay: full bin
+    sync(frame_with_overlay(-3))  # first PATCH frame: the in-jit-expansion
+    # program signature (bucket_params None, numpy pop-paint leaf) compiles
+    # here, outside the timed window — the same warm discipline as wimg
     paint_hits0 = ctx.profiler.counters.get("memo_paint_hits", 0)
     anim_ms = run_loop(lambda k: frame_with_overlay(k + 1), 5, warm_img=wimg)
     anim_hits = ctx.profiler.counters.get("memo_paint_hits", 0) - paint_hits0

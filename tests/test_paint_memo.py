@@ -372,3 +372,88 @@ def test_fuzz_random_recolors_match_fresh_renders():
     # the rect alpha stays at 160 and every other alpha stays < 255
     # opaque-flip-free -> all six frames should have taken the fast path
     assert ctx.profiler.counters.get("memo_paint_hits", 0) >= 4
+
+
+# ---- fused-path patching (the TPU production path, forced on CPU) ----
+#
+# On TPU the resident plan carries the fused aux (compact pop tables +
+# bucket_pteb); a paint patch there must add ZERO tunnel round-trips: the
+# patched pop paint rides the next dispatch as a host numpy leaf and the
+# per-bucket params re-expand in-jit (VERDICT r04 #1 — the old explicit
+# device_put + promote pair cost 2-3 RPCs/frame, 10-20 ms each on a
+# degraded tunnel).  _fused_platform is monkeypatched so the same aux (and
+# the same patch branch) builds on the CPU test platform.
+
+
+def _force_fused(monkeypatch):
+    import vgtpu.raster.frame as rf
+
+    monkeypatch.setattr(rf, "_fused_platform", lambda: True)
+
+
+def test_fused_patch_rides_dispatch_and_matches(monkeypatch):
+    _force_fused(monkeypatch)
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    d = ctx.last_device_arrays
+    assert d.get("pop") is not None and d.get("bucket_pteb") is not None
+
+    kw = dict(BASE, rect_col=(220, 70, 50, 160))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+    d = ctx.last_device_arrays
+    assert d.get("_params_stale") and d.get("bucket_params") is None
+    assert isinstance(d["pop"]["paint"], np.ndarray)  # rides the dispatch
+    np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)
+
+
+def test_fused_patch_repromotes_on_redraw(monkeypatch):
+    """The first structural memo hit after a patch restores the promoted
+    resident program (device pop paint + expanded params) bit-identically."""
+    _force_fused(monkeypatch)
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    kw = dict(BASE, rect_col=(40, 200, 90, 160))
+    got = rerecord(ctx, font, **kw)
+    assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+
+    got2 = rerecord(ctx, font, **kw)  # identical content: memo hit
+    d = ctx.last_device_arrays
+    assert not d.get("_params_stale")
+    assert d.get("bucket_params") is not None
+    assert not isinstance(d["pop"]["paint"], np.ndarray)
+    np.testing.assert_array_equal(got2, got)
+
+
+def test_fused_patch_animation_then_fresh_parity(monkeypatch):
+    """A multi-frame fused-path animation (every frame re-patches the stale
+    plan) stays pixel-equal to from-scratch renders throughout."""
+    _force_fused(monkeypatch)
+    ctx, font = animated_ctx()
+    rerecord(ctx, font, **BASE)
+    for k, rect in enumerate(((200, 60, 60, 160), (60, 200, 60, 160),
+                              (60, 60, 200, 160))):
+        kw = dict(BASE, rect_col=rect)
+        got = rerecord(ctx, font, **kw)
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == k + 1
+        np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5,
+                                   err_msg=f"anim frame {k} diverged")
+
+
+def test_fused_patch_global_alpha_with_text(monkeypatch):
+    """Fused-path fade with text: the texture-row value change resamples the
+    color tiles and the kernel-layout planes rebuild in-jit (bucket_cts
+    staleness), pixel-equal to fresh renders."""
+    _force_fused(monkeypatch)
+    ctx, font = animated_ctx()
+    if font is None:
+        pytest.skip("no font available")
+    base = dict(BASE, alpha=0.9, circ_col=(250, 210, 60, 230))
+    rerecord(ctx, font, **base)
+    hits = 0
+    for a in (0.75, 0.5):
+        kw = dict(base, alpha=a)
+        got = rerecord(ctx, font, **kw)
+        hits += 1
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == hits
+        np.testing.assert_allclose(got, fresh_render(**kw), atol=2e-5)

@@ -327,6 +327,7 @@ class Context:
             and fp == last_fp
             and self.last_device_arrays is not None
         ):
+            self._repromote_if_stale()
             self._maybe_dispatch(prof, dispatch)
             prof.count("memo_hits", 1)
             prof.frame_done()
@@ -781,32 +782,87 @@ class Context:
                     jax.device_put(ct) if isinstance(ct, np.ndarray)
                     else ct)  # device sampler returns a jax array
 
-        if has_pop:
+        if has_pop and (d.get("bucket_pteb") is None
+                        or os.environ.get("VGTPU_PATCH_PROMOTE")):
+            # A/B escape hatch (VGTPU_PATCH_PROMOTE=1): the pre-r05 eager
+            # path — explicit paint put now, re-promote the expansions now
+            # (2-3 extra tunnel RPCs per paint-hit frame)
             with prof.stage("patch.put"):
                 pop_dev = dict(d["pop"])
                 pop_dev["paint"] = jax.device_put(plan.pop["paint"])
                 d["pop"] = pop_dev
-        # rebuild the resident expansions from the patched tables in the SAME
-        # fused program upload used (promote_resident) — a dedicated params-
-        # only rebuild minted a second jit signature whose compile landed
-        # inside the anim diag's measured frames (bench anim 20->373 ms)
-        redo_pp = (has_pop and d.get("bucket_pteb") is not None
-                   and d.get("bucket_params") is not None)
-        redo_ct = (d.get("bucket_cts") is not None
-                   and d.get("ct_ids") is not None)
-        if redo_pp or redo_ct:
-            from vgtpu.raster.frame import promote_resident
+            redo_pp = d.get("bucket_pteb") is not None
+            redo_ct = (changed_t and d.get("bucket_cts") is not None
+                       and d.get("ct_ids") is not None)
+            if redo_pp or redo_ct:
+                from vgtpu.raster.frame import promote_resident
 
-            with prof.stage("patch.promote"):
-                if redo_pp:
-                    d["bucket_params"] = None
-                if redo_ct:
-                    d["bucket_cts"] = None   # cheap async rebuild keeps the
-                promote_resident(plan, d)    # upload-time jit signature
+                with prof.stage("patch.promote"):
+                    if redo_pp:
+                        d["bucket_params"] = None
+                    if redo_ct:
+                        d["bucket_cts"] = None
+                    promote_resident(plan, d)
+            if "entry_paint" in d:
+                with prof.stage("patch.put"):
+                    d["entry_paint"] = jax.device_put(plan.entry_paint)
+            return True
+        if has_pop:
+            # ZERO extra tunnel round-trips (VERDICT r04 #1): the patched
+            # compact paint table rides the NEXT frame dispatch as a host
+            # numpy leaf (one small implicit transfer inside the execute
+            # call) and the per-bucket params re-expand IN-JIT
+            # (_frame_tiles_body's lazy branch — the pop paint is ~9 KB, the
+            # expansion ~0.3 ms device).  The old explicit device_put +
+            # promote pair added 2-3 RPCs per paint-hit frame: ~2.5 ms each
+            # on a fresh tunnel but 10-20 ms once the channel degrades
+            # (BENCH_r04: anim 71 ms vs redraw 15.8 in the SAME session;
+            # tools/tpu_anim_probe.py shows them equal when fresh).  The
+            # next structural memo hit re-promotes the resident expansions
+            # (_repromote_if_stale) so steady redraws return to the
+            # promoted program.
+            with prof.stage("patch.put"):
+                pop_dev = dict(d["pop"])
+                pop_dev["paint"] = np.ascontiguousarray(
+                    plan.pop["paint"], np.float32)
+                d["pop"] = pop_dev
+                d["bucket_params"] = None
+                d["_params_stale"] = True
+        if changed_t and d.get("ct_ids") is not None:
+            # kernel-layout texture planes rebuild in-jit the same way
+            # (_frame_tiles_body's lazy ct branch) from the resampled
+            # d["color_tiles"] the stage above installed
+            d["bucket_cts"] = None
+            d["_params_stale"] = True
         if "entry_paint" in d:
             with prof.stage("patch.put"):
                 d["entry_paint"] = jax.device_put(plan.entry_paint)
         return True
+
+    def _repromote_if_stale(self) -> None:
+        """Return a paint-patched resident plan to the promoted program.
+
+        After _value_only_update the pop paint table is a host numpy leaf
+        and bucket_params/bucket_cts are None (the dispatch re-expands
+        in-jit, re-uploading the table every frame — right for an animation,
+        wasteful for steady redraws).  Called on the first structural memo
+        hit after a patch: one device_put + one promote execute, amortized
+        over the whole redraw phase."""
+        d = self.last_device_arrays
+        if d is None or not d.get("_params_stale"):
+            return
+        d["_params_stale"] = False
+        import jax
+
+        from vgtpu.raster.frame import promote_resident
+
+        pop = d.get("pop")
+        if pop is not None and isinstance(pop.get("paint"), np.ndarray):
+            pop = dict(pop)
+            pop["paint"] = jax.device_put(pop["paint"])
+            d["pop"] = pop
+        with self.profiler.stage("patch.promote"):
+            promote_resident(self.last_plan, d)
 
     def _fill_textures(self, plan, ops=None) -> None:
         # ops: the list the plan was binned from (a suffix slice when the
@@ -1760,6 +1816,11 @@ def renderFrames(ctxs, backgrounds=None):
             raise ValueError("a context was begun but not ended this frame: "
                              "its resident plan is STALE — call "
                              "end(ctx, dispatch=False) before renderFrames")
+    for c in ctxs:
+        # paint-patched plans re-promote here (NOT inside execute_plans's
+        # promote: that would leave the numpy pop-paint leaf in the pytree,
+        # re-uploading it on every fused dispatch)
+        c._repromote_if_stale()
     t0 = _time.perf_counter()
     from vgtpu.raster.retained import PendingPanLayer
 
