@@ -447,14 +447,16 @@ def batch_diag(k: int = 6, reps_hi: int = 8, emit: bool = True):
     return out
 
 
-def batch_sweep() -> None:
+def batch_sweep(ks=(2, 4, 6, 8, 12, 16)) -> None:
     """K-sweep of the fused batch in ONE process/session (comparable
-    numbers, VERDICT r3 #4): per-variant chained ms for K in {2,4,6,8,12,16}.
-    Appends docs/batch_sweep.jsonl and prints the rows."""
+    numbers, VERDICT r3 #4): per-variant chained ms for each K.  The edge
+    probe (VERDICT r4 #6) passes larger ks until a resource fails; failures
+    are recorded as rows with the error named.  Appends
+    docs/batch_sweep.jsonl and prints the rows."""
     import datetime
 
     rows = []
-    for k in (2, 4, 6, 8, 12, 16):
+    for k in ks:
         try:
             r = batch_diag(k=k, reps_hi=8, emit=False)
             rows.append(r)

@@ -83,6 +83,7 @@ def _measure(n: int) -> dict:
     # variant-axis serving batch (raster/batch.render_sharded): one variant
     # per device, zero collectives — validates the second sharding layout
     batch_ms = None
+    batch_pads = None
     try:
         from vgtpu.raster.batch import VariantBatch
 
@@ -108,6 +109,11 @@ def _measure(n: int) -> dict:
         for _ in range(reps):
             run_batch()
         batch_ms = round((time.perf_counter() - t0) / reps / n * 1e3, 2)
+        # per-device work accounting (VERDICT r04 #5): K == n here, so each
+        # device owns exactly one live variant and zero pads — per-variant
+        # compute is n-invariant by construction; any residual growth is
+        # output-traffic or host-gather, not padding/replication
+        batch_pads = -(-vb.K // n) * n - vb.K
     except Exception as e:  # noqa: BLE001
         print(f"variant batch failed: {e}", file=sys.stderr)
 
@@ -121,6 +127,8 @@ def _measure(n: int) -> dict:
         "chunk_balance": round(meta_box["chunk_balance"], 3),
         "entry_balance": round(meta_box["entry_balance"], 3),
         "batch_ms_per_variant": batch_ms,
+        "batch_pad_variants": batch_pads,
+        "batch_live_variants_per_device": 1 if batch_ms is not None else None,
         "collectives": "none in frame body (co-partitioned); output fb "
                        "gather ~%d MB total" % (
             tiles * plan.tile_h // plan.supersample * plan.tile_w * 16 // 2**20),

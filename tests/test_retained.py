@@ -645,3 +645,36 @@ def test_ss_text_matches_direct():
         want = np.asarray(vg.end(ctx2, background=bg))
         np.testing.assert_allclose(got, want, atol=3e-3,
                                    err_msg=f"view {view}")
+
+
+def test_ss_pan_resolve_ab_bit_equal(monkeypatch):
+    """The per-entry pan resolve (pan_resolve static,
+    ops/coverage_resolve.entry_resolve_rparams) against the unresolved
+    Pallas pan path: same expressions applied in a different place, so the
+    images must agree to float tolerance — and both against the direct
+    oracle.  VGTPU_NO_RESOLVE flips the static, so both compile in one
+    process (the same-session A/B discipline the TPU bench uses)."""
+    scene = _bake_ss(2)
+    assert "entry_bflags" in scene.d
+    for view in [(37, 5.5), (-45, -13)]:
+        got = np.asarray(scene.render(*view, use_pallas=True))
+        monkeypatch.setenv("VGTPU_NO_RESOLVE", "1")
+        raw = np.asarray(scene.render(*view, use_pallas=True))
+        monkeypatch.delenv("VGTPU_NO_RESOLVE")
+        np.testing.assert_allclose(got, raw, atol=2e-6,
+                                   err_msg=f"resolve A/B diverged at {view}")
+        np.testing.assert_allclose(got, _direct_ss(2, view), atol=2e-4,
+                                   err_msg=f"vs direct at {view}")
+
+
+def test_ss_pan_resolve_scissor_fractional_x():
+    """The resolve's residual-shifted scissor at a FRACTIONAL x view: the
+    scissor rect must move with the content by the exact subpixel residual
+    (entry_resolve_rparams adds rx/ry to the tile-local origin, matching the
+    composite kernel's P_OX convention)."""
+    scene = _bake_ss(2)
+    for view in [(37.5, 5), (128.25, -3.5)]:
+        got = np.asarray(scene.render(*view, use_pallas=True))
+        want = _direct_ss(2, view)
+        np.testing.assert_allclose(got, want, atol=2e-4,
+                                   err_msg=f"view {view}")

@@ -363,11 +363,21 @@ class Context:
             with prof.stage("layer"):
                 # LAZY: the pan render fuses into the frame dispatch
                 # (retained._pan_frame_fused) — one jit call instead of
-                # two, no HBM round-trip of the layer tiles
+                # two, no HBM round-trip of the layer tiles.  The static
+                # prefix of the ops ABOVE the panned list (fixed UI chrome)
+                # bakes as a transparent floating layer blended over the
+                # pan tiles in the same program, so only the truly dynamic
+                # suffix re-bins per frame.
                 from vgtpu.raster.retained import PendingPanLayer
 
-                layer = (0, PendingPanLayer(
-                    pend["scene"], pend["view"], tuple(self.background)))
+                split = None
+                if (self.cfg.layer_memo and self.cfg.frame_memo
+                        and not getattr(self, "_suppress_layer", False)
+                        and not os.environ.get("VGTPU_PAN_NO_OVERLAY")):
+                    split = self._layer_split(transparent=True)
+                layer = (split[0] if split else 0, PendingPanLayer(
+                    pend["scene"], pend["view"], tuple(self.background),
+                    over_tiles=split[1] if split else None))
         elif (self.cfg.layer_memo and self.cfg.frame_memo
               and not getattr(self, "_suppress_layer", False)):
             # _suppress_layer: VariantBatch records need full single plans
@@ -441,7 +451,7 @@ class Context:
         else:
             self.frame_image = None
 
-    def _layer_split(self):
+    def _layer_split(self, transparent: bool = False):
         """Static-prefix layer memo: the device-resident analogue of the
         reference's cached-list replay (clCacheRender, vg.cpp:5845-6120 —
         a Cacheable list re-submits as ~memcpy of cached meshes).  When the
@@ -451,6 +461,16 @@ class Context:
         suffix over them (execute_plan init_tiles).  Pixel-exact: painter's
         order makes fb-after-prefix a true checkpoint, and per-op coverage
         is independent of other ops.
+
+        transparent=True bakes the prefix over a TRANSPARENT background —
+        the floating-layer form used when the frame already has a moving
+        base underneath (the translated cached-list pan): src-over is
+        associative, so (static over pan(tiger) over bg) composites exactly
+        as the baked static tiles blended over the per-frame pan tiles
+        (PendingPanLayer.over_tiles).  Without it, the pan frame re-bins
+        and re-uploads the static UI prefix every frame (measured +1.2k
+        entries, +0.7k chunks, +160 KB upload per frame on the bench pan
+        pattern — tools/pan_app_host_probe.py).
 
         Returns (prefix_len, tiles) or None.  The cut never crosses an
         active clip (suffix frames start with an identity mask)."""
@@ -466,7 +486,8 @@ class Context:
                      if self.font_system is not None else -1)
         meta = (self.fb_width, self.fb_height, self.cfg.coverage_supersample,
                 self.cfg.tile_h, self.cfg.tile_w,
-                tuple(self.cfg.chunk_pools), tuple(self.background),
+                tuple(self.cfg.chunk_pools),
+                "transparent" if transparent else tuple(self.background),
                 tex_sig, atlas_rev)
         min_prefix = self.cfg.layer_min_prefix
         if len(ops) <= min_prefix:
@@ -500,7 +521,8 @@ class Context:
             depth_cap=self.cfg.max_ops_per_tile_cap,
         )
         self._fill_textures(lplan, ops=ops[:P])
-        tiles = execute_plan_tiles(lplan, background=self.background,
+        bake_bg = (0.0, 0.0, 0.0, 0.0) if transparent else self.background
+        tiles = execute_plan_tiles(lplan, background=bake_bg,
                                    device_arrays=plan_to_device(lplan))
         self._layer_state = {"meta": meta, "bg": tuple(self.background),
                              "keys": keys[:P], "len": P, "tiles": tiles}

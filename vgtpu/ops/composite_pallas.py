@@ -635,12 +635,19 @@ def composite_bucketed_pallas_body(
     interpret: bool = False,
     ss: int = 1,
     init_tiles=None,
+    entry_cov_final=None,
 ):
     """Full composite over all buckets -> (T+1, TH//ss, TW, 4) tile-major
     framebuffer (same contract as ops/composite.composite_bucketed_body).
 
     init_tiles: optional (num_tiles, TH_OUT, TW, 4) per-tile initial values
-    (resident static layer) instead of the broadcast background."""
+    (resident static layer) instead of the broadcast background.
+
+    entry_cov_final: optional (NE, NPX_OUT) RESOLVED output-domain coverage
+    (retained-pan resolve, ops/coverage_resolve.entry_resolve_rparams +
+    resolve_cov_rows): non-clip buckets gather it and run the kernel's
+    cov_final branch (no per-sub-row rule/AA/scissor work, 1/ss the gather
+    bytes); clip buckets keep the raw sub-row entry_w path."""
     npx = tile_h * tile_w
     th_out = tile_h // ss
     ew_flat = entry_w.reshape(entry_w.shape[0], npx)
@@ -657,12 +664,20 @@ def composite_bucketed_pallas_body(
             ids_b = jnp.concatenate(
                 [ids_b, jnp.full((nbp - nb,), num_tiles, ids_b.dtype)])
             nb = nbp
-        ew_t = jnp.transpose(ew_flat[jnp.maximum(te_b, 0)], (1, 2, 0))  # (MO,NPX,Nb)
+        use_fin = entry_cov_final is not None and not flags[3]
+        if use_fin:
+            ew_t = jnp.transpose(
+                entry_cov_final[jnp.maximum(te_b, 0)], (1, 2, 0))
+            rbr = -(-th_out // 8) * 8
+            rbd_t = jnp.zeros((mo, rbr, nb), jnp.float32)
+        else:
+            ew_t = jnp.transpose(ew_flat[jnp.maximum(te_b, 0)], (1, 2, 0))
+            rbd_t = None
         fb_t = composite_bucket_pallas(
             ew_t, pp, ct,
             bg_vec if init_tiles is None else _init_t(fb, ids_b, th_out, tile_w),
             npx=npx, tile_w=tile_w, flags=tuple(flags), interpret=interpret,
-            ss=ss,
+            ss=ss, cov_final=use_fin, rbd_t=rbd_t,
         )
         # (4*NPX_OUT, Nb) -> (Nb, TH_OUT, TW, 4)
         fb_b = jnp.transpose(fb_t.reshape(4, th_out, tile_w, nb), (3, 1, 2, 0))

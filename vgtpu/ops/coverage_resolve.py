@@ -97,6 +97,41 @@ def build_chunk_rparams(
     return rp
 
 
+def entry_resolve_rparams(entry_rule, entry_aa, entry_paint_kind,
+                          entry_scissor, entry_tile, entry_bflags,
+                          rx, ry, *, tile_h: int, tile_w: int, ntx: int):
+    """In-trace per-ENTRY resolve params for the retained-pan path
+    (raster/retained._render_pan_body): same rows as build_chunk_rparams but
+    built on device because the scissor's tile-local rect takes the pan
+    RESIDUAL (rx, ry) — content shifts left/up by the residual, so the
+    scissor does too (the composite kernel's P_OX += rx convention).  The
+    RP_BD rows stay zero: the pan entry coverage already carries its
+    backdrop (dynamic window slice), so resolve_cov_rows' add is a no-op.
+
+    entry_bflags: (NE, >=4) bool — the entry's bucket lane gates
+    [eo, noaa, tex, scissor] (raster/resolve.entry_bucket_flags)."""
+    from vgtpu.raster.binning import P_TEXTURE
+
+    ne = entry_rule.shape[0]
+    eo_l = entry_bflags[:, 0]
+    noaa_l = entry_bflags[:, 1]
+    tex_l = entry_bflags[:, 2]
+    sc_l = entry_bflags[:, 3]
+    rp = jnp.zeros((rp_rows(tile_h), ne), jnp.float32)
+    rp = rp.at[RP_EO].set((eo_l & (entry_rule != 0)).astype(jnp.float32))
+    rp = rp.at[RP_NOAA].set((noaa_l & (entry_aa == 0)).astype(jnp.float32))
+    rp = rp.at[RP_TEXF].set(
+        (tex_l & (entry_paint_kind == P_TEXTURE)).astype(jnp.float32))
+    ox = ((entry_tile % ntx) * tile_w).astype(jnp.float32) + rx
+    oy = ((entry_tile // ntx) * tile_h).astype(jnp.float32) + ry
+    sc = entry_scissor.astype(jnp.float32)
+    rp = rp.at[RP_SC + 0].set(jnp.where(sc_l, sc[:, 0] - ox, -_SC_SENTINEL))
+    rp = rp.at[RP_SC + 1].set(jnp.where(sc_l, sc[:, 1] - oy, -_SC_SENTINEL))
+    rp = rp.at[RP_SC + 2].set(jnp.where(sc_l, sc[:, 2] - ox, _SC_SENTINEL))
+    rp = rp.at[RP_SC + 3].set(jnp.where(sc_l, sc[:, 3] - oy, _SC_SENTINEL))
+    return rp
+
+
 def resolve_cov_rows(w_rows: jax.Array, rp: jax.Array,
                      *, tile_h: int, tile_w: int, ss: int) -> jax.Array:
     """Vectorized reference of the kernel epilogue: (N, tile_h*tile_w) raw

@@ -614,8 +614,18 @@ class VariantBatch:
         out = fn(r["pools"], r["ebd"], r["ek"], r["er"], r["ea"], r["epk"],
                  r["esc"], r["ect"], r["buckets"], entry["ep"], entry["ct"],
                  bg)
-        # all-gather the variant-sharded stack before dropping the pad frames
-        # (slicing across the sharded axis is ambiguous for GSPMD)
+        if out.shape[0] == self.K:
+            # no pad variants: return the stack VARIANT-SHARDED.  The old
+            # unconditional replicate-to-drop-pads was an implicit
+            # all-gather — every device received all K frames (K*33 MB at
+            # 1080p, n^2 traffic growth across the mesh), which is exactly
+            # the multichip batch back-scaling VERDICT r04 #5 flagged
+            # (473 -> 1027 ms/variant, 1 -> 8 virtual devices).  Consumers
+            # fetch the variants they need; a host np.asarray gathers each
+            # shard once.
+            return out
+        # pad variants present: all-gather before dropping them (slicing
+        # across the sharded axis is ambiguous for GSPMD)
         return jax.device_put(out, repl)[: self.K]
 
 

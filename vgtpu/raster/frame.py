@@ -557,11 +557,16 @@ def _fused_platform() -> bool:
 
 
 def _resolve_path_enabled(plan: FramePlan) -> bool:
-    """Gate for the in-kernel coverage resolution (raster/resolve.py): fused
-    TPU path, supersampled plans only (at ss=1 the resolution work merely
-    moves between kernels — no domain shrinks), and never on retained-pan
-    plans (their backdrop windows are render-time dynamic, the resolve params
-    are plan-static).  VGTPU_NO_RESOLVE=1 disables it for A/B."""
+    """Gate for the chunk-split in-kernel coverage resolution
+    (raster/resolve.py): fused TPU path, supersampled plans only (at ss=1
+    the resolution work merely moves between kernels — no domain shrinks).
+    Retained-pan plans are excluded from THIS formulation (their backdrop
+    windows are render-time dynamic, these resolve params are plan-static) —
+    they resolve per-ENTRY in-trace instead, right after the coverage
+    gather (raster/retained._render_pan_body pan_resolve +
+    ops/coverage_resolve.entry_resolve_rparams), so supersampled pans are
+    not stuck with the pre-resolution cost either.  VGTPU_NO_RESOLVE=1
+    disables both for A/B."""
     import os
 
     return (

@@ -383,6 +383,13 @@ class RetainedScene:
             "tile_buckets": tuple(
                 (te, ids) for te, ids, _fl in plan.tile_buckets),
         }
+        if ss > 1:
+            # supersampled pans resolve coverage per entry right after the
+            # gather (_render_pan_body pan_resolve): the entry's bucket lane
+            # gates are view-invariant, bake them once
+            from vgtpu.raster.resolve import entry_bucket_flags
+
+            host["entry_bflags"] = entry_bucket_flags(plan)
         d = jax.device_put(host)
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
         if samp is not None:
@@ -573,6 +580,8 @@ class RetainedScene:
         return divmod(int(round(oys)), self.tile_h)
 
     def _pan_statics(self, use_pallas=None) -> dict:
+        import os
+
         tw, th = self.tile_w, self.tile_h
         th_px = th // self.ss
         return dict(
@@ -582,6 +591,10 @@ class RetainedScene:
             bucket_flags=self.d["bucket_flags"],
             ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
             samp_meta=self.samp_meta, samp_nct=self.samp_nct,
+            # per-entry resolve at ss>1 (entry_resolve_rparams): static so
+            # VGTPU_NO_RESOLVE A/Bs within one process (fresh trace per flag)
+            pan_resolve=(self.ss > 1 and "entry_bflags" in self.d
+                         and not os.environ.get("VGTPU_NO_RESOLVE")),
         )
 
     def render_views(self, views, use_pallas: bool | None = None) -> jax.Array:
@@ -617,7 +630,8 @@ class RetainedScene:
 
 def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
                      out_w, out_h, bucket_flags, ne, ss=1, use_pallas=None,
-                     samp_meta=None, samp_nct=0, tiles_only=False):
+                     samp_meta=None, samp_nct=0, tiles_only=False,
+                     pan_resolve=False):
     """th and ry are in SUB-rows (== pixel rows when ss == 1); coverage,
     backdrops and the residual shift all live in the sub-row domain, the
     composite applies the fill rule per sub-row and averages (ss semantics
@@ -680,10 +694,31 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
                 for ids in d["bucket_ctile"])
         else:
             cts = (None,) * len(params)
+        cov_fin = None
+        if pan_resolve:
+            # supersampled-pan resolve (VERDICT r04 #4): rule/AA/scissor +
+            # ss-average apply ONCE per entry right after the coverage
+            # gather (entry_w is already materialized here, so unlike the
+            # direct path's rejected XLA pre-pass this adds no extra
+            # sub-row HBM pass); non-clip buckets then gather 1/ss the
+            # bytes and skip all per-sub-row kernel work.  The scissor
+            # takes the pan residual exactly as the composite params do.
+            from vgtpu.ops.coverage_resolve import (
+                entry_resolve_rparams,
+                resolve_cov_rows,
+            )
+
+            rp_e = entry_resolve_rparams(
+                d["entry_rule"], d["entry_aa"], d["entry_paint_kind"],
+                d["entry_scissor"], d["entry_tile"], d["entry_bflags"],
+                rxf, ryf, tile_h=th, tile_w=tw, ntx=NTX)
+            cov_fin = resolve_cov_rows(
+                entry_w.reshape(ne, th * tw), rp_e,
+                tile_h=th, tile_w=tw, ss=ss)
         fb = composite_bucketed_pallas_body(
             entry_w, d["tile_buckets"], tuple(params), cts, bg,
             tile_h=th, tile_w=tw, num_tiles=nt, bucket_flags=bucket_flags,
-            ss=ss, interpret=not on_tpu,
+            ss=ss, interpret=not on_tpu, entry_cov_final=cov_fin,
         )
     else:
         fb = composite_bucketed_body(
@@ -715,7 +750,8 @@ _render_pan = jax.jit(
     _render_pan_body,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
-                     "use_pallas", "samp_meta", "samp_nct", "tiles_only"),
+                     "use_pallas", "samp_meta", "samp_nct", "tiles_only",
+                     "pan_resolve"),
 )
 
 
@@ -723,11 +759,12 @@ _render_pan = jax.jit(
     jax.jit,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
-                     "use_pallas", "samp_meta", "samp_nct"),
+                     "use_pallas", "samp_meta", "samp_nct", "pan_resolve"),
 )
 def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
                       ntx_o, nty_o, out_w, out_h, bucket_flags, ne, ss=1,
-                      use_pallas=None, samp_meta=None, samp_nct=0):
+                      use_pallas=None, samp_meta=None, samp_nct=0,
+                      pan_resolve=False):
     """V viewports of one retained scene in ONE compiled dispatch
     -> (V, out_h, out_w, 4).  A lax.scan over the traced offsets (scan, not
     vmap: the Pallas composite runs unbatched per view, and the win here is
@@ -738,7 +775,7 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
             d, bg, vx, vy, rx, ry, NTX=NTX, NTY=NTY, th=th, tw=tw,
             ntx_o=ntx_o, nty_o=nty_o, out_w=out_w, out_h=out_h,
             bucket_flags=bucket_flags, ne=ne, ss=ss, use_pallas=use_pallas,
-            samp_meta=samp_meta, samp_nct=samp_nct)
+            samp_meta=samp_meta, samp_nct=samp_nct, pan_resolve=pan_resolve)
         return carry, img
 
     _, imgs = jax.lax.scan(one, jnp.float32(0.0), (vxs, vys, rxs, rys))
@@ -749,11 +786,12 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
     jax.jit,
     static_argnames=("n_frames", "NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
-                     "offx_t", "offy_t", "samp_meta", "samp_nct"),
+                     "offx_t", "offy_t", "samp_meta", "samp_nct",
+                     "pan_resolve"),
 )
 def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
                   out_w, out_h, bucket_flags, ne, ss=1, offx_t=1, offy_t=1,
-                  samp_meta=None, samp_nct=0):
+                  samp_meta=None, samp_nct=0, pan_resolve=False):
     """N pans of a scrolling view inside one fori_loop, serially chained
     through the pixels (see raster/benchloop.py for why naive dispatch
     timing lies through the axon tunnel)."""
@@ -771,7 +809,8 @@ def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
             bg, vx, vy, (view_x % tw).astype(jnp.float32), view_y % th,
             NTX=NTX, NTY=NTY, th=th, tw=tw, ntx_o=ntx_o, nty_o=nty_o,
             out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne,
-            ss=ss, samp_meta=samp_meta, samp_nct=samp_nct)
+            ss=ss, samp_meta=samp_meta, samp_nct=samp_nct,
+            pan_resolve=pan_resolve)
         return jnp.sum(img[..., 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
@@ -791,6 +830,7 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
         ne=scene.plan.entry_backdrop.shape[0],
         offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th_px,
         samp_meta=scene.samp_meta, samp_nct=scene.samp_nct,
+        pan_resolve=scene._pan_statics()["pan_resolve"],
     )
 
     def run(n):
@@ -807,19 +847,32 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
     return ((t2 - t1) - (t1 - t0)) / (reps_hi - reps_lo) * 1e3
 
 
+def _blend_over_tiles(over, base):
+    """Premultiplied src-over of a baked transparent layer over per-frame
+    tiles: out = over + base * (1 - over_alpha)."""
+    return over + base * (1.0 - over[..., 3:4])
+
+
 @functools.partial(jax.jit, static_argnames=("pan_st", "frame_st"))
 def _pan_frame_fused(scene_d, layer_bg, vx, vy, rx, ry,
-                     pools, ebd, comp_d, background, *, pan_st, frame_st):
+                     pools, ebd, comp_d, background, over, *,
+                     pan_st, frame_st):
     """Panned-layer render + dynamic-suffix composite as ONE program: the
     translated cached-list frame previously dispatched render_tiles and
     execute_plan separately — two jit calls through the tunnel, with the
     (T, th, tw, 4) layer tiles round-tripping HBM between them.  Fusing
     halves the per-frame dispatch overhead and lets XLA schedule the layer
-    composite and the suffix coverage together."""
+    composite and the suffix coverage together.
+
+    over: optional resident transparent-baked static-UI tiles blended over
+    the pan tiles before the suffix composites (api/context._layer_split
+    transparent form — src-over associativity makes this exact)."""
     from vgtpu.raster.frame import _frame_body
 
     tiles = _render_pan_body(scene_d, layer_bg, vx, vy, rx, ry,
                              **dict(pan_st))
+    if over is not None:
+        tiles = _blend_over_tiles(over, tiles)
     return _frame_body(pools, ebd, comp_d, background, init_tiles=tiles,
                        **dict(frame_st))
 
@@ -838,10 +891,13 @@ class PendingPanLayer:
     Pan loops change the view every frame, so the loop is the common case.
     """
 
-    def __init__(self, scene, view, background):
+    def __init__(self, scene, view, background, over_tiles=None):
         self.scene = scene
         self.view = tuple(view)
         self.background = tuple(background)
+        # resident transparent-baked static-UI tiles (context._layer_split
+        # transparent form), blended over the pan tiles in-trace
+        self.over_tiles = over_tiles
 
     def _offsets(self):
         s = self.scene
@@ -852,9 +908,12 @@ class PendingPanLayer:
         return (np.int32(vx), np.int32(vy), np.float32(rx), np.int32(ry))
 
     def materialize(self) -> jax.Array:
-        return self.scene.render_tiles(view_x=self.view[0],
-                                       view_y=self.view[1],
-                                       background=self.background)
+        tiles = self.scene.render_tiles(view_x=self.view[0],
+                                        view_y=self.view[1],
+                                        background=self.background)
+        if self.over_tiles is not None:
+            tiles = _blend_over_tiles(self.over_tiles, tiles)
+        return tiles
 
     def execute_over(self, plan, device_arrays, background) -> jax.Array:
         """Fused dispatch: the frame plan composites its dynamic suffix over
@@ -871,6 +930,7 @@ class PendingPanLayer:
             vx, vy, rx, ry,
             d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
             jnp.asarray(np.asarray(background, np.float32)),
+            self.over_tiles,
             pan_st=tuple(sorted(pan_st.items())),
             frame_st=_plan_statics(plan, d),
         )
