@@ -656,6 +656,7 @@ def test_ss_pan_resolve_ab_bit_equal(monkeypatch):
     process (the same-session A/B discipline the TPU bench uses)."""
     scene = _bake_ss(2)
     assert "entry_bflags" in scene.d
+    monkeypatch.setenv("VGTPU_PAN_ENTRY_RESOLVE", "1")
     for view in [(37, 5.5), (-45, -13)]:
         got = np.asarray(scene.render(*view, use_pallas=True))
         monkeypatch.setenv("VGTPU_NO_RESOLVE", "1")
@@ -667,14 +668,47 @@ def test_ss_pan_resolve_ab_bit_equal(monkeypatch):
                                    err_msg=f"vs direct at {view}")
 
 
-def test_ss_pan_resolve_scissor_fractional_x():
+def test_ss_pan_resolve_scissor_fractional_x(monkeypatch):
     """The resolve's residual-shifted scissor at a FRACTIONAL x view: the
     scissor rect must move with the content by the exact subpixel residual
     (entry_resolve_rparams adds rx/ry to the tile-local origin, matching the
     composite kernel's P_OX convention)."""
+    monkeypatch.setenv("VGTPU_PAN_ENTRY_RESOLVE", "1")
     scene = _bake_ss(2)
     for view in [(37.5, 5), (128.25, -3.5)]:
         got = np.asarray(scene.render(*view, use_pallas=True))
         want = _direct_ss(2, view)
         np.testing.assert_allclose(got, want, atol=2e-4,
                                    err_msg=f"view {view}")
+
+
+def test_pan_chunk_gather_ab_matches(monkeypatch):
+    """The chunk-gather pan formulation (frame_fb_pallas with dynamic
+    backdrop P_BD rows) vs the legacy entry-gather composite: same scene,
+    same views, float-equal images.  _scene covers multi-chunk entries,
+    clip tiles, gradients, scissor and a tri batch, so the pteb fold +
+    in-kernel backdrop are all exercised."""
+    scene = _bake()
+    assert "bucket_pteb" in scene.d and "bucket_te_pad" in scene.d
+    for view in [(37, 5), (-45, -13)]:
+        got = np.asarray(scene.render(*view, use_pallas=True))
+        monkeypatch.setenv("VGTPU_PAN_NO_CHUNKGATHER", "1")
+        legacy = np.asarray(scene.render(*view, use_pallas=True))
+        monkeypatch.delenv("VGTPU_PAN_NO_CHUNKGATHER")
+        np.testing.assert_allclose(got, legacy, atol=2e-6,
+                                   err_msg=f"chunk-gather A/B at {view}")
+        np.testing.assert_allclose(got, _direct(view), atol=2e-4,
+                                   err_msg=f"vs direct at {view}")
+
+
+def test_ss_pan_chunk_gather_ab_matches(monkeypatch):
+    """Supersampled chunk-gather pan (RAW formulation, per-sub-row resolve
+    in the composite kernel) vs legacy and vs the direct oracle."""
+    scene = _bake_ss(2)
+    view = (37, 5.5)
+    got = np.asarray(scene.render(*view, use_pallas=True))
+    monkeypatch.setenv("VGTPU_PAN_NO_CHUNKGATHER", "1")
+    legacy = np.asarray(scene.render(*view, use_pallas=True))
+    monkeypatch.delenv("VGTPU_PAN_NO_CHUNKGATHER")
+    np.testing.assert_allclose(got, legacy, atol=2e-6)
+    np.testing.assert_allclose(got, _direct_ss(2, view), atol=2e-4)

@@ -390,6 +390,28 @@ class RetainedScene:
             from vgtpu.raster.resolve import entry_bucket_flags
 
             host["entry_bflags"] = entry_bucket_flags(plan)
+        # chunk-gather composite aux (the production frame formulation,
+        # frame_fb_pallas): per-bucket primary-chunk ids + the padded entry
+        # tables the per-frame dynamic-backdrop param rows gather through.
+        # All view-invariant; the (NE, NPX) entry coverage is then never
+        # materialized on the default TPU pan path (_render_pan_body
+        # pan_chunk_gather): 11.69 -> 8.47 ms/frame at ss=2, 6.24 -> 5.14
+        # at ss=1 on the benchmark scene (tools/tpu_session_r5b.py).
+        from vgtpu.ops.composite_pallas import _pad_tiles, build_bucket_pteb
+
+        dead_id = int(sum(len(cent) for _ce, cent in plan.chunk_pools))
+        ptebs, te_pads = [], []
+        for te_b, _ids, _fl in plan.tile_buckets:
+            ptebs.append(build_bucket_pteb(te_b, cov_map["primary"], dead_id))
+            nbp = _pad_tiles(te_b.shape[0])
+            te_p = te_b
+            if nbp != te_b.shape[0]:
+                te_p = np.concatenate(
+                    [te_b, np.full((nbp - te_b.shape[0], te_b.shape[1]), -1,
+                                   te_b.dtype)])
+            te_pads.append(te_p.astype(np.int32))
+        host["bucket_pteb"] = tuple(ptebs)
+        host["bucket_te_pad"] = tuple(te_pads)
         d = jax.device_put(host)
         d["bucket_flags"] = tuple(fl for _te, _ids, fl in plan.tile_buckets)
         if samp is not None:
@@ -591,10 +613,21 @@ class RetainedScene:
             bucket_flags=self.d["bucket_flags"],
             ne=self.plan.entry_backdrop.shape[0], use_pallas=use_pallas,
             samp_meta=self.samp_meta, samp_nct=self.samp_nct,
-            # per-entry resolve at ss>1 (entry_resolve_rparams): static so
-            # VGTPU_NO_RESOLVE A/Bs within one process (fresh trace per flag)
+            # per-entry resolve at ss>1: OFF by default — measured NET WORSE
+            # on TPU (tools/tpu_session_r5.py ss2_pan_ab: 14.95 vs 11.64 ms
+            # raw): with entry coverage already materialized, the resolve
+            # pass adds more HBM traffic than the composite saves, the same
+            # economics that killed the direct path's XLA pre-pass.  Kept
+            # behind VGTPU_PAN_ENTRY_RESOLVE=1 (parity-tested) for A/B.
             pan_resolve=(self.ss > 1 and "entry_bflags" in self.d
+                         and bool(os.environ.get("VGTPU_PAN_ENTRY_RESOLVE"))
                          and not os.environ.get("VGTPU_NO_RESOLVE")),
+            # chunk-gather production formulation: default ON when the bake
+            # carries the aux; VGTPU_PAN_NO_CHUNKGATHER=1 = legacy
+            # entry-gather path for same-process A/B
+            pan_chunk_gather=(
+                "bucket_pteb" in self.d
+                and not os.environ.get("VGTPU_PAN_NO_CHUNKGATHER")),
         )
 
     def render_views(self, views, use_pallas: bool | None = None) -> jax.Array:
@@ -631,7 +664,7 @@ class RetainedScene:
 def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
                      out_w, out_h, bucket_flags, ne, ss=1, use_pallas=None,
                      samp_meta=None, samp_nct=0, tiles_only=False,
-                     pan_resolve=False):
+                     pan_resolve=False, pan_chunk_gather=False):
     """th and ry are in SUB-rows (== pixel rows when ss == 1); coverage,
     backdrops and the residual shift all live in the sub-row domain, the
     composite applies the fill rule per sub-row and averages (ss semantics
@@ -646,9 +679,7 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     # residual: content moves left/up by (rx, ry) — pad rows keep y0 == y1,
     # so they still contribute exactly zero
     pools = tuple((ce - shift, cent) for ce, cent in d["chunk_pools"])
-    cov = entry_coverage_gather(pools, d["cov_map"], ne, th, tw)
     bd = jax.lax.dynamic_slice_in_dim(d["entry_backdrop_pan"], ry, th, axis=1)
-    entry_w = cov + bd[:, :, None]
     nt = NTX * NTY
     if samp_meta is not None:
         # resample color tiles at the shifted view: tile origins in the
@@ -673,13 +704,7 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
     if use_pallas is None:
         use_pallas = on_tpu
     if use_pallas:
-        # fused Pallas composite: per-bucket params rebuilt in-trace (the
-        # residual lands in the OX/OY rows; scissors/paints are scene-space
-        # and ride along unchanged), backdrop already folded into entry_w
-        from vgtpu.ops.composite_pallas import (
-            _P_OX,
-            composite_bucketed_pallas_body,
-        )
+        from vgtpu.ops.composite_pallas import _P_OX
 
         # base params are bake-constant; only the OX/OY rows take the residual
         params = [pp.at[:, _P_OX].add(rxf).at[:, _P_OX + 1].add(ryf)
@@ -694,15 +719,47 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
                 for ids in d["bucket_ctile"])
         else:
             cts = (None,) * len(params)
+    if use_pallas and pan_chunk_gather:
+        # PRODUCTION pan formulation (the direct frame's chunk-gather path,
+        # frame_fb_pallas): buckets gather straight from folded chunk
+        # coverage via bake-time primary ids; the dynamic per-offset
+        # backdrop rides the params' P_BD rows (one small (NE, TH) slice +
+        # per-bucket gather), added in-kernel.  The (NE, TH, TW) entry
+        # coverage of the old formulation — materialized once by the
+        # gather and AGAIN by the per-bucket ew gather — never exists:
+        # measured 11.69 -> 8.47 ms/frame at ss=2 (-28%), 6.24 -> 5.14 at
+        # ss=1 (-18%) on the benchmark scene (tools/tpu_session_r5b.py;
+        # the residual gap to the 1.08 ms resident direct frame is the
+        # per-frame texture resample + param/ct-plane rebuilds every pan
+        # frame necessarily repeats).
+        from vgtpu.ops.composite_pallas import _P_BD, frame_fb_pallas
+        from vgtpu.ops.coverage import cov_all_resolved
+
+        cov_all = cov_all_resolved(pools, d["cov_map"], th, tw)
+        params2 = []
+        for pp, te_p in zip(params, d["bucket_te_pad"]):
+            valid = (te_p >= 0).astype(jnp.float32)
+            e = jnp.maximum(te_p, 0)
+            bd_t = jnp.transpose(bd[e] * valid[:, :, None], (1, 2, 0))
+            params2.append(pp.at[:, _P_BD : _P_BD + th, :].set(bd_t))
+        fb = frame_fb_pallas(
+            cov_all, d["tile_buckets"], d["bucket_pteb"], tuple(params2),
+            cts, bg, tile_h=th, tile_w=tw, num_tiles=nt,
+            bucket_flags=bucket_flags, ss=ss, interpret=not on_tpu,
+        )
+        return _pan_epilogue(fb, bg, vx, vy, NTX=NTX, NTY=NTY, nt=nt,
+                             ntx_o=ntx_o, nty_o=nty_o, th_out=th_out, tw=tw,
+                             out_w=out_w, out_h=out_h, tiles_only=tiles_only)
+    cov = entry_coverage_gather(pools, d["cov_map"], ne, th, tw)
+    entry_w = cov + bd[:, :, None]
+    if use_pallas:
+        # legacy entry-gather Pallas composite (A/B: VGTPU_PAN_NO_CHUNKGATHER)
+        from vgtpu.ops.composite_pallas import composite_bucketed_pallas_body
+
         cov_fin = None
         if pan_resolve:
-            # supersampled-pan resolve (VERDICT r04 #4): rule/AA/scissor +
-            # ss-average apply ONCE per entry right after the coverage
-            # gather (entry_w is already materialized here, so unlike the
-            # direct path's rejected XLA pre-pass this adds no extra
-            # sub-row HBM pass); non-clip buckets then gather 1/ss the
-            # bytes and skip all per-sub-row kernel work.  The scissor
-            # takes the pan residual exactly as the composite params do.
+            # per-entry resolve experiment: NET WORSE on TPU (see
+            # _pan_statics), kept parity-tested behind VGTPU_PAN_ENTRY_RESOLVE
             from vgtpu.ops.coverage_resolve import (
                 entry_resolve_rparams,
                 resolve_cov_rows,
@@ -729,8 +786,17 @@ def _render_pan_body(d, bg, vx, vy, rx, ry, *, NTX, NTY, th, tw, ntx_o, nty_o,
             ntx=NTX, tile_h=th, tile_w=tw, num_tiles=nt,
             bucket_flags=bucket_flags, ss=ss, origin_shift=(rxf, ryf),
         )
-    # viewport window: whole-tile part of the pan is a gather relabel;
-    # off-scene tiles read the appended background row
+    return _pan_epilogue(fb, bg, vx, vy, NTX=NTX, NTY=NTY, nt=nt,
+                         ntx_o=ntx_o, nty_o=nty_o, th_out=th_out, tw=tw,
+                         out_w=out_w, out_h=out_h, tiles_only=tiles_only)
+
+
+def _pan_epilogue(fb, bg, vx, vy, *, NTX, NTY, nt, ntx_o, nty_o, th_out, tw,
+                  out_w, out_h, tiles_only):
+    """Viewport window: the whole-tile part of the pan is a gather relabel;
+    off-scene tiles read the appended background row."""
+    from vgtpu.ops.composite import tiles_to_image
+
     bg_tile = jnp.broadcast_to(bg.astype(jnp.float32), (1, th_out, tw, 4))
     fb = jnp.concatenate([fb, bg_tile], axis=0)
     ty = jnp.arange(nty_o, dtype=jnp.int32)[:, None] + vy
@@ -751,7 +817,7 @@ _render_pan = jax.jit(
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
                      "use_pallas", "samp_meta", "samp_nct", "tiles_only",
-                     "pan_resolve"),
+                     "pan_resolve", "pan_chunk_gather"),
 )
 
 
@@ -759,12 +825,13 @@ _render_pan = jax.jit(
     jax.jit,
     static_argnames=("NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
-                     "use_pallas", "samp_meta", "samp_nct", "pan_resolve"),
+                     "use_pallas", "samp_meta", "samp_nct", "pan_resolve",
+                     "pan_chunk_gather"),
 )
 def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
                       ntx_o, nty_o, out_w, out_h, bucket_flags, ne, ss=1,
                       use_pallas=None, samp_meta=None, samp_nct=0,
-                      pan_resolve=False):
+                      pan_resolve=False, pan_chunk_gather=False):
     """V viewports of one retained scene in ONE compiled dispatch
     -> (V, out_h, out_w, 4).  A lax.scan over the traced offsets (scan, not
     vmap: the Pallas composite runs unbatched per view, and the win here is
@@ -775,7 +842,8 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
             d, bg, vx, vy, rx, ry, NTX=NTX, NTY=NTY, th=th, tw=tw,
             ntx_o=ntx_o, nty_o=nty_o, out_w=out_w, out_h=out_h,
             bucket_flags=bucket_flags, ne=ne, ss=ss, use_pallas=use_pallas,
-            samp_meta=samp_meta, samp_nct=samp_nct, pan_resolve=pan_resolve)
+            samp_meta=samp_meta, samp_nct=samp_nct, pan_resolve=pan_resolve,
+            pan_chunk_gather=pan_chunk_gather)
         return carry, img
 
     _, imgs = jax.lax.scan(one, jnp.float32(0.0), (vxs, vys, rxs, rys))
@@ -787,11 +855,12 @@ def _render_pan_views(d, bg, vxs, vys, rxs, rys, *, NTX, NTY, th, tw,
     static_argnames=("n_frames", "NTX", "NTY", "th", "tw", "ntx_o", "nty_o",
                      "out_w", "out_h", "bucket_flags", "ne", "ss",
                      "offx_t", "offy_t", "samp_meta", "samp_nct",
-                     "pan_resolve"),
+                     "pan_resolve", "pan_chunk_gather"),
 )
 def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
                   out_w, out_h, bucket_flags, ne, ss=1, offx_t=1, offy_t=1,
-                  samp_meta=None, samp_nct=0, pan_resolve=False):
+                  samp_meta=None, samp_nct=0, pan_resolve=False,
+                  pan_chunk_gather=False):
     """N pans of a scrolling view inside one fori_loop, serially chained
     through the pixels (see raster/benchloop.py for why naive dispatch
     timing lies through the axon tunnel)."""
@@ -810,7 +879,7 @@ def _chained_pans(d, bg, *, n_frames, NTX, NTY, th, tw, ntx_o, nty_o,
             NTX=NTX, NTY=NTY, th=th, tw=tw, ntx_o=ntx_o, nty_o=nty_o,
             out_w=out_w, out_h=out_h, bucket_flags=bucket_flags, ne=ne,
             ss=ss, samp_meta=samp_meta, samp_nct=samp_nct,
-            pan_resolve=pan_resolve)
+            pan_resolve=pan_resolve, pan_chunk_gather=pan_chunk_gather)
         return jnp.sum(img[..., 3]) * 1e-9
 
     return jax.lax.fori_loop(0, n_frames, body, jnp.float32(0.0))
@@ -831,6 +900,7 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
         offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th_px,
         samp_meta=scene.samp_meta, samp_nct=scene.samp_nct,
         pan_resolve=scene._pan_statics()["pan_resolve"],
+        pan_chunk_gather=scene._pan_statics()["pan_chunk_gather"],
     )
 
     def run(n):
