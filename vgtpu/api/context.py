@@ -255,6 +255,26 @@ class Context:
 
         self.profiler = FrameProfiler()
 
+        # Backend warm-up (the reference's createContext initializes its GPU
+        # resources here too, vg.cpp:1076-1288): on TPU, pre-import the
+        # Pallas kernel modules NOW instead of lazily inside the first
+        # frame's upload stage — the first `jax.experimental.pallas` import
+        # costs ~1.0 s of pure module loading (measured via cProfile: 99%
+        # of the cold frame's upload.aux stage was this import, not aux
+        # work).  Import errors fall through to the lazy sites' own
+        # handling.
+        try:
+            import jax
+
+            if jax.devices()[0].platform == "tpu":
+                from vgtpu.ops import (  # noqa: F401
+                    composite_pallas as _warm_cp,
+                    coverage_pallas as _warm_cov,
+                    coverage_resolve as _warm_res,
+                )
+        except Exception:  # noqa: BLE001
+            pass
+
     # -- state helpers ------------------------------------------------------
     @property
     def state(self) -> _State:
