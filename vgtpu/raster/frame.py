@@ -231,12 +231,25 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0),
     init_tiles: optional resident static layer (execute_plan_tiles output)
     the plan composites over instead of the background."""
     d = device_arrays if device_arrays is not None else plan_to_device(plan)
-    return _frame_fn(
-        d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
-        jnp.asarray(np.asarray(background, np.float32)),
-        init_tiles=init_tiles,
-        **dict(_plan_statics(plan, d)),
-    )
+    args = (d["chunk_pools"], d["entry_backdrop"], composite_arrays(d),
+            jnp.asarray(np.asarray(background, np.float32)))
+    statics = dict(_plan_statics(plan, d))
+    if init_tiles is None:
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # noqa: BLE001
+            on_tpu = False
+        if on_tpu:
+            # persisted-executable cache (raster/execache.py): a warm fresh
+            # process skips the frame program's trace+lower+compile — the
+            # dominant cold-start term once the upload stages are paid.
+            # Returns None on miss-and-disabled or any failure.
+            from vgtpu.raster.execache import dispatch_cached
+
+            out = dispatch_cached(_frame_fn, args, statics)
+            if out is not None:
+                return out
+    return _frame_fn(*args, init_tiles=init_tiles, **statics)
 
 
 def execute_plan_tiles(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0),
