@@ -24,8 +24,10 @@ def cachedir(tmp_path, monkeypatch):
     monkeypatch.setenv("VGTPU_EXEC_CACHE_DIR", str(tmp_path))
     monkeypatch.delenv("VGTPU_NO_EXEC_CACHE", raising=False)
     execache._loaded.clear()
+    execache._first_dispatch[0] = True
     yield tmp_path
     execache._loaded.clear()
+    execache._first_dispatch[0] = True
 
 
 # static kwargs exactly like the production _frame_fn (static_argnames drop
@@ -109,3 +111,22 @@ def test_code_fingerprint_in_key(cachedir, monkeypatch):
     k1 = execache._key({"s": 1}, _args())
     monkeypatch.setattr(execache, "_code_fingerprint", lambda: "other")
     assert execache._key({"s": 1}, _args()) != k1
+
+
+def test_populate_gate_first_dispatch_only(cachedir):
+    """Only the process's first dispatch may BUILD an entry; later misses
+    (dynamic padded-shape variants) return None so the caller stays on the
+    plain jit path, but later HITS still load."""
+    out = execache.dispatch_cached(FN, _args(), {"scale": 2.0})
+    assert out is not None
+    # a second, different-shaped miss must NOT populate
+    a4 = (jnp.arange(4.0), jnp.ones(4))
+    assert execache.dispatch_cached(FN, a4, {"scale": 2.0}) is None
+    import time
+
+    for _ in range(100):
+        if any(f.endswith(".jexe") for f in os.listdir(cachedir)):
+            break
+        time.sleep(0.05)
+    assert len([f for f in os.listdir(cachedir)
+                if f.endswith(".jexe")]) == 1

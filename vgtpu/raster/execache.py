@@ -95,6 +95,13 @@ def _key(statics, args) -> str:
 
 
 _loaded: dict[str, object] = {}       # per-process executables (hit or built)
+# Populate gate: only the process's FIRST dispatch may build + store (the
+# serving cold frame).  Later misses — e.g. every padded-shape variant a
+# dynamic scene sweeps through — take the plain jit path instead: the AOT
+# populate is ~3x slower than a jit call with a warm XLA cache, and its
+# background serialization (~10 MB per entry) would land inside steady
+# render loops.  Later HITS still load (multi-plan serving processes).
+_first_dispatch = [True]
 
 
 def dispatch_cached(jit_fn, args: tuple, statics: dict):
@@ -105,6 +112,7 @@ def dispatch_cached(jit_fn, args: tuple, statics: dict):
     a bad entry is marked once and skipped, never retried per frame)."""
     if not _enabled():
         return None
+    first, _first_dispatch[0] = _first_dispatch[0], False
     try:
         key = _key(statics, args)
     except Exception:  # noqa: BLE001
@@ -127,6 +135,8 @@ def dispatch_cached(jit_fn, args: tuple, statics: dict):
                 payload, in_tree, out_tree = pickle.load(f)
             compiled = se.deserialize_and_load(payload, in_tree, out_tree)
         else:
+            if not first:
+                return None             # plain jit for later shape variants
             compiled = jit_fn.lower(*args, **statics).compile()
             _store_async(path, compiled)
         out = compiled(*args)
