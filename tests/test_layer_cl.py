@@ -264,3 +264,48 @@ def test_text_in_translated_list_supersampled():
         np.testing.assert_allclose(img, exp, atol=3e-3,
                                    err_msg=f"frame {k} offset {off}")
     assert ctx.profiler.counters.get("layer_cl_hits", 0) >= 2
+
+
+def test_static_ui_overlay_layer_over_pan():
+    """A frame-static UI block ABOVE the panned list bakes as a TRANSPARENT
+    overlay (context._layer_split transparent form) blended over the pan
+    tiles in-trace (retained.PendingPanLayer.over_tiles); only the dynamic
+    tail re-bins.  Pixel parity vs the layer-disabled reference across
+    moving offsets, then a paint patch on the dynamic tail at a paused
+    offset with the overlay resident."""
+    def chrome(c):
+        for i in range(18):           # >= layer_min_prefix static ops
+            vg.beginPath(c)
+            vg.rect(c, 8 + 20 * i, 4, 16, 10)
+            vg.fillPath(c, vg.color4ub(30 + 10 * i, 80, 120, 200),
+                        vg.FillFlags.ConvexAA)
+
+    def frame(c, l, off, t, col=(250, 220, 60, 230)):
+        vg.begin(c, 0, W, H, 1.0)
+        vg.pushState(c)
+        vg.transformTranslate(c, off[0], off[1])
+        vg.submitCommandList(c, l)
+        vg.popState(c)
+        chrome(c)
+        _ui(c, t, col)
+        vg.end(c, background=BG)
+        return np.asarray(c.frame_image)
+
+    ctx, cl = _make(True)
+    ref_ctx, ref_cl = _make(False)
+    for off in [(0, 0), (0, 0), (5, 3), (9, 6), (14, -2), (20, 4)]:
+        np.testing.assert_allclose(frame(ctx, cl, off, 0.2),
+                                   frame(ref_ctx, ref_cl, off, 0.2),
+                                   atol=3e-4, err_msg=f"off {off}")
+    c = ctx.profiler.counters
+    assert c.get("layer_bakes", 0) >= 1   # the transparent overlay baked
+    assert c.get("layer_cl_hits", 0) >= 2
+    # paint-value patch on the dynamic tail, overlay + pan layer resident
+    np.testing.assert_allclose(
+        frame(ctx, cl, (20, 4), 0.2),
+        frame(ref_ctx, ref_cl, (20, 4), 0.2), atol=3e-4)
+    hits0 = c.get("memo_paint_hits", 0)
+    img = frame(ctx, cl, (20, 4), 0.2, col=(60, 200, 220, 230))
+    exp = frame(ref_ctx, ref_cl, (20, 4), 0.2, col=(60, 200, 220, 230))
+    np.testing.assert_allclose(img, exp, atol=3e-4)
+    assert c.get("memo_paint_hits", 0) == hits0 + 1
