@@ -130,3 +130,17 @@ def test_populate_gate_first_dispatch_only(cachedir):
         time.sleep(0.05)
     assert len([f for f in os.listdir(cachedir)
                 if f.endswith(".jexe")]) == 1
+
+
+def test_key_cache_memoizes_and_invalidation_contract(cachedir):
+    """key_cache holds the computed key under _exe_key (steady frames skip
+    the sha256); clearing the entry forces recompute to the same value."""
+    kc = {}
+    out = execache.dispatch_cached(FN, _args(), {"scale": 2.0}, key_cache=kc)
+    assert out is not None and "_exe_key" in kc
+    k1 = kc["_exe_key"]
+    out2 = execache.dispatch_cached(FN, _args(), {"scale": 2.0}, key_cache=kc)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
+    kc.pop("_exe_key")
+    execache.dispatch_cached(FN, _args(), {"scale": 2.0}, key_cache=kc)
+    assert kc["_exe_key"] == k1

@@ -848,6 +848,7 @@ class Context:
             if "entry_paint" in d:
                 with prof.stage("patch.put"):
                     d["entry_paint"] = jax.device_put(plan.entry_paint)
+            d.pop("_exe_key", None)
             return True
         if has_pop:
             # ZERO extra tunnel round-trips (VERDICT r04 #1): the patched
@@ -870,12 +871,14 @@ class Context:
                 d["pop"] = pop_dev
                 d["bucket_params"] = None
                 d["_params_stale"] = True
+                d.pop("_exe_key", None)   # arg pytree structure changed
         if changed_t and d.get("ct_ids") is not None:
             # kernel-layout texture planes rebuild in-jit the same way
             # (_frame_tiles_body's lazy ct branch) from the resampled
             # d["color_tiles"] the stage above installed
             d["bucket_cts"] = None
             d["_params_stale"] = True
+            d.pop("_exe_key", None)
         if "entry_paint" in d:
             with prof.stage("patch.put"):
                 d["entry_paint"] = jax.device_put(plan.entry_paint)
@@ -894,6 +897,7 @@ class Context:
         if d is None or not d.get("_params_stale"):
             return
         d["_params_stale"] = False
+        d.pop("_exe_key", None)        # promote restores the resident pytree
         import jax
 
         from vgtpu.raster.frame import promote_resident
@@ -925,56 +929,60 @@ class Context:
 
             sp = build_sampling_plan(plan, ops, image_map)
             if not sp.num_tiles:
-                # scene stopped drawing textures: retained device color
-                # tiles can never hit again — release the HBM
-                self._ct_memo = {}
+                if len(ops) == len(self.ops):
+                    # the plan covers the WHOLE frame and draws no
+                    # textures: retained device color tiles can never hit
+                    # again — release the HBM.  A texture-less SUFFIX plan
+                    # under a layer split must NOT wipe the shared memo:
+                    # the texture-bearing layer plan's entry is still live
+                    # (the very cross-plan sharing the LRU exists for).
+                    self._ct_memo = {}
                 return
-            if sp.num_tiles:
-                needed = {g.image_id for g in sp.groups}
-                # resample memo: texture content in a steady UI loop is
-                # frame-static (text quads, pattern fills) even when the
-                # surrounding geometry animates — when the sampling plan's
-                # content and every source generation are unchanged, last
-                # frame's device color tiles are bit-identical, so skip the
-                # per-frame param upload + sampler dispatch (~3 ms host on
-                # the app pattern).  Keyed on the FULL group payload (ct ids,
-                # params incl. tile origins, modulation colors), so any
-                # layout shift or paint change misses conservatively.
-                def _crc(a):
-                    return (0 if a is None
-                            else zlib.crc32(np.ascontiguousarray(a)))
+            needed = {g.image_id for g in sp.groups}
+            # resample memo: texture content in a steady UI loop is
+            # frame-static (text quads, pattern fills) even when the
+            # surrounding geometry animates — when the sampling plan's
+            # content and every source generation are unchanged, last
+            # frame's device color tiles are bit-identical, so skip the
+            # per-frame param upload + sampler dispatch (~3 ms host on
+            # the app pattern).  Keyed on the FULL group payload (ct ids,
+            # params incl. tile origins, modulation colors), so any
+            # layout shift or paint change misses conservatively.
+            def _crc(a):
+                return (0 if a is None
+                        else zlib.crc32(np.ascontiguousarray(a)))
 
-                key = (
-                    sp.num_tiles, plan.tile_h, plan.tile_w, plan.supersample,
-                    tuple(sorted(
-                        (i, image_map[i][2] if len(image_map[i]) > 2 else 0)
-                        for i in needed)),
-                    tuple((g.image_id, g.flags, g.kind, g.separable,
-                           _crc(g.ct), _crc(g.params), _crc(g.color))
-                          for g in sp.groups),
-                    _crc(sp.tex_tile_mask),
-                )
-                # small LRU, not a single slot: a frame whose baked layer
-                # AND dynamic suffix both carry textures samples through two
-                # different plans per frame — one slot would alternate keys
-                # and never hit (ADVICE r04)
-                memo = getattr(self, "_ct_memo", None)
-                if not isinstance(memo, dict):
-                    memo = self._ct_memo = {}
-                hit = memo.pop(key, None)
-                if hit is not None:
-                    memo[key] = hit       # move-to-end (dict insert order)
-                    plan.color_tiles = hit
-                    self.profiler.count("ct_memo_hits", 1)
-                    return
-                tex = self._device_textures(image_map, needed)
-                ct = sample_color_tiles_device(
-                    sp, tex, plan.tile_h // plan.supersample, plan.tile_w)
-                if ct is not None:
-                    plan.color_tiles = ct   # device array; flows through upload
-                    memo[key] = ct
-                    while len(memo) > 4:
-                        memo.pop(next(iter(memo)))
+            key = (
+                sp.num_tiles, plan.tile_h, plan.tile_w, plan.supersample,
+                tuple(sorted(
+                    (i, image_map[i][2] if len(image_map[i]) > 2 else 0)
+                    for i in needed)),
+                tuple((g.image_id, g.flags, g.kind, g.separable,
+                       _crc(g.ct), _crc(g.params), _crc(g.color))
+                      for g in sp.groups),
+                _crc(sp.tex_tile_mask),
+            )
+            # small LRU, not a single slot: a frame whose baked layer
+            # AND dynamic suffix both carry textures samples through two
+            # different plans per frame — one slot would alternate keys
+            # and never hit (ADVICE r04)
+            memo = getattr(self, "_ct_memo", None)
+            if not isinstance(memo, dict):
+                memo = self._ct_memo = {}
+            hit = memo.pop(key, None)
+            if hit is not None:
+                memo[key] = hit       # move-to-end (dict insert order)
+                plan.color_tiles = hit
+                self.profiler.count("ct_memo_hits", 1)
+                return
+            tex = self._device_textures(image_map, needed)
+            ct = sample_color_tiles_device(
+                sp, tex, plan.tile_h // plan.supersample, plan.tile_w)
+            if ct is not None:
+                plan.color_tiles = ct   # device array; flows through upload
+                memo[key] = ct
+                while len(memo) > 4:
+                    memo.pop(next(iter(memo)))
             return
         from vgtpu.raster.sampling import fill_color_tiles
 

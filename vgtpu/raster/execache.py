@@ -104,19 +104,30 @@ _loaded: dict[str, object] = {}       # per-process executables (hit or built)
 _first_dispatch = [True]
 
 
-def dispatch_cached(jit_fn, args: tuple, statics: dict):
+def dispatch_cached(jit_fn, args: tuple, statics: dict, key_cache=None):
     """Run `jit_fn(*args, **statics)` through the executable cache.
 
     Returns the output, or None when the caller should use the plain jit
     path (cache disabled, load failed, or this key previously failed —
-    a bad entry is marked once and skipped, never retried per frame)."""
+    a bad entry is marked once and skipped, never retried per frame).
+
+    key_cache: optional mutable dict the computed key memoizes into under
+    "_exe_key" — steady frames reuse the plan's resident dict so the
+    per-dispatch sha256 over the full aval tree is paid once per plan, not
+    per frame.  Callers MUST drop the entry whenever the arg pytree
+    STRUCTURE changes (paint-patch lazy/promoted transitions); a stale
+    key only costs a pytree-mismatch fallback, never a wrong frame."""
     if not _enabled():
         return None
     first, _first_dispatch[0] = _first_dispatch[0], False
-    try:
-        key = _key(statics, args)
-    except Exception:  # noqa: BLE001
-        return None
+    key = key_cache.get("_exe_key") if key_cache is not None else None
+    if key is None:
+        try:
+            key = _key(statics, args)
+        except Exception:  # noqa: BLE001
+            return None
+        if key_cache is not None:
+            key_cache["_exe_key"] = key
     if key in _loaded:
         compiled = _loaded[key]
         if compiled is None:            # marked bad earlier this process

@@ -246,7 +246,7 @@ def execute_plan(plan: FramePlan, background=(1.0, 1.0, 1.0, 1.0),
             # Returns None on miss-and-disabled or any failure.
             from vgtpu.raster.execache import dispatch_cached
 
-            out = dispatch_cached(_frame_fn, args, statics)
+            out = dispatch_cached(_frame_fn, args, statics, key_cache=d)
             if out is not None:
                 return out
     return _frame_fn(*args, init_tiles=init_tiles, **statics)
@@ -574,12 +574,14 @@ def _resolve_path_enabled(plan: FramePlan) -> bool:
     (raster/resolve.py): fused TPU path, supersampled plans only (at ss=1
     the resolution work merely moves between kernels — no domain shrinks).
     Retained-pan plans are excluded from THIS formulation (their backdrop
-    windows are render-time dynamic, these resolve params are plan-static) —
-    they resolve per-ENTRY in-trace instead, right after the coverage
-    gather (raster/retained._render_pan_body pan_resolve +
-    ops/coverage_resolve.entry_resolve_rparams), so supersampled pans are
-    not stuck with the pre-resolution cost either.  VGTPU_NO_RESOLVE=1
-    disables both for A/B."""
+    windows are render-time dynamic, these resolve params are plan-static).
+    Supersampled pans run the RAW chunk-gather formulation by default
+    (raster/retained pan_chunk_gather — that upgrade, not resolution, is
+    where the pan ss win came from: 11.69 -> 8.47 ms); a per-ENTRY
+    in-trace resolve exists (entry_resolve_rparams) but measured NET WORSE
+    (14.95 vs 11.64 ms on the entry-gather path, CLAUDE.md
+    failed-experiments) and stays opt-in behind VGTPU_PAN_ENTRY_RESOLVE=1.
+    VGTPU_NO_RESOLVE=1 disables all resolve paths for A/B."""
     import os
 
     return (

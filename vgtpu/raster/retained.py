@@ -891,6 +891,7 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
 
     tw, th = scene.tile_w, scene.tile_h
     th_px = th // scene.ss
+    ps = scene._pan_statics()
     static = dict(
         NTX=scene.plan.ntx, NTY=scene.plan.nty, th=th, tw=tw,
         ntx_o=-(-scene.out_w // tw), nty_o=-(-scene.out_h // th_px),
@@ -899,8 +900,8 @@ def measure_pan_ms_per_frame(scene: RetainedScene, reps_hi=32, reps_lo=2) -> flo
         ne=scene.plan.entry_backdrop.shape[0],
         offx_t=scene.off[0] // tw, offy_t=scene.off[1] // th_px,
         samp_meta=scene.samp_meta, samp_nct=scene.samp_nct,
-        pan_resolve=scene._pan_statics()["pan_resolve"],
-        pan_chunk_gather=scene._pan_statics()["pan_chunk_gather"],
+        pan_resolve=ps["pan_resolve"],
+        pan_chunk_gather=ps["pan_chunk_gather"],
     )
 
     def run(n):
