@@ -309,3 +309,39 @@ def test_static_ui_overlay_layer_over_pan():
     exp = frame(ref_ctx, ref_cl, (20, 4), 0.2, col=(60, 200, 220, 230))
     np.testing.assert_allclose(img, exp, atol=3e-4)
     assert c.get("memo_paint_hits", 0) == hits0 + 1
+
+
+def test_background_change_with_overlay_layer():
+    """Changing the frame background while BOTH the pan layer and the
+    transparent static-UI overlay are resident: the overlay bake is
+    bg-independent (transparent), the pan tiles take the new background,
+    and the memo guard forces the full path — pixels must match the
+    layer-disabled reference at every step."""
+    def chrome(c):
+        for i in range(18):
+            vg.beginPath(c)
+            vg.rect(c, 8 + 20 * i, 4, 16, 10)
+            vg.fillPath(c, vg.color4ub(30 + 10 * i, 80, 120, 200),
+                        vg.FillFlags.ConvexAA)
+
+    def frame(c, l, off, bg):
+        vg.begin(c, 0, W, H, 1.0)
+        vg.pushState(c)
+        vg.transformTranslate(c, off[0], off[1])
+        vg.submitCommandList(c, l)
+        vg.popState(c)
+        chrome(c)
+        _ui(c, 0.2)
+        vg.end(c, background=bg)
+        return np.asarray(c.frame_image)
+
+    ctx, cl = _make(True)
+    ref_ctx, ref_cl = _make(False)
+    bg2 = (0.3, 0.1, 0.1, 1.0)
+    seq = [((0, 0), BG), ((0, 0), BG), ((5, 3), BG), ((9, 6), BG),
+           ((14, -2), BG), ((14, -2), bg2), ((20, 4), bg2)]
+    for off, bg in seq:
+        np.testing.assert_allclose(frame(ctx, cl, off, bg),
+                                   frame(ref_ctx, ref_cl, off, bg),
+                                   atol=3e-4, err_msg=f"{off} {bg}")
+    assert ctx.profiler.counters.get("layer_bakes", 0) >= 1
