@@ -390,13 +390,19 @@ def pan_diag() -> None:
         wimg = frame(k)
         np.asarray(wimg[0, 0])
     ka["stop"].set()
+    spin_before = host_spin_ms()
     pan_ms = run_loop(lambda k: frame(k + 8), 5, warm_img=wimg)
+    spin_after = host_spin_ms()
     print(json.dumps({
         "pan_ms": pan_ms,
         "layer_cl_hits": ctx.profiler.counters.get("layer_cl_hits", 0),
         # this child timeshares the core with the main bench sequence: its
-        # throttle at measurement time is what pan_norm must divide by
-        "host_spin_ms": host_spin_ms(),
+        # throttle DURING the loop is what pan_norm must divide by —
+        # bracket the timed window and average (a single post-loop probe
+        # can catch a quieter moment and under-correct)
+        "host_spin_ms": (spin_before + spin_after) / 2.0,
+        "host_spin_bracket_ms": [round(spin_before, 1),
+                                 round(spin_after, 1)],
     }), flush=True)
 
 
