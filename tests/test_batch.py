@@ -517,3 +517,52 @@ def test_fuzz_batch_matches_per_frame(seed):
     for k in range(K):
         np.testing.assert_allclose(imgs[k], refs[k], atol=3e-6,
                                    err_msg=f"seed {seed} variant {k}")
+
+
+def test_render_frames_after_paint_patch_repromotes():
+    """A paint-patched plan (deferred lazy expansion, numpy pop-paint leaf)
+    dispatched through renderFrames: the pre-dispatch repromote
+    (context._repromote_if_stale) must restore the promoted resident form
+    — device pop paint, expanded params — and the fused dispatch must
+    render the PATCHED colors.  Forced fused aux on CPU exercises the
+    exact TPU patch branch."""
+    import vgtpu.raster.frame as rf
+
+    orig = rf._fused_platform
+    rf._fused_platform = lambda: True
+    try:
+        def scene(c, col):
+            vg.beginPath(c)
+            vg.roundedRect(c, 10, 10, 150, 90, 18)
+            vg.fillPath(c, vg.color4ub(*col), vg.FillFlags.ConvexAA)
+            vg.beginPath(c)
+            vg.circle(c, 210, 64, 40)
+            vg.fillPath(c, vg.color4ub(40, 80, 200, 180),
+                        vg.FillFlags.ConvexAA)
+
+        ctx = vg.createContext()
+        vg.begin(ctx, 0, 256, 128, 1.0)
+        scene(ctx, (200, 80, 40, 200))
+        vg.end(ctx, background=BG, dispatch=False)
+        vg.begin(ctx, 0, 256, 128, 1.0)
+        scene(ctx, (40, 200, 90, 200))      # values-only delta: patch path
+        vg.end(ctx, background=BG, dispatch=False)
+        assert ctx.profiler.counters.get("memo_paint_hits", 0) == 1
+        d = ctx.last_device_arrays
+        assert d.get("_params_stale") and isinstance(
+            d["pop"]["paint"], np.ndarray)
+
+        (img,) = vg.renderFrames([ctx])
+        d = ctx.last_device_arrays
+        assert not d.get("_params_stale")
+        assert d.get("bucket_params") is not None
+        assert not isinstance(d["pop"]["paint"], np.ndarray)
+
+        ref = vg.createContext()
+        vg.begin(ref, 0, 256, 128, 1.0)
+        scene(ref, (40, 200, 90, 200))
+        vg.end(ref, background=BG)
+        np.testing.assert_allclose(np.asarray(img),
+                                   np.asarray(ref.frame_image), atol=2e-5)
+    finally:
+        rf._fused_platform = orig
